@@ -1,0 +1,118 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** CouchDB Mango selector → Catalyst `Column` compiler.
+  *
+  * The reference pushes the `--query` Mango JSON into the `_changes` request
+  * as a server-side `selector` (reference `index.js:102-104`,
+  * `bin/couchwarehouse.bin.js:14`) — source-side predicate pushdown. Our
+  * Spark-native equivalent compiles the same JSON to a `Column` predicate,
+  * which Catalyst then pushes down to the scan (PushedFilters) exactly as
+  * CouchDB pushed it to the feed.
+  *
+  * Supported operators (the CouchDB Mango core set): implicit equality,
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not $nor`.
+  *
+  * Invalid selector JSON and a nested `{"selector": …}` wrapper are rejected
+  * (reference `index.js:202-214` validates the same way and exits).
+  */
+object Mango {
+
+  final case class MangoException(msg: String) extends IllegalArgumentException(msg)
+
+  private val mapper = new ObjectMapper()
+
+  /** Field resolver: how a selector key becomes a Column. The second
+    * argument is a sample comparison value, used to pick a cast when the
+    * underlying storage is untyped (raw JSON text).
+    */
+  type FieldResolver = (String, JsonNode) => Column
+
+  /** Resolve against real DataFrame columns (flattened warehouse table). */
+  val columnResolver: FieldResolver = (field, _) => col(field)
+
+  /** Resolve against a raw JSON document column: `get_json_object` + a cast
+    * chosen from the comparison literal — the Spark form of CouchDB
+    * evaluating the selector server-side against the document body (A4).
+    */
+  def jsonResolver(doc: Column): FieldResolver = (field, v) => {
+    val raw = get_json_object(doc, "$." + field)
+    if (v != null && v.isNumber) raw.cast("double")
+    else if (v != null && v.isBoolean) raw.cast("boolean")
+    else raw
+  }
+
+  /** Compile a Mango selector JSON string to a Spark Column predicate over
+    * flattened columns.
+    */
+  def compile(selectorJson: String): Column = compile(selectorJson, columnResolver)
+
+  /** Compile a Mango selector evaluated directly against a raw JSON doc
+    * column (pre-flatten, source-pushdown position).
+    */
+  def compileOnJson(selectorJson: String, doc: Column): Column =
+    compile(selectorJson, jsonResolver(doc))
+
+  def compile(selectorJson: String, resolve: FieldResolver): Column = {
+    val root =
+      try mapper.readTree(selectorJson)
+      catch { case e: Exception => throw MangoException(s"invalid selector JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject)
+      throw MangoException("selector must be a JSON object")
+    if (root.has("selector"))
+      throw MangoException("selector should not contain a nested 'selector' key")
+    compileObject(root, resolve)
+  }
+
+  /** An object combines its entries with AND (Mango semantics). */
+  private def compileObject(node: JsonNode, resolve: FieldResolver): Column =
+    node.fields().asScala.map { e => compileEntry(e.getKey, e.getValue, resolve) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  private def compileEntry(key: String, value: JsonNode, resolve: FieldResolver): Column = key match {
+    case "$and" => value.elements().asScala.map(compileObject(_, resolve)).reduceOption(_ && _).getOrElse(lit(true))
+    case "$or"  => value.elements().asScala.map(compileObject(_, resolve)).reduceOption(_ || _).getOrElse(lit(false))
+    case "$nor" => !value.elements().asScala.map(compileObject(_, resolve)).reduceOption(_ || _).getOrElse(lit(false))
+    case "$not" => !compileObject(value, resolve)
+    case op if op.startsWith("$") => throw MangoException(s"unsupported top-level operator $op")
+    case field if value.isObject && value.fieldNames().asScala.forall(_.startsWith("$")) =>
+      value.fields().asScala.map { e => compileOp(resolve(field, sampleValue(e.getValue)), e.getKey, e.getValue) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case field => resolve(field, value) === literal(value) // implicit $eq
+  }
+
+  /** A representative literal for cast selection ($in/$nin look inside the
+    * array; $exists has no literal).
+    */
+  private def sampleValue(v: JsonNode): JsonNode =
+    if (v.isArray && v.size() > 0) v.get(0) else v
+
+  private def compileOp(c: Column, op: String, v: JsonNode): Column = op match {
+    case "$eq"     => c === literal(v)
+    case "$ne"     => c =!= literal(v)
+    case "$gt"     => c > literal(v)
+    case "$gte"    => c >= literal(v)
+    case "$lt"     => c < literal(v)
+    case "$lte"    => c <= literal(v)
+    case "$in"     => c.isin(v.elements().asScala.map(literalValue).toSeq: _*)
+    case "$nin"    => !c.isin(v.elements().asScala.map(literalValue).toSeq: _*)
+    case "$exists" => if (v.asBoolean) c.isNotNull else c.isNull
+    case "$regex"  => c.rlike(v.asText)
+    case "$not"    => !compileOp(c, v.fieldNames().asScala.next(), v.elements().asScala.next())
+    case other     => throw MangoException(s"unsupported operator $other")
+  }
+
+  private def literal(v: JsonNode): Column = lit(literalValue(v))
+
+  private def literalValue(v: JsonNode): Any =
+    if (v.isBoolean) v.asBoolean
+    else if (v.isIntegralNumber) v.asLong
+    else if (v.isNumber) v.asDouble
+    else if (v.isNull) null
+    else v.asText
+}

@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The driver-scored query inventory (SURVEY.md §2 Part B + training-data
+  * ops): every capability the reference's warehouse delegates to its SQL
+  * targets, answered natively by Catalyst, plus the large-scale pipeline
+  * operators. Each query is paired with the ANSI SQL the driver runs in
+  * DuckDB over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - float SUM/AVG go through an exact decimal accumulation and a final
+  *     cast to double (`dsum`), so the result is independent of partition /
+  *     accumulation order in both engines;
+  *   - every window / top-k ordering includes a unique tiebreak key;
+  *   - column aliases match the oracle SQL exactly (the driver compares by
+  *     sorted column name).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      oracle: Option[String],
+      run: (SparkSession, String) => DataFrame)
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read nanos as long (epoch-nanos) — we only ever
+    // use `ts` as an ordering key, where long-nanos order == timestamp
+    // order.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Order-insensitive exact sum of a double column: accumulate as decimal
+    * (exact), cast once to double. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // ---------------------------------------------------------------- scans
+
+  private val qScan = Q("q_scan",
+    Some("SELECT r_regionkey, r_name FROM region"),
+    (s, d) => t(s, d, "region").select("r_regionkey", "r_name"))
+
+  private val qProject = Q("q_project",
+    Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+    (s, d) => t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+
+  // -------------------------------------------------------------- filters
+
+  private val qFilter = Q("q_filter",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30"""),
+    (s, d) => t(s, d, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+  private val qFilterNull = Q("q_filter_null",
+    Some("""SELECT count(*) AS total, count(props) AS non_null,
+            count(*) - count(props) AS null_cnt FROM events"""),
+    (s, d) => t(s, d, "events").agg(
+      count(lit(1)).as("total"),
+      count(col("props")).as("non_null"),
+      (count(lit(1)) - count(col("props"))).as("null_cnt")))
+
+  /** Mango selector compiled to a Column (A4) — the oracle is the selector's
+    * SQL meaning.
+    */
+  private val qMango = Q("q_mango",
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+              AND c_acctbal > 1000 AND c_acctbal <= 9000"""),
+    (s, d) => t(s, d, "customer")
+      .where(graft.ops.Mango.compile(
+        """{"c_mktsegment":{"$in":["BUILDING","AUTOMOBILE"]},
+           "c_acctbal":{"$gt":1000,"$lte":9000}}"""))
+      .select("c_custkey", "c_name", "c_acctbal"))
+
+  // ---------------------------------------------------------------- joins
+
+  private val qJoinInner = Q("q_join_inner",
+    Some("""SELECT n_name, count(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name"""),
+    (s, d) => t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue")))
+
+  private val qJoinLeft = Q("q_join_left",
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey"""),
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders")))
+
+  private val qJoinSemi = Q("q_join_semi",
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name"))
+
+  private val qJoinAnti = Q("q_join_anti",
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name"))
+
+  /** Theta/range join: events bucketed into literal value bands —
+    * BroadcastNestedLoopJoin with a tiny build side.
+    */
+  private val qJoinRange = Q("q_join_range",
+    Some("""SELECT band, count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events
+            JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                         ('high', 150.0, 1000000.0)) b(band, lo, hi)
+              ON value >= lo AND value < hi
+            GROUP BY band"""),
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+        ("high", 150.0, 1000000.0)).toDF("band", "lo", "hi")
+      t(s, d, "events")
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    })
+
+  // ----------------------------------------------------------- aggregates
+
+  private val qCount = Q("q_count",
+    Some("SELECT count(*) AS n FROM lineitem"),
+    (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
+
+  /** TPC-H Q1 shape: grouped multi-aggregate over the fact table — the
+    * workhorse partial+final HashAggregate pattern.
+    */
+  private val qAggGroup = Q("q_agg_group",
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+            count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        // decimal×decimal product (both factors are 2-dp money values, so
+        // the scale-4 casts are exact) keeps the whole aggregate exact and
+        // engine-independent — never cast a double *product* to decimal at
+        // high scale (see Similarity.Dec note).
+        sum(col("l_extendedprice").cast(DecimalType(18, 4))
+          * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("sum_disc"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n")))
+
+  private val qAggHaving = Q("q_agg_having",
+    Some("""SELECT o_custkey, count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 12"""),
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+      .where(col("n") >= 12))
+
+  private val qAggDistinct = Q("q_agg_distinct",
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS dparts,
+            count(DISTINCT l_suppkey) AS dsupps FROM lineitem
+            GROUP BY l_returnflag"""),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("dparts"),
+        countDistinct(col("l_suppkey")).as("dsupps")))
+
+  private val qRollup = Q("q_rollup",
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""),
+    (s, d) => t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+
+  // -------------------------------------------------------------- windows
+
+  private val qWindowRownum = Q("q_window_rownum",
+    Some("""SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3"""),
+    (s, d) => t(s, d, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn"))
+
+  private val qWindowRank = Q("q_window_rank",
+    Some("""SELECT p_brand, p_partkey, p_retailprice,
+            rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk,
+            dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drk
+            FROM part"""),
+    (s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+      t(s, d, "part").select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+    })
+
+  /** Moving frame + lag: per-user running metrics over the event stream.
+    * Decimal accumulation keeps the frame sum independent of DuckDB's
+    * segment-tree evaluation order.
+    */
+  private val qWindowFrame = Q("q_window_frame",
+    Some("""SELECT event_id, user_id,
+            CAST(SUM(CAST(value AS DECIMAL(18,4)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events"""),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double").as("mov_sum"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+    })
+
+  // --------------------------------------------------------- sort / top-k
+
+  private val qTopk = Q("q_topk",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+    (s, d) => t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10))
+
+  // -------------------------------------------------------------- set ops
+
+  private val qUnion = Q("q_union",
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            UNION SELECT s_nationkey AS nationkey FROM supplier"""),
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct())
+
+  private val qExcept = Q("q_except",
+    Some("""SELECT n_nationkey FROM nation
+            EXCEPT SELECT c_nationkey FROM customer"""),
+    (s, d) => t(s, d, "nation").select(col("n_nationkey"))
+      .except(t(s, d, "customer").select(col("c_nationkey").as("n_nationkey"))))
+
+  // ------------------------------------------------- scalar function rows
+
+  private val qString = Q("q_string",
+    Some("""SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt,
+            substring(p_name, 1, 5) AS prefix,
+            concat_ws('/', p_brand, p_type) AS tag,
+            length(p_name) AS name_len,
+            replace(p_name, ' ', '_') AS snake
+            FROM part WHERE p_name LIKE '%red%'"""),
+    (s, d) => t(s, d, "part")
+      .where(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("tag"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake")))
+
+  private val qDate = Q("q_date",
+    Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+            dayofmonth(o_orderdate) AS dom,
+            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'"""),
+    (s, d) => t(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since")))
+
+  private val qJson = Q("q_json",
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50"""),
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k") > 50))
+
+  /** Generator/explode: token frequency over the documents corpus — the
+    * inverse of the reference's array-to-JSON-string storage (from_json +
+    * explode in SURVEY §2).
+    */
+  private val qExplode = Q("q_explode",
+    Some("""SELECT token, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token"""),
+    (s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n")))
+
+  /** Full-text-ish search (ES target parity): substring match + an
+    * occurrence-count relevance score.
+    */
+  private val qSearch = Q("q_search",
+    Some("""SELECT doc_id,
+            (length(text) - length(replace(text, 'merge', ''))) / 5 AS score
+            FROM documents WHERE text LIKE '%merge%'"""),
+    (s, d) => t(s, d, "documents")
+      .where(col("text").like("%merge%"))
+      .select(col("doc_id"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "merge", ""))) / 5)
+          .cast("long").as("score")))
+
+  /** The user-transform hook (A5) in query position: trim/concat/drop. */
+  private val qTransform = Q("q_transform",
+    Some("""SELECT c_custkey, concat_ws(' ', trim(c_name), c_mktsegment) AS label
+            FROM customer"""),
+    (s, d) => {
+      val hook: graft.ops.Transform.Hook = df => df
+        .withColumn("label", concat_ws(" ", trim(col("c_name")), col("c_mktsegment")))
+        .select("c_custkey", "label")
+      hook(t(s, d, "customer"))
+    })
+
+  /** Batch-simulated CDC compaction (A10/A11 as window SQL): latest event
+    * per user = the last-writer-wins pattern of [[graft.ops.Compact]].
+    */
+  private val qStreamCompact = Q("q_stream_compact",
+    Some("""SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1"""),
+    (s, d) => t(s, d, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type"))
+
+  // ------------------------------------------------------------- registry
+
+  val relational: Seq[Q] = Seq(
+    qScan, qProject, qFilter, qFilterNull, qMango,
+    qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
+    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup,
+    qWindowRownum, qWindowRank, qWindowFrame,
+    qTopk, qUnion, qExcept,
+    qString, qDate, qJson, qExplode, qSearch, qTransform, qStreamCompact)
+
+  def all: Seq[Q] = relational ++ TrainingQueries.all
+}

@@ -1,0 +1,248 @@
+package graft
+
+import graft.Queries.{Q, t}
+import graft.functions.{Similarity, TextAnalysis}
+import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Driver-scored queries for the large-scale training-data operators:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding LSH),
+  * similarity search (brute-force + IVF), and text analysis. Oracle SQL
+  * mirrors every hash/arithmetic step md5/decimal-exactly (see
+  * [[graft.functions.Similarity]] / [[TextAnalysis]] docs).
+  */
+object TrainingQueries {
+
+  /** Shared oracle CTE: whitespace-normalized tokens per doc. */
+  private val toksCte =
+    """toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents)""".stripMargin
+
+  /** Shared oracle CTE: word 3-shingles (requires toksCte). */
+  private val shinglesCte =
+    """sh AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |  FROM toks, UNNEST(range(1, len(l) - 1)) AS t(i)
+      |  WHERE len(l) >= 3)""".stripMargin
+
+  /** Shared oracle CTE: 4-function MinHash signatures (requires both). */
+  private val sigCte =
+    """sig AS (SELECT doc_id,
+      |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+      |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  private val qDedupExact = Q("q_dedup_exact",
+    Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+            count(*) AS n_copies, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1"""),
+    (s, d) => Dedup.exact(t(s, d, "documents")))
+
+  private val qDedupMinhash = Q("q_dedup_minhash",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte
+             SELECT doc_id, h0, h1, h2, h3,
+               md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1
+             FROM sig"""),
+    (s, d) => Dedup.minhash(t(s, d, "documents")))
+
+  private val qDedupMinhashPairs = Q("q_dedup_minhash_pairs",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig)
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id"""),
+    (s, d) => Dedup.minhashCandidates(Dedup.minhash(t(s, d, "documents"))))
+
+  private val qDedupSimhash = Q("q_dedup_simhash",
+    Some("""WITH toks AS (SELECT doc_id,
+              unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents),
+            votes AS (SELECT doc_id, b,
+              sum(CASE WHEN substr(md5(CAST(b AS VARCHAR) || '|' || tok), 1, 1) < '8'
+                  THEN 1 ELSE -1 END) AS v
+              FROM toks, UNNEST(range(0, 16)) AS t(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id"""),
+    (s, d) => Dedup.simhash(t(s, d, "documents")))
+
+  private val qNgramJaccard = Q("q_ngram_jaccard",
+    Some(s"""WITH $toksCte, $shinglesCte,
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+               FROM dsh a JOIN dsh b
+                 ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+               GROUP BY 1, 2)
+             SELECT id_a, id_b,
+               CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b"""),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(docs, pairs)
+    })
+
+  private val qDedupEmbed = Q("q_dedup_embed",
+    Some("""SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 1
+              + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2
+              + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 4
+              + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 8
+              + (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 16
+              + (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 32
+              + (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 64
+              + (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) * 128 AS bucket,
+            count(*) AS n, min(vec_id) AS min_id
+            FROM embeddings GROUP BY 1"""),
+    (s, d) => t(s, d, "embeddings")
+      .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id")))
+
+  // -------------------------------------------------- similarity search
+
+  /** Oracle fragment: exact-decimal cosine of each vector against a single
+    * query row `q(qv)`; yields `sums(vec_id, cos)`.
+    */
+  private def cosineCte(vecTable: String): String =
+    s"""pairs AS (SELECT e.vec_id, e.embedding AS ev, q.qv AS qv
+       |  FROM $vecTable e CROSS JOIN q),
+       |elems AS (SELECT vec_id,
+       |    CAST(ev[i] AS DOUBLE) AS x, CAST(qv[i] AS DOUBLE) AS y
+       |  FROM pairs, UNNEST(range(1, len(ev) + 1)) AS t(i)),
+       |sums AS (SELECT vec_id,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(20,9))) AS DOUBLE) AS dot,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(20,9))) AS DOUBLE) AS na,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(20,9))) AS DOUBLE) AS nb
+       |  FROM elems GROUP BY vec_id),
+       |scored AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM sums)"""
+      .stripMargin
+
+  private val qAnnTopk = Q("q_ann_topk",
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             ${cosineCte("embeddings")}
+             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10"""),
+    (s, d) => Ann.bruteTopK(
+      t(s, d, "embeddings"),
+      t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
+      k = 10))
+
+  private val qAnnIvf = Q("q_ann_ivf",
+    Some("""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id < 8),
+            pairs AS (SELECT e.vec_id, c.centroid_id, e.embedding AS ev, c.cv AS cv
+              FROM embeddings e CROSS JOIN cents c),
+            elems AS (SELECT vec_id, centroid_id,
+                CAST(ev[i] AS DOUBLE) AS x, CAST(cv[i] AS DOUBLE) AS y
+              FROM pairs, UNNEST(range(1, len(ev) + 1)) AS t(i)),
+            sums AS (SELECT vec_id, centroid_id,
+                CAST(SUM(CAST(x * y AS DECIMAL(20,9))) AS DOUBLE) AS dot,
+                CAST(SUM(CAST(x * x AS DECIMAL(20,9))) AS DOUBLE) AS na,
+                CAST(SUM(CAST(y * y AS DECIMAL(20,9))) AS DOUBLE) AS nb
+              FROM elems GROUP BY vec_id, centroid_id),
+            scored AS (SELECT vec_id, centroid_id,
+                dot / (sqrt(na) * sqrt(nb)) AS cos,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, centroid_id) AS rn
+              FROM sums)
+            SELECT centroid_id, count(*) AS n, min(vec_id) AS min_id
+            FROM scored WHERE rn = 1 GROUP BY centroid_id"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val cents = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Ann.assign(vecs, cents)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+    })
+
+  // -------------------------------------------------------- text analysis
+
+  private def occSql(hay: String, needle: String): String =
+    s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  private val langScoreSql: Seq[(String, String)] =
+    TextAnalysis.langProfiles.map { case (lang, words) =>
+      lang -> words.map(w => occSql("padded", w)).mkString(" + ")
+    }
+
+  private val qLangId = Q("q_lang_id", {
+    val scores = langScoreSql.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val best = "greatest(" + langScoreSql.map("s_" + _._1).mkString(", ") + ")"
+    val cases = langScoreSql
+      .map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+      .mkString(" ")
+    Some(s"""WITH padded AS (SELECT doc_id, lang, ' ' || text || ' ' AS padded
+              FROM documents),
+            scored AS (SELECT doc_id, lang, $scores FROM padded),
+            withbest AS (SELECT *, $best AS best FROM scored)
+            SELECT doc_id, lang, CASE $cases ELSE 'unknown' END AS predicted
+            FROM withbest""")},
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted")))
+
+  private val qQuality = Q("q_quality",
+    Some("""SELECT doc_id,
+            length(text) AS n_chars,
+            len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+            length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0
+              / greatest(length(text), 1) AS punct_ratio,
+            least(length(text) / 500.0, 1.0)
+              * (1.0 - least(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 5.0
+                             / greatest(length(text), 1), 1.0)) AS quality
+            FROM documents"""),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality")))
+
+  private val qTokenCount = Q("q_token_count",
+    Some("""SELECT doc_id,
+            len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_ws,
+            len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe
+            FROM documents"""),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe")))
+
+  private val qFingerprint = Q("q_fingerprint",
+    Some("""SELECT doc_id,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+            (SELECT min(md5(substr(text, i * 4 + 1, 8)))
+             FROM UNNEST(range(0, greatest(CAST(floor((length(text) - 8) / 4) AS INT), 0) + 1)) AS t(i)
+            ) AS sketch
+            FROM documents"""),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.charShingleSketch(col("text")).as("sketch")))
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata — the
+    * decode step itself is stubbed (see [[graft.ops.Multimodal]]); the
+    * schema/partitioning/metadata path is real.
+    */
+  private val qMediaMeta = Q("q_media_meta",
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+            upper(substr(hex(encode(text)), 1, 16)) AS header_hex
+            FROM documents"""),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      upper(substring(hex(col("text").cast("binary")), 1, 16)).as("header_hex")))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash,
+    qNgramJaccard, qDedupEmbed, qAnnTopk, qAnnIvf,
+    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines, all expressed as
+  * codegen'd `functions._` trees (no UDFs): language ID, quality scoring,
+  * token counting, fingerprinting.
+  *
+  * Determinism-first: hash primitives are md5-based so results are
+  * reproducible across engines and runs (Spark's murmur `hash()` has no
+  * cross-engine mirror).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column (collapsed runs, trimmed). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(trim(text), "\\s+", " "), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of `[a-z]+` word pieces, digits, and
+    * non-alphanumeric symbols — the regex families a byte-pair tokenizer
+    * would split on.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** N-gram language-ID heuristic: vote on language-characteristic
+    * function words. Tiny stopword inventories per language keep this a
+    * pure expression tree; swap for real profiles at scale.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq(" de5 ", " shi4 ", " le5 "))
+
+  /** Occurrences of a literal substring. */
+  def occurrences(text: Column, token: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(token), ""))) / token.length).cast("long")
+
+  /** Predicted language = profile with the most stopword hits; ties break
+    * by profile order; no hits → "unknown".
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, words.map(w => occurrences(padded, w)).reduce(_ + _))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unknown"): Column) { case ((lang, score), els) =>
+      when(score === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality signals: length, token stats, punctuation/space ratios. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val stops = Seq(" the ", " a ", " of ", " and ")
+    stops.map(w => occurrences(padded, w)).reduce(_ + _).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation noise and a sane stopword rate.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5, lit(1.0))
+    (lenScore * (lit(1.0) - punctPenalty))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, collapsed
+    * whitespace) — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling-hash-style document sketch: the lexicographic minimum md5 over
+    * character 8-grams sampled every 4 positions (winnowing-lite). Used as
+    * a cheap near-dup signal; full MinHash lives in [[graft.ops.Dedup]].
+    */
+  def charShingleSketch(text: Column): Column =
+    array_min(transform(
+      sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
+      i => md5(text.substr(i * 4 + 1, lit(8)))))
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants follow the same scale shape: map-side signature extraction
+  * (pure expression trees, no UDFs, no driver state), then ONE shuffle on
+  * the signature/bucket key. Pairwise work only ever happens inside a
+  * bucket, never across the full corpus, so cost is O(sum bucket²) not
+  * O(n²) — the standard MinHash-LSH layout.
+  *
+  * Hashes are md5-based (not Spark's murmur `hash`) so signatures are
+  * engine-reproducible and the DuckDB oracle can mirror them exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content fingerprint; keep the lowest
+    * id per group. One shuffle on the 128-bit key; at 100 TB this is the
+    * cheapest possible full-corpus dedup (the key is 16 bytes/doc).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Word k-shingles of a text column, one row per (id, shingle). */
+  def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .where(size(toks) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)
+      )).as("shingle"))
+  }
+
+  /** MinHash signatures over word 3-shingles: `numHashes` independent
+    * md5-min functions (seeded by prefix). Returns one row per doc:
+    * (id, h0..h{n-1}, band0, band1) where bands pair consecutive hashes —
+    * the LSH keys. Distributed cost: shingle explode (map-side) + one
+    * groupBy(id) shuffle.
+    */
+  def minhash(docs: DataFrame, numHashes: Int = 4, shingleSize: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, shingleSize, idCol, textCol)
+    val mins = (0 until numHashes).map { i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"h$i")
+    }
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // bands of r=2 rows: docs agreeing on ALL hashes of any band are
+    // candidates
+    val bands = (0 until numHashes / 2).map { b =>
+      md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as(s"band$b")
+    }
+    sig.select(col(idCol) +: (0 until numHashes).map(i => col(s"h$i")) ++: bands: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band key. Bucket-local
+    * self-join — the scale path (no all-pairs comparison).
+    */
+  def minhashCandidates(sig: DataFrame, numBands: Int = 2,
+                        idCol: String = "doc_id"): DataFrame = {
+    val perBand = (0 until numBands).map { b =>
+      val a = sig.select(col(idCol).as("id_a"), col(s"band$b").as("band"))
+      val bb = sig.select(col(idCol).as("id_b"), col(s"band$b").as("band"))
+      a.join(bb, Seq("band")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }
+    perBand.reduce(_ union _).distinct()
+  }
+
+  /** SimHash: `bits`-bit signature from per-token md5 bit votes. Two docs
+    * are near-dups when hamming(simhash) is small. Map-side expression
+    * work + one groupBy(id, bit) + one groupBy(id) — no joins.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val voted = toks
+      .select(col(idCol), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("tok"))
+      .withColumn("vote",
+        when(substring(md5(concat(col("b").cast("string"), lit("|"), col("tok"))), 1, 1) < "8", 1)
+          .otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("v"))
+    voted
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
+    * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via
+    * shingle join, sizes via per-doc distinct counts.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, shingleSize, idCol, textCol).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle", "s"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingle", "s2"), Seq("id_b"))
+      .where(col("s") === col("s2"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+  }
+}

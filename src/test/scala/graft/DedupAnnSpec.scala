@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{Similarity, TextAnalysis}
+import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river delta"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules engine"),
+    (5L, "  the quick  brown fox jumps over the lazy dog near the river bank ") // ws-variant of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized copies, keeps lowest id") {
+    val d = Dedup.exact(corpus).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // 1,2,5 collapse; 3 and 4 stand alone
+    assert(d == Set((3L, 1L), (1L, 3L), (1L, 4L)))
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups share a band") {
+    val sig = Dedup.minhash(corpus).collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) == sig(5L)) // whitespace-normalized tokens
+    assert(sig(1L) != sig(4L))
+    val pairs = Dedup.minhashCandidates(Dedup.minhash(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal; unrelated docs differ") {
+    val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup differs in far fewer bits than unrelated text
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: identity pair = 1.0, near-dup high, disjoint absent") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L))) // no shared shingles → no row
+  }
+
+  val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),
+    (4L, Array(0.5f, 0.5f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteTopK: self first, near vector second, opposite last") {
+    val q = vecs.where($"vec_id" === 0).select($"embedding".as("qv"))
+    val top = Ann.bruteTopK(vecs, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(top.head == 0L)
+    assert(top(1) == 2L)
+    assert(top.last == 3L)
+  }
+
+  test("IVF assign: centroid members assign to themselves") {
+    val cents = vecs.where($"vec_id" < 2)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
+    val a = Ann.assign(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(0L) == 0L && a(1L) == 1L)
+    assert(a(2L) == 0L) // near x-axis
+    assert(a(4L) == 0L) // tie cos(45°) → lowest centroid id wins
+  }
+
+  test("signBucket is deterministic and bounded") {
+    val b = vecs.select(Similarity.signBucket($"embedding", 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+
+  test("cosineExact matches cosineFast to double noise") {
+    val q = vecs.where($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = vecs.crossJoin(broadcast(q)).select(
+      Similarity.cosineExact($"embedding", $"qv").as("e"),
+      Similarity.cosineFast($"embedding", $"qv").as("f")).collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val texts = Seq(
+    (1L, "the cat and the dog of the house"),
+    (2L, "der hund und die katze und der vogel"),
+    (3L, "le chat et la maison et le chien"),
+    (4L, "xyzzy plugh qwerty"),
+    (5L, "a b  c   d")
+  ).toDF("doc_id", "text")
+
+  test("langId votes on stopword profiles") {
+    val got = texts.select($"doc_id", TextAnalysis.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "unknown")
+  }
+
+  test("tokenCount collapses whitespace runs") {
+    val got = texts.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(5L) == 4)
+    assert(got(1L) == 8)
+  }
+
+  test("bpe-ish token count splits words, digits, symbols") {
+    val df = Seq((1L, "hello world42! x-1")).toDF("doc_id", "text")
+    // pieces: hello, world, 4, 2, !, x, -, 1
+    assert(df.select(TextAnalysis.bpeTokenCount($"text")).collect()(0).getInt(0) == 8)
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds")
+    ).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("quality score favors long clean text over short/noisy") {
+    val df = Seq(
+      (1L, "clean readable prose " * 30),
+      (2L, "x!@#$%^&*()!!!"),
+      (3L, "ok")
+    ).toDF("doc_id", "text")
+    val q = df.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > 0.9)
+    assert(q(2L) < 0.1)
+    assert(q(3L) < 0.1)
+  }
+
+  test("multimodal: synthesize → extractFeatures keeps schema and batch shape") {
+    val docs = Seq((1L, "abcdef", "en", "s", 6L), (2L, "ghijkl", "de", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.synthesize(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    val feats = Multimodal.extractFeatures(media, dims = 4)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(2) == 6) // n_bytes
+    val f = rows(0).getSeq[Float](3)
+    assert(f.length == 4 && f.sum > 0)
+  }
+
+  test("fakeDecode is deterministic") {
+    val p = "payload-bytes".getBytes("UTF-8")
+    assert(Multimodal.fakeDecode(p, 8).toSeq == Multimodal.fakeDecode(p, 8).toSeq)
+    assert(Multimodal.fakeDecode(null, 8).toSeq == Seq.fill(8)(0f))
+  }
+
+  test("sampleFrames emits one stub row per stride window") {
+    val docs = Seq((1L, "a" * 200, "en", "s", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(Multimodal.synthesize(docs), stride = 64, frame = 16)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_stub"))
+    assert(frames.count() == 3) // floor((200-16)/64)+1
+  }
+}

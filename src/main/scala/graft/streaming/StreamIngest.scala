@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.model.{ChangeFeed, SchemaDiscovery}
+import graft.model.SchemaDiscovery.DocSchema
+import graft.ops.{Compact, Flatten, Split, Transform}
+import graft.WarehouseOptions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Continuous ingestion: the Spark Structured Streaming form of the
+  * reference's monitor mode (`index.js:143-170` — longpoll loop, per-batch
+  * insert, checkpoint).
+  *
+  * Source: a stream of change-feed lines (file source here; a CouchDB
+  * `_changes` MicroBatchStream source can be swapped in without touching
+  * the batch logic). Each micro-batch runs the same distributed pipeline as
+  * batch ingestion — the `foreachBatch` body is the direct analog of the
+  * reference's `batch` event handler:
+  *
+  *   1. merge the batch into the per-id latest-change STATE table
+  *      (last-writer-wins by seqNum, tombstones retained so deletes win
+  *      over late replays — one shuffle on id per batch);
+  *   2. re-publish each docType's flattened table (parquet + temp view);
+  *   3. advance the warehouse checkpoint side-file (A13) — Spark's own
+  *      `checkpointLocation` handles source offsets, the side-file is the
+  *      queryable `couchwarehouse_checkpoints` analog.
+  *
+  * At-least-once delivery + idempotent merge (replayed changes collapse in
+  * the LWW window) reproduces the reference's REPLACE-by-PK semantics
+  * exactly (`lib/sqlite.js:82`, SURVEY §4 "Idempotent re-delivery").
+  *
+  * Scale: state merge is a single hash shuffle on doc id; publish is a
+  * partitioned parquet overwrite. Nothing driver-side grows with data —
+  * the driver holds only frozen schemas and the seq counter, like the
+  * reference's single node held `theSchema`.
+  */
+final class StreamIngest(
+    spark: SparkSession,
+    opts: WarehouseOptions,
+    warehouseDir: String) {
+
+  private val stateDir = s"$warehouseDir/_state"
+  private val checkpointFile = Paths.get(s"$warehouseDir/_checkpoints.json")
+  private val schemaDir = Paths.get(s"$warehouseDir/_schemas")
+
+  /** Frozen per-docType schemas, persisted as the donor document JSON so a
+    * restarted stream keeps first-doc-wins semantics (§1.4).
+    */
+  private val schemas = scala.collection.mutable.LinkedHashMap.empty[String, DocSchema]
+  loadSchemas()
+
+  def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
+
+  def start(inputDir: String, sparkCheckpointDir: String): StreamingQuery = {
+    val lines = spark.readStream.format("text").load(inputDir)
+    val changes = ChangeFeed.fromLines(lines, "value")
+    changes.writeStream
+      .option("checkpointLocation", sparkCheckpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) => applyBatch(batch, batchId) }
+      .start()
+  }
+
+  /** One micro-batch application; also callable directly for batch replay
+    * tests. Idempotent: applying the same batch twice is a no-op.
+    */
+  def applyBatch(batch0: DataFrame, batchId: Long): Unit = {
+    val batch = opts.transform(batch0).select("id", "seqNum", "deleted", "doc").cache()
+    try {
+      val merged = existingState() match {
+        case Some(st) => st.unionByName(batch)
+        case None     => batch
+      }
+      // LWW per id, tombstones RETAINED (deletes survive replays; a doc
+      // re-created after deletion wins via its higher seq).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("seqNum").desc)
+      val state = merged
+        .where(!col("id").startsWith("_design"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn")
+
+      val tmp = s"$stateDir.next"
+      state.write.mode("overwrite").parquet(tmp)
+      swap(tmp, stateDir)
+
+      publish()
+      advanceCheckpoint(batch)
+    } finally batch.unpersist()
+  }
+
+  private def existingState(): Option[DataFrame] =
+    if (Files.exists(Paths.get(stateDir)))
+      Some(spark.read.parquet(stateDir))
+    else None
+
+  /** Re-register flattened per-type views over the live rows. */
+  def publish(): Unit = existingState().foreach { st =>
+    val live = st.where(!col("deleted"))
+    val types = opts.split match {
+      case Some(f) =>
+        live.select(Split.docType(f, col("doc")).as("t")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+      case None => Seq(Split.DefaultType)
+    }
+    types.foreach { t =>
+      val slice = opts.split match {
+        case Some(f) => live.where(Split.docType(f, col("doc")) === t)
+        case None    => live
+      }
+      val schema = schemas.getOrElseUpdate(t, discoverFrom(slice, t))
+      if (schema.leaves.nonEmpty) {
+        val name = Split.tableName(opts.database, opts.split.map(_ => t))
+        Flatten(slice, schema).createOrReplaceTempView(name)
+      }
+    }
+  }
+
+  private def discoverFrom(slice: DataFrame, docType: String): DocSchema =
+    slice.orderBy(col("seqNum")).select("doc").limit(1).collect().headOption match {
+      case Some(r) =>
+        val s = SchemaDiscovery.discover(r.getString(0))
+        persistSchema(docType, r.getString(0))
+        s
+      case None => DocSchema(Seq.empty)
+    }
+
+  private def persistSchema(docType: String, donorDoc: String): Unit = {
+    Files.createDirectories(schemaDir)
+    Files.writeString(schemaDir.resolve(s"$docType.json"), donorDoc,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def loadSchemas(): Unit =
+    if (Files.exists(schemaDir)) {
+      Files.list(schemaDir).forEach { p =>
+        val t = p.getFileName.toString.stripSuffix(".json")
+        schemas(t) = SchemaDiscovery.discover(Files.readString(p))
+      }
+    }
+
+  def checkpoint: Long =
+    if (Files.exists(checkpointFile))
+      Files.readString(checkpointFile).trim.toLong
+    else 0L
+
+  private def advanceCheckpoint(batch: DataFrame): Unit = {
+    val maxSeq = batch.agg(max(col("seqNum"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    maxSeq.filter(_ > checkpoint).foreach { s =>
+      Files.writeString(checkpointFile, s.toString,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+  }
+
+  /** Atomic-ish directory swap for the state table (single-writer). */
+  private def swap(tmp: String, dst: String): Unit = {
+    val d = Paths.get(dst)
+    if (Files.exists(d)) {
+      val old = Paths.get(dst + ".old")
+      deleteRec(old)
+      Files.move(d, old)
+      Files.move(Paths.get(tmp), d)
+      deleteRec(old)
+    } else Files.move(Paths.get(tmp), d)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.StreamIngest
+import graft.model.ChangeFeed
+import java.nio.file.{Files, Paths}
+
+class StreamIngestSpec extends SparkSpec {
+
+  def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  def writeChanges(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  def change(seq: Int, id: String, doc: String): String =
+    s"""{"seq":"$seq-x","id":"$id","changes":[{"rev":"$seq-r"}],"doc":$doc}"""
+
+  def deletion(seq: Int, id: String): String =
+    s"""{"seq":"$seq-x","id":"$id","changes":[{"rev":"$seq-r"}],"deleted":true,"doc":{"_id":"$id","_rev":"$seq-r","_deleted":true}}"""
+
+  test("streaming ingest: spool + incremental micro-batches with updates and deletes") {
+    val input = tempDir("stream-in")
+    val wh = tempDir("stream-wh")
+    val ckpt = tempDir("stream-ckpt")
+
+    writeChanges(input, "batch1.jsonl", Seq(
+      change(1, "a", """{"_id":"a","_rev":"1-r","name":"Ada","score":1}"""),
+      change(2, "b", """{"_id":"b","_rev":"1-r","name":"Bob","score":2}"""),
+      change(3, "c", """{"_id":"c","_rev":"1-r","name":"Cy","score":3}""")))
+
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "sdb"), wh)
+    val q1 = ingest.start(input, ckpt)
+    q1.awaitTermination()
+    ingest.publish()
+
+    assert(spark.sql("SELECT COUNT(*) FROM sdb").collect()(0).getLong(0) == 3L)
+    assert(ingest.checkpoint == 3L)
+
+    // second micro-batch: update b, delete c, insert d
+    writeChanges(input, "batch2.jsonl", Seq(
+      change(4, "b", """{"_id":"b","_rev":"2-r","name":"Bobby","score":20}"""),
+      deletion(5, "c"),
+      change(6, "d", """{"_id":"d","_rev":"1-r","name":"Dee","score":4}""")))
+
+    val q2 = ingest.start(input, ckpt)
+    q2.awaitTermination()
+    ingest.publish()
+
+    val rows = spark.sql("SELECT id, name, score FROM sdb ORDER BY id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "d"))
+    assert(rows(1).getString(1) == "Bobby" && rows(1).getDouble(2) == 20.0)
+    assert(ingest.checkpoint == 6L)
+  }
+
+  test("replayed batch is idempotent (at-least-once delivery)") {
+    val wh = tempDir("replay-wh")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "rdb"), wh)
+    val batch = ChangeFeed.fromLines(
+      {
+        import spark.implicits._
+        Seq(
+          change(1, "x", """{"_id":"x","_rev":"1-r","v":1}"""),
+          change(2, "y", """{"_id":"y","_rev":"1-r","v":2}""")
+        ).toDF("value")
+      }, "value")
+    ingest.applyBatch(batch, 0L)
+    ingest.applyBatch(batch, 1L) // replay
+    ingest.publish()
+    assert(spark.sql("SELECT COUNT(*) FROM rdb").collect()(0).getLong(0) == 2L)
+    assert(ingest.checkpoint == 2L)
+  }
+
+  test("schema registry survives restart (frozen first-doc-wins)") {
+    val wh = tempDir("restart-wh")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "xdb"), wh)
+    val mk = (s: String) => ChangeFeed.fromLines(
+      { import spark.implicits._; Seq(s).toDF("value") }, "value")
+    ingest.applyBatch(mk(change(1, "p", """{"_id":"p","_rev":"1","a":1,"b":"t"}""")), 0L)
+    ingest.publish()
+    // new instance over same warehouse dir = restart; later doc carries an
+    // extra field which must stay dropped
+    val ingest2 = new StreamIngest(spark, WarehouseOptions(database = "xdb"), wh)
+    ingest2.applyBatch(mk(change(2, "q", """{"_id":"q","_rev":"1","a":2,"b":"u","extra":9}""")), 1L)
+    ingest2.publish()
+    val cols = spark.sql("SELECT * FROM xdb").columns.toSeq
+    assert(cols == Seq("a", "b", "id", "rev"))
+  }
+}

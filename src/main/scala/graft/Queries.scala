@@ -270,6 +270,12 @@ object Queries {
     (s, d) => t(s, d, "nation").select(col("n_nationkey"))
       .except(t(s, d, "customer").select(col("c_nationkey").as("n_nationkey"))))
 
+  private val qIntersect = Q("q_intersect",
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier"""),
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))))
+
   // ------------------------------------------------- scalar function rows
 
   private val qString = Q("q_string",
@@ -288,6 +294,21 @@ object Queries {
         concat_ws("/", col("p_brand"), col("p_type")).as("tag"),
         length(col("p_name")).as("name_len"),
         regexp_replace(col("p_name"), " ", "_").as("snake")))
+
+  private val qMath = Q("q_math",
+    Some("""SELECT s_suppkey, round(s_acctbal, 1) AS bal_r, abs(s_acctbal) AS bal_abs,
+            floor(s_acctbal) AS bal_f, ceil(s_acctbal) AS bal_c,
+            CAST(sqrt(abs(s_acctbal)) AS DOUBLE) AS bal_sqrt,
+            s_suppkey % 7 AS bucket
+            FROM supplier"""),
+    (s, d) => t(s, d, "supplier").select(
+      col("s_suppkey"),
+      round(col("s_acctbal"), 1).as("bal_r"),
+      abs(col("s_acctbal")).as("bal_abs"),
+      floor(col("s_acctbal")).as("bal_f"),
+      ceil(col("s_acctbal")).as("bal_c"),
+      sqrt(abs(col("s_acctbal"))).as("bal_sqrt"),
+      pmod(col("s_suppkey"), lit(7)).as("bucket")))
 
   private val qDate = Q("q_date",
     Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -336,6 +357,31 @@ object Queries {
         ((length(col("text")) - length(regexp_replace(col("text"), "merge", ""))) / 5)
           .cast("long").as("score")))
 
+  /** Inverted-index-style ranked search: tokenize → explode → join the
+    * (broadcast) query-term list → per-doc hit count. The scale shape of a
+    * term-match engine: one map-side explode, one broadcast join, one
+    * groupBy — no full-text scan per query term.
+    */
+  private val qSearchRanked = Q("q_search_ranked",
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            hits AS (SELECT doc_id, count(*) AS score
+              FROM toks JOIN (VALUES ('merge'), ('join'), ('spark')) q(token)
+                USING (token)
+              GROUP BY doc_id)
+            SELECT doc_id, score FROM hits ORDER BY score DESC, doc_id LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("merge", "join", "spark").toDF("token")
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(terms), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    })
+
   /** The user-transform hook (A5) in query position: trim/concat/drop. */
   private val qTransform = Q("q_transform",
     Some("""SELECT c_custkey, concat_ws(' ', trim(c_name), c_mktsegment) AS label
@@ -369,8 +415,9 @@ object Queries {
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup,
     qWindowRownum, qWindowRank, qWindowFrame,
-    qTopk, qUnion, qExcept,
-    qString, qDate, qJson, qExplode, qSearch, qTransform, qStreamCompact)
+    qTopk, qUnion, qExcept, qIntersect,
+    qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
+    qTransform, qStreamCompact)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

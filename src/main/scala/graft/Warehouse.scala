@@ -100,7 +100,18 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
     lastSeq = transformed.agg(max(col("seqNum"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(lastSeq)
     transformed.unpersist()
+    registerCheckpointView()
     tables.toMap
+  }
+
+  /** The `couchwarehouse_checkpoints` side table (A13,
+    * `lib/sqlite.js:138-170`) as a queryable view: one row per table with
+    * its last applied sequence.
+    */
+  private def registerCheckpointView(): Unit = {
+    import spark.implicits._
+    tables.keys.toSeq.map(t => (t, lastSeq)).toDF("tablename", "seq")
+      .createOrReplaceTempView("couchwarehouse_checkpoints")
   }
 
   /** Mango selector evaluated against the document body: flatten-lite via

@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.{Warehouse, WarehouseOptions}
+import org.apache.spark.sql.SparkSession
+
+/** CLI analog of the reference's `bin/couchwarehouse.bin.js` (yargs opts at
+  * `bin/couchwarehouse.bin.js:6-16`): ingest a changes feed into queryable
+  * tables, then run SQL against them.
+  *
+  * ```
+  * sbt "runMain graft.tools.CouchWarehouseCli \
+  *      --feed /path/to/changes.txt --database mydb \
+  *      [--split type] [--query '{"age":{"$gt":50}}'] \
+  *      [--sql 'SELECT ... FROM mydb'] [--verbose]"
+  * ```
+  *
+  * Differences from the reference CLI, by design: `--feed` replaces
+  * `--url` (batch file/dir input — the DSv2 source handles spool chunks);
+  * `--sql` runs the delegated-query half natively instead of printing
+  * "now query your SQLite db". `--database` falls back to
+  * `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin.js:4-5`.
+  */
+object CouchWarehouseCli {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val flag = args(i)
+      if (!flag.startsWith("--")) {
+        System.err.println(s"unexpected argument: $flag"); sys.exit(2)
+      }
+      val key = flag.drop(2)
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(key) = args(i + 1); i += 2
+      } else { m(key) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val feed = opts.getOrElse("feed", {
+      System.err.println("--feed <changes file|dir> is required"); sys.exit(2); ""
+    })
+    val database = opts.get("database")
+      .orElse(sys.env.get("COUCH_DATABASE"))
+      .getOrElse({ System.err.println("--database (or COUCH_DATABASE) is required"); sys.exit(2); "" })
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"couchwarehouse-$database")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (opts.contains("verbose")) "INFO" else "ERROR")
+
+    val wopts = WarehouseOptions(
+      database = database,
+      split = opts.get("split"),
+      mangoSelector = opts.get("query"))
+
+    // read through the DSv2 source so Mango/pushdown happen reader-side
+    val changes = spark.read.format("couch-changes")
+      .options(opts.get("query").map("selector" -> _).toMap)
+      .load(feed)
+    val w = new Warehouse(spark, wopts.copy(mangoSelector = None))
+    w.ingest(changes)
+
+    println(s"tables: ${w.tableNames.mkString(", ")}")
+    println(s"checkpoint seq: ${w.checkpoint}")
+
+    opts.get("sql").foreach { sql =>
+      w.query(sql).show(opts.getOrElse("limit", "20").toInt, truncate = false)
+    }
+    spark.stop()
+  }
+}

@@ -408,6 +408,37 @@ object Queries {
       .where(col("rn") === 1)
       .select("user_id", "event_id", "event_type"))
 
+  /** Sessionization (batch form): split each user's event stream into
+    * sessions at >30-minute gaps — lag + cumulative-sum window pattern,
+    * one shuffle on user_id. (`ts` is epoch-nanos in Spark — see `t()` —
+    * and a nanos timestamp in DuckDB; `epoch_ns` aligns them.)
+    */
+  private val qSessionize = Q("q_sessionize",
+    Some("""WITH marked AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+              CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                   OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (SELECT user_id, event_id, tns,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+              (max(tns) - min(tns)) // 1000000000 AS duration_s
+            FROM sessions GROUP BY user_id, session_id"""),
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(ts) - min(ts)) div 1000000000").as("duration_s"))
+    })
+
   // ------------------------------------------------------------- registry
 
   val relational: Seq[Q] = Seq(
@@ -417,7 +448,7 @@ object Queries {
     qWindowRownum, qWindowRank, qWindowFrame,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
-    qTransform, qStreamCompact)
+    qTransform, qStreamCompact, qSessionize)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

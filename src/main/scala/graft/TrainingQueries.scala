@@ -109,6 +109,40 @@ object TrainingQueries {
       .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id")))
 
+  /** Embedding near-dup PAIRS: candidate pairs share a sign-LSH bucket
+    * (first 8 dims), verified by cosine above a threshold — pairwise work
+    * never leaves a bucket (O(Σ bucket²), not O(n²)). Threshold 0.25 keeps
+    * the result non-empty on this corpus; a production near-dup run uses
+    * ~0.9 with more hyperplanes.
+    */
+  private val qDedupEmbedPairs = Q("q_dedup_embed_pairs",
+    Some("""WITH b AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+              (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 1
+              + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2
+              + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 4
+              + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 8
+              + (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 16
+              + (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 32
+              + (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 64
+              + (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) * 128 AS bucket
+              FROM embeddings),
+            pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+              list_dot_product(a.ev, b2.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b2.ev, b2.ev))) AS cos
+              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.25"""),
+    (s, d) => {
+      val b = t(s, d, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), 8).as("bucket"))
+      b.as("a").join(b.as("b2"),
+          col("a.bucket") === col("b2.bucket") && col("a.vec_id") < col("b2.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"),
+          graft.functions.CosineSimilarity(col("a.embedding"), col("b2.embedding")).as("cos"))
+        .where(col("cos") > 0.25)
+    })
+
   // -------------------------------------------------- similarity search
 
   /** The ANN oracles mirror the native [[graft.functions.CosineSimilarity]]
@@ -241,6 +275,6 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash,
-    qNgramJaccard, qDedupEmbed, qAnnTopk, qAnnIvf,
+    qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

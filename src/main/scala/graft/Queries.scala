@@ -382,6 +382,29 @@ object Queries {
         .limit(20)
     })
 
+  /** The core document pipeline (A6 schema discovery + A7 flatten) in
+    * query position: documents are wrapped into CouchDB-style JSON bodies
+    * with a nested object, the frozen schema is discovered from the first
+    * document, and the real Flatten operator projects underscore-joined
+    * columns. Oracle = the equivalent relational projection.
+    */
+  private val qFlatten = Q("q_flatten",
+    Some("""SELECT CAST(doc_id AS VARCHAR) AS id, text,
+            lang AS meta_lang, source AS meta_source
+            FROM documents"""),
+    (s, d) => {
+      val docs = t(s, d, "documents").orderBy("doc_id").select(
+        to_json(struct(
+          col("doc_id").cast("string").as("_id"),
+          col("text"),
+          struct(col("lang"), col("source")).as("meta"))).as("doc"))
+      val donor = docs.limit(1).collect()(0).getString(0)
+      val schema = graft.model.SchemaDiscovery.discover(donor)
+      graft.ops.Flatten(docs, schema)
+        .select(col("id"), col("text"),
+          col("meta_lang"), col("meta_source"))
+    })
+
   /** The user-transform hook (A5) in query position: trim/concat/drop. */
   private val qTransform = Q("q_transform",
     Some("""SELECT c_custkey, concat_ws(' ', trim(c_name), c_mktsegment) AS label
@@ -448,7 +471,7 @@ object Queries {
     qWindowRownum, qWindowRank, qWindowFrame,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
-    qTransform, qStreamCompact, qSessionize)
+    qFlatten, qTransform, qStreamCompact, qSessionize)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

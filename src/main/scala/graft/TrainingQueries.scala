@@ -221,22 +221,34 @@ object TrainingQueries {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted")))
 
+  /** Quality metrics computed from SHARED intermediates (one regex pass
+    * per row; also guarantees `quality` reuses the exact same
+    * `punct_ratio` double — association differences like `(pl/len)*5` vs
+    * `pl*5/len` are NOT bit-equal in general).
+    */
   private val qQuality = Q("q_quality",
-    Some("""SELECT doc_id,
-            length(text) AS n_chars,
-            len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens,
-            length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0
-              / greatest(length(text), 1) AS punct_ratio,
-            least(length(text) / 500.0, 1.0)
-              * (1.0 - least(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 5.0
-                             / greatest(length(text), 1), 1.0)) AS quality
-            FROM documents"""),
-    (s, d) => t(s, d, "documents").select(
-      col("doc_id"),
-      length(col("text")).as("n_chars"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-      TextAnalysis.qualityScore(col("text")).as("quality")))
+    Some("""WITH q0 AS (SELECT doc_id, text, length(text) AS len,
+              length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS pl
+              FROM documents),
+            q1 AS (SELECT doc_id, text, len,
+              pl * 1.0 / greatest(len, 1) AS pr FROM q0)
+            SELECT doc_id, len AS n_chars,
+              len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+              pr AS punct_ratio,
+              least(len / 500.0, 1.0) * (1.0 - least(pr * 5, 1.0)) AS quality
+            FROM q1"""),
+    (s, d) => t(s, d, "documents")
+      .withColumn("_len", length(col("text")))
+      .withColumn("_pl", length(regexp_replace(col("text"), "[a-z0-9\\s]", "")))
+      .withColumn("_pr",
+        col("_pl").cast("double") / greatest(col("_len"), lit(1)).cast("double"))
+      .select(
+        col("doc_id"),
+        col("_len").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        col("_pr").as("punct_ratio"),
+        (least(col("_len") / lit(500.0), lit(1.0))
+          * (lit(1.0) - least(col("_pr") * 5, lit(1.0)))).as("quality")))
 
   private val qTokenCount = Q("q_token_count",
     Some("""SELECT doc_id,

@@ -41,6 +41,14 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
 
   private val tables = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
+  /** All changes ingested so far (batch-mode accumulation): repeated
+    * [[ingest]] calls merge like the reference's repeated `insertBulk`
+    * batches — compaction resolves updates/deletes/replays across
+    * batches. (Continuous ingestion with persisted state lives in
+    * [[graft.streaming.StreamIngest]].)
+    */
+  private var allChanges: Option[DataFrame] = None
+
   def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
   def checkpoint: Long = lastSeq
   def tableNames: Seq[String] = tables.keys.toSeq
@@ -66,7 +74,12 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
       case Some(sel) => applyMangoOnDoc(changes0, sel)
       case None      => changes0
     }
-    val transformed = opts.transform(selected)
+    val batch = opts.transform(selected)
+    val transformed = allChanges match {
+      case Some(prev) => prev.unionByName(batch, allowMissingColumns = true)
+      case None       => batch
+    }
+    allChanges = Some(transformed)
     transformed.cache()
 
     val types: Seq[String] = opts.split match {

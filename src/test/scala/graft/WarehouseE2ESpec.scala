@@ -88,4 +88,23 @@ class WarehouseE2ESpec extends SparkSpec {
       WarehouseOptions(database = "sampledata"))
     assert(w.checkpoint == 104L)
   }
+
+  test("repeated ingest merges batches (update/delete across batches)") {
+    import spark.implicits._
+    def batch(rows: String*) =
+      graft.model.ChangeFeed.fromLines(rows.toSeq.toDF("value"), "value")
+    val w = new Warehouse(spark, WarehouseOptions(database = "incdb"))
+    w.ingest(batch(
+      """{"seq":"1-x","id":"a","changes":[{"rev":"1"}],"doc":{"_id":"a","_rev":"1","v":1}}""",
+      """{"seq":"2-x","id":"b","changes":[{"rev":"1"}],"doc":{"_id":"b","_rev":"1","v":2}}"""))
+    assert(w.query("SELECT COUNT(*) x FROM incdb").collect()(0).getLong(0) == 2L)
+    w.ingest(batch(
+      """{"seq":"3-x","id":"b","changes":[{"rev":"2"}],"doc":{"_id":"b","_rev":"2","v":20}}""",
+      """{"seq":"4-x","id":"a","changes":[{"rev":"2"}],"deleted":true,"doc":{"_id":"a","_rev":"2","_deleted":true}}""",
+      """{"seq":"5-x","id":"c","changes":[{"rev":"1"}],"doc":{"_id":"c","_rev":"1","v":3}}"""))
+    val rows = w.query("SELECT id, v FROM incdb ORDER BY id").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("b", 20.0), ("c", 3.0)))
+    assert(w.checkpoint == 5L)
+  }
 }

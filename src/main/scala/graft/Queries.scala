@@ -200,6 +200,40 @@ object Queries {
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
 
+  private val qCube = Q("q_cube",
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+    (s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n")))
+
+  /** Pivot as conditional aggregation (identical formulation in both
+    * engines — engine-native PIVOT syntaxes differ but compile to this).
+    */
+  private val qPivot = Q("q_pivot",
+    Some("""SELECT o_orderpriority,
+            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+            count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority"""),
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p")))
+
+  /** Sketch aggregates: HLL distinct estimates. No oracle — sketch
+    * implementations are engine-specific, so the driver records the
+    * weaker rows-only check by design.
+    */
+  private val qApprox = Q("q_approx", None,
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+
   // -------------------------------------------------------------- windows
 
   private val qWindowRownum = Q("q_window_rownum",
@@ -467,7 +501,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
-    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup,
+    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox,
     qWindowRownum, qWindowRank, qWindowFrame,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Hashes are md5-based (not Spark's murmur `hash`) so signatures are
   * engine-reproducible and the DuckDB oracle can mirror them exactly.
+  *
+  * Background (public literature): MinHash resemblance estimation — Broder,
+  * "On the resemblance and containment of documents" (SEQUENCES 1997);
+  * banded LSH — Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+  * ch. 3; SimHash — Charikar, "Similarity estimation techniques from
+  * rounding algorithms" (STOC 2002), applied at scale in Manku et al.,
+  * "Detecting near-duplicates for web crawling" (WWW 2007); the char-gram
+  * sketch in [[graft.functions.TextAnalysis.charShingleSketch]] follows
+  * winnowing — Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for
+  * document fingerprinting" (SIGMOD 2003).
   */
 object Dedup {
 

@@ -43,4 +43,39 @@ class MangoSpec extends SparkSpec {
   test("nested selector wrapper rejected (index.js:209-214)") {
     intercept[MangoException](Mango.compile("""{"selector":{"a":1}}"""))
   }
+
+  test("Column compiler and document evaluator agree on every selector") {
+    import graft.ops.Mango
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val docs = Seq(
+      """{"id":"a","age":10,"verified":true,"colour":"red"}""",
+      """{"id":"b","age":20,"verified":false,"colour":"blue"}""",
+      """{"id":"c","age":30,"verified":true,"colour":"green"}""",
+      """{"id":"d","age":40,"verified":false,"colour":"red"}""",
+      """{"id":"e","verified":true,"colour":"red"}""" // missing age
+    )
+    val selectors = Seq(
+      """{"colour":"red"}""",
+      """{"age":{"$gt":15}}""",
+      """{"age":{"$gte":20,"$lt":40}}""",
+      """{"verified":{"$ne":true}}""",
+      """{"$or":[{"colour":"blue"},{"age":{"$gte":40}}]}""",
+      """{"colour":{"$in":["red","green"]},"verified":true}""",
+      """{"age":{"$exists":false}}""",
+      """{"colour":{"$regex":"^(r|g)"}}""",
+      """{"$nor":[{"colour":"red"},{"colour":"blue"}]}"""
+    )
+    val df = spark.read.json(
+      { import spark.implicits._; docs.toDS() })
+    selectors.foreach { sel =>
+      val viaColumn = df.where(Mango.compile(sel))
+        .select("id").collect().map(_.getString(0)).toSet
+      val parsed = Mango.parse(sel)
+      val viaDoc = docs.map(mapper.readTree)
+        .filter(Mango.evalDoc(parsed, _))
+        .map(_.get("id").asText).toSet
+      assert(viaColumn == viaDoc, s"selector $sel: column=$viaColumn doc=$viaDoc")
+    }
+  }
 }

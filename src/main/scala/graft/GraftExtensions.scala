@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark session extensions for the graft engine: registers the native
+  * functions so plain `spark.sql` users get them without touching the
+  * Scala API.
+  *
+  * Activate with either:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or, config-only (e.g. spark-submit):
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is the full extension surface the engine needs: no custom
+  * analyzer/optimizer rules or planner strategies are required — every
+  * operator lowers to Catalyst built-ins plus these expressions
+  * (SURVEY §4's conclusion, held through round 1).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName,
+        null,
+        "cosine_similarity",
+        "_FUNC_(a, b) - cosine similarity of two float arrays (fused codegen kernel)",
+        ""),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("withExtensions exposes cosine_similarity to pure-SQL sessions") {
+    // builds a second session over the shared context (never stop() it —
+    // that would kill the context for every other suite in this JVM);
+    // restore the previous default session afterwards
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val c = spark.sql(
+        """SELECT cosine_similarity(
+             array(CAST(3 AS FLOAT), CAST(0 AS FLOAT)),
+             array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c""")
+        .collect()(0).getDouble(0)
+      assert(c == 1.0)
+      val described = spark.sql("DESCRIBE FUNCTION cosine_similarity")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(described.contains("cosine_similarity"))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -279,6 +279,52 @@ object Queries {
         lag(col("event_type"), 1).over(w).as("prev_type"))
     })
 
+  private val qWindowNtile = Q("q_window_ntile",
+    Some("""SELECT c_custkey,
+            ntile(4) OVER w AS quartile,
+            percent_rank() OVER w AS prk,
+            first_value(c_custkey) OVER w AS top_in_segment
+            FROM customer WINDOW w AS (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey)"""),
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prk"),
+        first_value(col("c_custkey")).over(w).as("top_in_segment"))
+    })
+
+  /** Correlated scalar subquery through the SQL surface (A16) — Catalyst
+    * decorrelates it into a join (RewriteCorrelatedScalarSubquery).
+    */
+  private val qSubquery = Q("q_subquery",
+    Some("""SELECT o_orderkey, o_totalprice,
+            (SELECT max(l_quantity) FROM lineitem
+             WHERE l_orderkey = o_orderkey) AS max_qty
+            FROM orders WHERE o_orderkey < 1000"""),
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice,
+               (SELECT max(l_quantity) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS max_qty
+               FROM orders WHERE o_orderkey < 1000""")
+    })
+
+  private val qArray = Q("q_array",
+    Some("""SELECT doc_id,
+            len(string_split(text, ' ')) AS n_tok,
+            list_contains(string_split(text, ' '), 'join') AS has_join,
+            list_sort(string_split(text, ' '))[1:3] AS first3
+            FROM documents"""),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tok"),
+      array_contains(split(col("text"), " "), "join").as("has_join"),
+      slice(sort_array(split(col("text"), " ")), 1, 3).as("first3")))
+
   // --------------------------------------------------------- sort / top-k
 
   private val qTopk = Q("q_topk",
@@ -502,7 +548,7 @@ object Queries {
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox,
-    qWindowRownum, qWindowRank, qWindowFrame,
+    qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize)

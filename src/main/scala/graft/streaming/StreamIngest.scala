@@ -63,15 +63,39 @@ final class StreamIngest(
       .start()
   }
 
+  /** Number of hash buckets the state table is partitioned into. A batch
+    * only ever rewrites the buckets that contain a changed id, so merge
+    * cost is O(touched buckets), not O(table) — the property that keeps
+    * per-batch work bounded when the warehouse is 100 TB and a micro-batch
+    * is megabytes. Size so one bucket ≈ a comfortable task read
+    * (table_bytes / buckets ≲ a few hundred MB at target scale).
+    */
+  private val stateBuckets: Int =
+    spark.conf.getOption("graft.state.buckets").map(_.toInt).getOrElse(64)
+
+  private def bucketCol = pmod(crc32(col("id")), lit(stateBuckets)).cast("int")
+
   /** One micro-batch application; also callable directly for batch replay
     * tests. Idempotent: applying the same batch twice is a no-op.
+    *
+    * Bucketed merge: ids hash to a `_bucket` partition; only partitions
+    * present in the batch are read back, merged (last-writer-wins), and
+    * dynamically overwritten. Untouched buckets are never read or
+    * rewritten.
     */
   def applyBatch(batch0: DataFrame, batchId: Long): Unit = {
-    val batch = opts.transform(batch0).select("id", "seqNum", "deleted", "doc").cache()
+    val batch = opts.transform(batch0)
+      .select(col("id"), col("seqNum"), col("deleted"), col("doc"))
+      .withColumn("_bucket", bucketCol)
+      .cache()
     try {
+      val touched = batch.select("_bucket").distinct().collect().map(_.getInt(0))
       val merged = existingState() match {
-        case Some(st) => st.unionByName(batch)
-        case None     => batch
+        case Some(st) =>
+          // partition pruning: only the touched bucket directories are read
+          st.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+            .unionByName(batch)
+        case None => batch
       }
       // LWW per id, tombstones RETAINED (deletes survive replays; a doc
       // re-created after deletion wins via its higher seq).
@@ -83,9 +107,11 @@ final class StreamIngest(
         .where(col("_rn") === 1)
         .drop("_rn")
 
-      val tmp = s"$stateDir.next"
-      state.write.mode("overwrite").parquet(tmp)
-      swap(tmp, stateDir)
+      state.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(stateDir)
 
       publish()
       advanceCheckpoint(batch)
@@ -156,21 +182,4 @@ final class StreamIngest(
     }
   }
 
-  /** Atomic-ish directory swap for the state table (single-writer). */
-  private def swap(tmp: String, dst: String): Unit = {
-    val d = Paths.get(dst)
-    if (Files.exists(d)) {
-      val old = Paths.get(dst + ".old")
-      deleteRec(old)
-      Files.move(d, old)
-      Files.move(Paths.get(tmp), d)
-      deleteRec(old)
-    } else Files.move(Paths.get(tmp), d)
-  }
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }

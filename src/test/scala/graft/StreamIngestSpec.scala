@@ -86,4 +86,42 @@ class StreamIngestSpec extends SparkSpec {
     val cols = spark.sql("SELECT * FROM xdb").columns.toSeq
     assert(cols == Seq("a", "b", "id", "rev"))
   }
+
+  test("bucketed state: untouched buckets are not rewritten") {
+    val wh = tempDir("bucket-wh")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "bdb"), wh)
+    val mk = (rows: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; rows.toDF("value") }, "value")
+    // enough ids to populate several buckets
+    ingest.applyBatch(mk((1 to 40).map(i =>
+      change(i, s"doc$i", s"""{"_id":"doc$i","_rev":"1","v":$i}"""))), 0L)
+
+    val stateDir = java.nio.file.Paths.get(s"$wh/_state")
+    def snapshot(): Map[String, Set[String]] =
+      java.nio.file.Files.list(stateDir).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith("_bucket="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).toArray.toSeq
+              .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+
+    val before = snapshot()
+    assert(before.size > 3, s"expected several buckets, got ${before.keys}")
+
+    // touch exactly one id → exactly one bucket
+    ingest.applyBatch(mk(Seq(
+      change(99, "doc1", """{"_id":"doc1","_rev":"2","v":100}"""))), 1L)
+    val after = snapshot()
+
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set.empty))
+    assert(changed.size == 1, s"exactly one bucket should change, got $changed")
+    // and the data is correct
+    ingest.publish()
+    val v = spark.sql("SELECT v FROM bdb WHERE id = 'doc1'").collect()(0).getDouble(0)
+    assert(v == 100.0)
+    assert(spark.sql("SELECT COUNT(*) FROM bdb").collect()(0).getLong(0) == 40L)
+  }
 }

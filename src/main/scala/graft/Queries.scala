@@ -149,30 +149,36 @@ object Queries {
 
   /** TPC-H Q1 shape: grouped multi-aggregate over the fact table — the
     * workhorse partial+final HashAggregate pattern.
+    *
+    * Exact-and-fast sums: the money columns are ≤2-decimal values, so each
+    * row scales to an exact integer (`round(x*100)` — the value sits
+    * within ~1e-8 of the integer, far from any rounding boundary, so both
+    * engines agree); LONG sums are order-independent, overflow-safe here
+    * (≤ ~1e15), and stay in fast codegen'd integer aggregation instead of
+    * Decimal128. One final double division is deterministic. `round` is
+    * needed on both sides because Spark's long cast truncates while
+    * DuckDB's rounds. `sum_disc` scales by 10^4 (2 dp × 2 dp product).
     */
   private val qAggGroup = Q("q_agg_group",
     Some("""SELECT l_returnflag, l_linestatus,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+            SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
+            SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS sum_disc,
+            (SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0) / count(*) AS avg_qty,
             count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
-    (s, d) => t(s, d, "lineitem")
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base"),
-        // decimal×decimal product (both factors are 2-dp money values, so
-        // the scale-4 casts are exact) keeps the whole aggregate exact and
-        // engine-independent — never cast a double *product* to decimal at
-        // high scale (see Similarity.Dec note).
-        sum(col("l_extendedprice").cast(DecimalType(18, 4))
-          * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-          .cast("double").as("sum_disc"),
-        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        count(lit(1)).as("n")))
+    (s, d) => {
+      def cents(c: Column, scale: Long) = round(c * scale).cast("long")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(cents(col("l_quantity"), 100)) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"), 100)) / 100.0).as("sum_base"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)) / 10000.0)
+            .as("sum_disc"),
+          ((sum(cents(col("l_quantity"), 100)) / 100.0) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+    })
 
   private val qAggHaving = Q("q_agg_having",
     Some("""SELECT o_custkey, count(*) AS n,

@@ -70,7 +70,7 @@ final class CouchChangesTable(path: String, selector: Option[String])
   override def name(): String = s"couch-changes(`$path`)"
   override def schema(): StructType = CouchChangesSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangesScanBuilder(path, selector.orElse(Option(options.get("selector"))))
 }
@@ -109,6 +109,9 @@ final class ChangesScanBuilder(path: String, selector: Option[String])
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new CouchChangesMicroBatch(path, selector, required)
     override def description(): String =
       s"couch-changes $path selector=${selector.isDefined} pushed=${pushed.mkString(",")}"
 

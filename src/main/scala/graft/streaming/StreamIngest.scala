@@ -53,9 +53,15 @@ final class StreamIngest(
 
   def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
 
+  /** Tail a directory of spool-chunk files through the DSv2 couch-changes
+    * MicroBatchStream (one micro-batch per new chunk; Mango selector and
+    * parsing happen inside the reader).
+    */
   def start(inputDir: String, sparkCheckpointDir: String): StreamingQuery = {
-    val lines = spark.readStream.format("text").load(inputDir)
-    val changes = ChangeFeed.fromLines(lines, "value")
+    val reader = spark.readStream.format("couch-changes")
+    val changes = opts.mangoSelector
+      .foldLeft(reader)((r, sel) => r.option("selector", sel))
+      .load(inputDir)
     changes.writeStream
       .option("checkpointLocation", sparkCheckpointDir)
       .trigger(Trigger.AvailableNow())

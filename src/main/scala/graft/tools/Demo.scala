@@ -38,6 +38,23 @@ object Demo {
         |FROM shop_user u LEFT JOIN shop_order o ON o.customerId = u.id
         |GROUP BY u.name ORDER BY orders DESC, u.name LIMIT 3""".stripMargin).show(false)
 
+    // Flow 3: the DSv2 source with reader-side Mango selector pushdown
+    val seniors = spark.read.format("couch-changes")
+      .option("selector", """{"age":{"$gte":90},"verified":true}""")
+      .load(s"$fixtures/samplechanges.txt")
+    println("DSV2_SELECTED=" + seniors.where(!seniors("deleted")).count())
+
+    // Flow 4: native cosine_similarity from pure SQL (GraftExtensions
+    // registers it session-wide; here via the function registry)
+    graft.functions.CosineSimilarity.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    spark.sql(
+      """SELECT e.vec_id,
+           cosine_similarity(e.embedding, q.embedding) AS cos
+         FROM emb e JOIN emb q ON q.vec_id = 0
+         ORDER BY cos DESC, e.vec_id LIMIT 3""").show(false)
+
     // Probes: bad selector and missing column fail cleanly
     try Warehouse.start(spark, s"$fixtures/samplechanges.txt",
       WarehouseOptions(database = "x", mangoSelector = Some("{bad")))

@@ -198,6 +198,34 @@ object Queries {
       .agg(countDistinct(col("l_partkey")).as("dparts"),
         countDistinct(col("l_suppkey")).as("dsupps")))
 
+  /** Exact median via explicit middle-row selection (row_number + count
+    * windows) — engine-agnostic, unlike percentile_cont whose interpolation
+    * arithmetic differs; the 1-or-2 middle values average through an exact
+    * decimal sum.
+    */
+  private val qMedian = Q("q_median",
+    Some("""WITH ranked AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS median
+            FROM ranked
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY event_type"""),
+    (s, d) => {
+      val w = Window.partitionBy("event_type")
+      val ranked = t(s, d, "events").select(
+        col("event_type"), col("value"),
+        row_number().over(w.orderBy(col("value"), col("event_id"))).as("rn"),
+        count(lit(1)).over(w).as("n"))
+      ranked
+        .where(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+        .groupBy("event_type")
+        .agg((sum(col("value").cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
+          .as("median"))
+    })
+
   private val qRollup = Q("q_rollup",
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -553,7 +581,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
-    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox,
+    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox, qMedian,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,

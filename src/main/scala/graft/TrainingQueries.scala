@@ -75,6 +75,51 @@ object TrainingQueries {
             FROM votes GROUP BY doc_id"""),
     (s, d) => Dedup.simhash(t(s, d, "documents")))
 
+  /** SimHash near-dup pairs: block on either byte of the 16-bit signature
+    * (two docs within hamming distance ≤ 3 share at least one exact byte
+    * whenever the differing bits fall in one byte — a standard
+    * permute-and-block scheme), then verify with bit_count(xor). Pairwise
+    * work never leaves a block.
+    */
+  private val qDedupSimhashPairs = Q("q_dedup_simhash_pairs",
+    Some("""WITH toks AS (SELECT doc_id,
+              md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS h
+              FROM documents),
+            votes AS (SELECT doc_id, b,
+              sum(CASE WHEN substr(h, CAST(b AS INT) + 1, 1) < '8'
+                  THEN 1 ELSE -1 END) AS v
+              FROM toks, UNNEST(range(0, 16)) AS t(b)
+              GROUP BY doc_id, b),
+            sh AS (SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS s
+              FROM votes GROUP BY doc_id),
+            blocks AS (
+              SELECT doc_id, s, 0 AS blk, s % 256 AS key FROM sh
+              UNION ALL
+              SELECT doc_id, s, 1 AS blk, s // 256 AS key FROM sh),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s AS s_a, b.s AS s_b
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(s_a, s_b)) AS hamming
+            FROM cand WHERE bit_count(xor(s_a, s_b)) <= 3"""),
+    (s, d) => {
+      val sh = Dedup.simhash(t(s, d, "documents")).cache()
+      val blocks = sh.select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("blk"), (col("simhash") % 256).as("key")),
+            struct(lit(1).as("blk"), (col("simhash") / 256).cast("long").as("key"))))
+            .as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
+      blocks.as("a").join(blocks.as("b2"),
+          col("a.blk") === col("b2.blk") && col("a.key") === col("b2.key") &&
+            col("a.doc_id") < col("b2.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b2.doc_id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b2.simhash"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+    })
+
   private val qNgramJaccard = Q("q_ngram_jaccard",
     Some(s"""WITH $toksCte, $shinglesCte,
              dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -286,7 +331,7 @@ object TrainingQueries {
       upper(substring(hex(col("text").cast("binary")), 1, 16)).as("header_hex")))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash,
+    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

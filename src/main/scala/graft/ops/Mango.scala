@@ -14,8 +14,13 @@ import scala.jdk.CollectionConverters._
   * which Catalyst then pushes down to the scan (PushedFilters) exactly as
   * CouchDB pushed it to the feed.
   *
-  * Supported operators (the CouchDB Mango core set): implicit equality,
-  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not $nor`.
+  * Supported operators (the CouchDB Mango set): implicit equality,
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not $nor`,
+  * plus the array/type operators `$size $all $elemMatch $mod $type`.
+  * Array-valued operators act on the warehouse's array storage form —
+  * JSON-string columns (§1.2: arrays are stored stringified); `$elemMatch`
+  * on the Column side supports scalar-element conditions (object-element
+  * matches need the document-side evaluator used by the DSv2 source).
   *
   * Invalid selector JSON and a nested `{"selector": …}` wrapper are rejected
   * (reference `index.js:202-214` validates the same way and exits).
@@ -103,6 +108,41 @@ object Mango {
     case "$nin"    => !c.isin(v.elements().asScala.map(literalValue).toSeq: _*)
     case "$exists" => if (v.asBoolean) c.isNotNull else c.isNull
     case "$regex"  => c.rlike(v.asText)
+    case "$size"   => json_array_length(c) === lit(v.asInt)
+    case "$mod" =>
+      val (d, r) = (v.get(0).asLong, v.get(1).asLong)
+      c.try_cast("long") % d === r
+    case "$all" =>
+      val arr = from_json(c, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      v.elements().asScala.map(e => array_contains(arr, e.asText))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case "$elemMatch" =>
+      if (v.fieldNames().asScala.exists(!_.startsWith("$")))
+        throw MangoException(
+          "$elemMatch on object elements is only supported document-side " +
+            "(DSv2 source selector); Column-side supports scalar conditions")
+      val arr = from_json(c, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      exists(arr, e =>
+        v.fields().asScala.map { f =>
+          // try_cast: non-numeric elements become NULL and fail the
+          // comparison instead of raising under ANSI mode
+          val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else (e: Column)
+          compileOp(cast, f.getKey, f.getValue)
+        }.reduceOption(_ && _).getOrElse(lit(true)))
+    case "$type" =>
+      val t = v.asText
+      val tf = typeof(c)
+      t match {
+        case "string"  => tf === "string"
+        case "boolean" => tf === "boolean"
+        case "number"  => tf.isin("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+        case "array"   => tf.startsWith("array") || (tf === "string" && c.startsWith("["))
+        case "object"  => tf.startsWith("struct") || tf.startsWith("map")
+        case "null"    => c.isNull
+        case other     => throw MangoException(s"unsupported $$type: $other")
+      }
     case "$not"    => !compileOp(c, v.fieldNames().asScala.next(), v.elements().asScala.next())
     case other     => throw MangoException(s"unsupported operator $other")
   }
@@ -166,6 +206,29 @@ object Mango {
     case "$in"  => v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
     case "$nin" => !v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
     case "$regex" => fv.get.isTextual && v.asText.r.findFirstIn(fv.get.asText).isDefined
+    case "$size" => fv.get.isArray && fv.get.size() == v.asInt
+    case "$mod" =>
+      fv.get.isNumber && fv.get.asLong % v.get(0).asLong == v.get(1).asLong
+    case "$all" =>
+      fv.get.isArray && v.elements().asScala.forall(want =>
+        fv.get.elements().asScala.exists(e => cmp(e, want).contains(0)))
+    case "$elemMatch" =>
+      fv.get.isArray && fv.get.elements().asScala.exists { e =>
+        if (v.fieldNames().asScala.forall(_.startsWith("$")))
+          v.fields().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
+        else e.isObject && evalDoc(v, e)
+      }
+    case "$type" =>
+      val n = fv.get
+      v.asText match {
+        case "string"  => n.isTextual
+        case "boolean" => n.isBoolean
+        case "number"  => n.isNumber
+        case "array"   => n.isArray
+        case "object"  => n.isObject
+        case "null"    => n.isNull
+        case other     => throw MangoException(s"unsupported $$type: $other")
+      }
     case "$not" => !v.fields().asScala.forall(e => evalOp(fv, e.getKey, e.getValue))
     case other => throw MangoException(s"unsupported operator $other")
   }

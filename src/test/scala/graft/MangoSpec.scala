@@ -78,4 +78,39 @@ class MangoSpec extends SparkSpec {
       assert(viaColumn == viaDoc, s"selector $sel: column=$viaColumn doc=$viaDoc")
     }
   }
+
+  test("array/type operators: $size $all $elemMatch $mod $type") {
+    import graft.ops.Mango
+    import spark.implicits._
+    // warehouse storage form: arrays are JSON strings
+    val adf = Seq(
+      ("a", """["x","y","z"]""", 10L),
+      ("b", """["x"]""", 15L),
+      ("c", """[1,2,3]""", 21L)
+    ).toDF("id", "tags", "n")
+    def aids(sel: String) =
+      adf.where(Mango.compile(sel)).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(aids("""{"tags":{"$size":3}}""") == Seq("a", "c"))
+    assert(aids("""{"tags":{"$all":["x","y"]}}""") == Seq("a"))
+    assert(aids("""{"tags":{"$elemMatch":{"$eq":"x"}}}""") == Seq("a", "b"))
+    assert(aids("""{"tags":{"$elemMatch":{"$gt":2}}}""") == Seq("c"))
+    assert(aids("""{"n":{"$mod":[5,0]}}""") == Seq("a", "b"))
+    assert(aids("""{"n":{"$type":"number"}}""") == Seq("a", "b", "c"))
+    assert(aids("""{"tags":{"$type":"array"}}""") == Seq("a", "b", "c"))
+
+    // document-side evaluator: full semantics incl. object elements
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ev(sel: String, doc: String) =
+      Mango.evalDoc(Mango.parse(sel), mapper.readTree(doc))
+    assert(ev("""{"basket":{"$elemMatch":{"sku":"A1","qty":{"$gte":2}}}}""",
+      """{"basket":[{"sku":"A1","qty":3},{"sku":"B2","qty":1}]}"""))
+    assert(!ev("""{"basket":{"$elemMatch":{"sku":"A1","qty":{"$gte":5}}}}""",
+      """{"basket":[{"sku":"A1","qty":3}]}"""))
+    assert(ev("""{"tags":{"$size":2}}""", """{"tags":["a","b"]}"""))
+    assert(ev("""{"n":{"$mod":[3,1]}}""", """{"n":7}"""))
+    assert(ev("""{"meta":{"$type":"object"}}""", """{"meta":{"a":1}}"""))
+    // object-element $elemMatch rejected Column-side with a clear error
+    intercept[graft.ops.Mango.MangoException](
+      Mango.compile("""{"basket":{"$elemMatch":{"sku":"A1"}}}"""))
+  }
 }

@@ -4,6 +4,7 @@ import graft.functions.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -66,6 +67,48 @@ object Ann {
       .select(col(idCol), graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Spherical k-means centroid training (Lloyd's iterations with cosine
+    * assignment): the real "train" step for the IVF index.
+    *
+    * Scale shape per iteration: one broadcast of the k×dim centroid set,
+    * one map-side cosine+argmax pass over the vectors (no shuffle of the
+    * big side), one groupBy(centroid, dim) mean over posexploded elements
+    * (shuffle of k×dim partials). Only the k×dim centroid table ever
+    * reaches the driver — the standard distributed-k-means layout.
+    *
+    * Deterministic: initial centroids are the k lowest-id vectors; ties in
+    * assignment break toward the lowest centroid id.
+    */
+  def trainCentroids(vectors: DataFrame, k: Int, iterations: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    var centroids = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("cv"))
+    // re-key 0..k-1 regardless of source ids
+    centroids = centroids.orderBy("centroid_id")
+      .withColumn("centroid_id",
+        (row_number().over(Window.orderBy(col("centroid_id"))) - 1).cast("int"))
+
+    (0 until iterations).foreach { _ =>
+      val assigned = assign(vectors, centroids, idCol, vecCol)
+        .select(col(idCol), col("centroid_id"))
+        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("centroid_id"),
+          transform(col("pairs"), p => p.getField("m").cast("float")).as("cv"))
+      // empty clusters keep their previous centroid
+      centroids = means.unionByName(
+        centroids.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti"))
+      centroids = spark.createDataFrame(centroids.collect().toSeq.asJava, centroids.schema)
+    }
+    centroids
   }
 
   /** The query vector's nearest centroid: `[centroid_id, qv]` (1 row). */

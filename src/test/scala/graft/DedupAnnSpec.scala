@@ -89,4 +89,24 @@ class DedupAnnSpec extends SparkSpec {
       Similarity.cosineFast($"embedding", $"qv").as("f")).collect()
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
   }
+
+  test("k-means training recovers planted clusters") {
+    import org.apache.spark.sql.functions.col
+    // two tight clusters around +x and +y, plus the 4 seed vectors
+    val pts = (0 until 20).map { i =>
+      val noise = (i % 5) * 0.01f
+      if (i % 2 == 0) (i.toLong, Array(1f, noise, 0f, 0f))
+      else (i.toLong, Array(noise, 1f, 0f, 0f))
+    }
+    val vdf = pts.toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroids(vdf, k = 2, iterations = 5)
+    assert(cents.count() == 2)
+    val assigned = Ann.assign(vdf, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // all even ids together, all odd ids together
+    val evenClusters = pts.filter(_._1 % 2 == 0).map(p => assigned(p._1)).toSet
+    val oddClusters = pts.filter(_._1 % 2 == 1).map(p => assigned(p._1)).toSet
+    assert(evenClusters.size == 1 && oddClusters.size == 1)
+    assert(evenClusters != oddClusters)
+  }
 }

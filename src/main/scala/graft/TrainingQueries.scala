@@ -240,6 +240,52 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
     })
 
+  /** The search half of IVF (nprobe=1): find the query's nearest centroid,
+    * then top-5 by cosine WITHIN that centroid's bucket only — the scan
+    * touches 1/k of the corpus.
+    */
+  private val qAnnIvfSearch = Q("q_ann_ivf_search",
+    Some("""WITH cents AS (SELECT vec_id AS centroid_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id < 8),
+            q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            allv AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings),
+            assigned AS (SELECT vec_id, centroid_id FROM (
+              SELECT a.vec_id, c.centroid_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  list_dot_product(a.ev, c.cv)
+                    / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  DESC, c.centroid_id) AS rn
+              FROM allv a CROSS JOIN cents c) WHERE rn = 1),
+            qc AS (SELECT centroid_id FROM (
+              SELECT c.centroid_id,
+                row_number() OVER (ORDER BY
+                  list_dot_product(q.qv, c.cv)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  DESC, c.centroid_id) AS rn
+              FROM cents c CROSS JOIN q) WHERE rn = 1)
+            SELECT a.vec_id,
+              list_dot_product(v.ev, q.qv)
+                / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM assigned a
+            JOIN allv v ON v.vec_id = a.vec_id
+            JOIN qc ON a.centroid_id = qc.centroid_id
+            CROSS JOIN q
+            ORDER BY cos DESC, a.vec_id LIMIT 5"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val cents = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val query = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val assigned = Ann.assign(vecs, cents)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(vecs, Seq("vec_id"))
+      Ann.ivfTopK(assigned, cents, query, k = 5)
+    })
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -332,6 +378,6 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf,
+    qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

@@ -63,18 +63,32 @@ object CouchWarehouseCli {
       split = opts.get("split"),
       mangoSelector = opts.get("query"))
 
-    // read through the DSv2 source so Mango/pushdown happen reader-side
-    val changes = spark.read.format("couch-changes")
-      .options(opts.get("query").map("selector" -> _).toMap)
-      .load(feed)
-    val w = new Warehouse(spark, wopts.copy(mangoSelector = None))
-    w.ingest(changes)
-
-    println(s"tables: ${w.tableNames.mkString(", ")}")
-    println(s"checkpoint seq: ${w.checkpoint}")
-
-    opts.get("sql").foreach { sql =>
-      w.query(sql).show(opts.getOrElse("limit", "20").toInt, truncate = false)
+    if (opts.contains("monitor")) {
+      // continuous mode (reference monitor loop): tail the feed directory
+      // as a stream of spool chunks into a persistent bucketed warehouse
+      val whDir = opts.getOrElse("warehouse-dir", s"/tmp/graft-warehouse-$database")
+      val ckDir = opts.getOrElse("checkpoint-dir", s"$whDir/_spark_checkpoint")
+      val ingest = new graft.streaming.StreamIngest(spark, wopts, whDir)
+      val q = ingest.start(feed, ckDir)
+      q.awaitTermination()
+      ingest.publish()
+      println(s"warehouse: $whDir")
+      println(s"checkpoint seq: ${ingest.checkpoint}")
+      opts.get("sql").foreach { sql =>
+        spark.sql(sql).show(opts.getOrElse("limit", "20").toInt, truncate = false)
+      }
+    } else {
+      // batch spool through the DSv2 source (Mango/pushdown reader-side)
+      val changes = spark.read.format("couch-changes")
+        .options(opts.get("query").map("selector" -> _).toMap)
+        .load(feed)
+      val w = new Warehouse(spark, wopts.copy(mangoSelector = None))
+      w.ingest(changes)
+      println(s"tables: ${w.tableNames.mkString(", ")}")
+      println(s"checkpoint seq: ${w.checkpoint}")
+      opts.get("sql").foreach { sql =>
+        w.query(sql).show(opts.getOrElse("limit", "20").toInt, truncate = false)
+      }
     }
     spark.stop()
   }

@@ -26,11 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
-        classOf[CosineSimilarity].getCanonicalName,
-        null,
-        "cosine_similarity",
-        "_FUNC_(a, b) - cosine similarity of two float arrays (fused codegen kernel)",
-        ""),
+        classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
   }
 }

@@ -90,7 +90,7 @@ object SchemaDiscovery {
     var revLeaf: Option[Leaf] = None
 
     def walk(node: JsonNode, path: Seq[String], out: scala.collection.mutable.ArrayBuffer[Leaf]): Unit = {
-      node.fields().asScala.foreach { e =>
+      node.properties().asScala.foreach { e =>
         val (key, v) = (e.getKey, e.getValue)
         val p = path :+ key
         val name = p.mkString("_")
@@ -113,7 +113,7 @@ object SchemaDiscovery {
     // Top level: separate _id/_rev, scalars, and nested objects so the final
     // order is [top scalars..., id, rev, flattened nested...] as in the
     // golden output (test/samplequery.json).
-    root.fields().asScala.foreach { e =>
+    root.properties().asScala.foreach { e =>
       val (key, v) = (e.getKey, e.getValue)
       key match {
         case "_id"  => idLeaf = Some(Leaf(Seq("_id"), "id", StringType, isArray = false))

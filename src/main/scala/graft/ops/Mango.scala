@@ -75,7 +75,7 @@ object Mango {
 
   /** An object combines its entries with AND (Mango semantics). */
   private def compileObject(node: JsonNode, resolve: FieldResolver): Column =
-    node.fields().asScala.map { e => compileEntry(e.getKey, e.getValue, resolve) }
+    node.properties().asScala.map { e => compileEntry(e.getKey, e.getValue, resolve) }
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
@@ -86,7 +86,7 @@ object Mango {
     case "$not" => !compileObject(value, resolve)
     case op if op.startsWith("$") => throw MangoException(s"unsupported top-level operator $op")
     case field if value.isObject && value.fieldNames().asScala.forall(_.startsWith("$")) =>
-      value.fields().asScala.map { e => compileOp(resolve(field, sampleValue(e.getValue)), e.getKey, e.getValue) }
+      value.properties().asScala.map { e => compileOp(resolve(field, sampleValue(e.getValue)), e.getKey, e.getValue) }
         .reduceOption(_ && _).getOrElse(lit(true))
     case field => resolve(field, value) === literal(value) // implicit $eq
   }
@@ -125,7 +125,7 @@ object Mango {
       val arr = from_json(c, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
       exists(arr, e =>
-        v.fields().asScala.map { f =>
+        v.properties().asScala.map { f =>
           // try_cast: non-numeric elements become NULL and fail the
           // comparison instead of raising under ANSI mode
           val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else (e: Column)
@@ -180,7 +180,7 @@ object Mango {
     * every comparison except `$exists: false` (CouchDB semantics).
     */
   def evalDoc(selector: JsonNode, doc: JsonNode): Boolean =
-    selector.fields().asScala.forall { e => evalEntry(e.getKey, e.getValue, doc) }
+    selector.properties().asScala.forall { e => evalEntry(e.getKey, e.getValue, doc) }
 
   private def evalEntry(key: String, value: JsonNode, doc: JsonNode): Boolean = key match {
     case "$and" => value.elements().asScala.forall(evalDoc(_, doc))
@@ -190,7 +190,7 @@ object Mango {
     case op if op.startsWith("$") => throw MangoException(s"unsupported top-level operator $op")
     case field if value.isObject && value.fieldNames().asScala.forall(_.startsWith("$")) =>
       val fv = Option(doc.get(field))
-      value.fields().asScala.forall { e => evalOp(fv, e.getKey, e.getValue) }
+      value.properties().asScala.forall { e => evalOp(fv, e.getKey, e.getValue) }
     case field => Option(doc.get(field)).exists(fv => cmp(fv, value).contains(0))
   }
 
@@ -215,7 +215,7 @@ object Mango {
     case "$elemMatch" =>
       fv.get.isArray && fv.get.elements().asScala.exists { e =>
         if (v.fieldNames().asScala.forall(_.startsWith("$")))
-          v.fields().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
+          v.properties().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
         else e.isObject && evalDoc(v, e)
       }
     case "$type" =>
@@ -229,7 +229,7 @@ object Mango {
         case "null"    => n.isNull
         case other     => throw MangoException(s"unsupported $$type: $other")
       }
-    case "$not" => !v.fields().asScala.forall(e => evalOp(fv, e.getKey, e.getValue))
+    case "$not" => !v.properties().asScala.forall(e => evalOp(fv, e.getKey, e.getValue))
     case other => throw MangoException(s"unsupported operator $other")
   }
 

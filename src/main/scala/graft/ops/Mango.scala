@@ -79,6 +79,15 @@ object Mango {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
+  /** Mango is two-valued: a predicate on a missing/NULL field is FALSE,
+    * never UNKNOWN — so `$nor`/`$not` over it must select the document.
+    * Wrapping every leaf predicate in `coalesce(p, false)` collapses SQL's
+    * three-valued logic to CouchDB's semantics before any negation sees it
+    * (found by the Mango property test: `{"$nor":[{"f":{"$eq":x}}]}` on a
+    * doc without `f`).
+    */
+  private def nullSafe(p: Column): Column = coalesce(p, lit(false))
+
   private def compileEntry(key: String, value: JsonNode, resolve: FieldResolver): Column = key match {
     case "$and" => value.elements().asScala.map(compileObject(_, resolve)).reduceOption(_ && _).getOrElse(lit(true))
     case "$or"  => value.elements().asScala.map(compileObject(_, resolve)).reduceOption(_ || _).getOrElse(lit(false))
@@ -86,9 +95,10 @@ object Mango {
     case "$not" => !compileObject(value, resolve)
     case op if op.startsWith("$") => throw MangoException(s"unsupported top-level operator $op")
     case field if value.isObject && value.fieldNames().asScala.forall(_.startsWith("$")) =>
-      value.properties().asScala.map { e => compileOp(resolve(field, sampleValue(e.getValue)), e.getKey, e.getValue) }
-        .reduceOption(_ && _).getOrElse(lit(true))
-    case field => resolve(field, value) === literal(value) // implicit $eq
+      value.properties().asScala.map { e =>
+        nullSafe(compileOp(resolve(field, sampleValue(e.getValue)), e.getKey, e.getValue))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    case field => nullSafe(resolve(field, value) === literal(value)) // implicit $eq
   }
 
   /** A representative literal for cast selection ($in/$nin look inside the

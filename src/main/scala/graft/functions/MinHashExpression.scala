@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash signature over a text column: whitespace-normalized
+  * word `shingleSize`-shingles, ONE md5 per shingle, the k hash functions
+  * are disjoint 8-hex-char slices of the digest, and the per-function
+  * minimum is tracked inline. Returns `array<string>` of k slices (null
+  * when the document has fewer than `shingleSize` tokens).
+  *
+  * This replaces the explode→groupBy formulation in [[graft.ops.Dedup]]
+  * for the signature step: a pure map-side expression — no generator, no
+  * shuffle, no 50-100 intermediate rows per document. Bit-identical output
+  * to the exploded form (same tokenization, same digests, same
+  * lexicographic mins), so the DuckDB oracles are unchanged.
+  *
+  * CodegenFallback: the body is digest-library work that whole-stage
+  * codegen cannot improve; the expression still composes inside projected
+  * plans.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1 && numHashes <= 4, "1..4 x 32-bit slices of one md5")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects a string column, got ${child.dataType.sql}")
+
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim.split("\\s+")
+    if (toks.length < shingleSize) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill[String](numHashes)(null)
+    var i = 0
+    while (i + shingleSize <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < shingleSize) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = MinHashSignature.toHex(digest)
+      var h = 0
+      while (h < numHashes) {
+        val slice = hex.substring(h * 8, h * 8 + 8)
+        if (mins(h) == null || slice.compareTo(mins(h)) < 0) mins(h) = slice
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[functions] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexDigits(b >>> 4)
+      out(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def apply(text: Column, numHashes: Int = 4, shingleSize: Int = 3): Column =
+    GraftSqlBridge.column(
+      MinHashSignature(GraftSqlBridge.expression(text), numHashes, shingleSize))
+}

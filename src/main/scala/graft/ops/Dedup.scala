@@ -63,15 +63,18 @@ object Dedup {
   def minhash(docs: DataFrame, numHashes: Int = 4, shingleSize: Int = 3,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes <= 4, "hash family derives from one 128-bit md5: max 4 x 32-bit slices")
-    // ONE md5 per shingle; the k "independent" hash functions are disjoint
-    // 32-bit slices of the digest (fixed-width lowercase hex, so the
-    // lexicographic MIN is the numeric min).
-    val sh = shingles(docs, shingleSize, idCol, textCol)
-      .select(col(idCol), md5(col("shingle")).as("_h"))
-    val mins = (0 until numHashes).map { i =>
-      min(substring(col("_h"), i * 8 + 1, 8)).as(s"h$i")
-    }
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // Single-pass signature expression: ONE md5 per shingle, the k
+    // "independent" hash functions are disjoint 32-bit digest slices
+    // (fixed-width lowercase hex, so lexicographic MIN is numeric min),
+    // mins tracked inline — pure map-side, no shingle explode, no shuffle
+    // (see graft.functions.MinHashSignature; bit-identical to the exploded
+    // formulation).
+    val sig = docs
+      .select(col(idCol),
+        graft.functions.MinHashSignature(col(textCol), numHashes, shingleSize).as("_sig"))
+      .where(col("_sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"h$i")): _*)
     // bands of r=2 rows: docs agreeing on ALL hashes of any band are
     // candidates
     val bands = (0 until numHashes / 2).map { b =>

@@ -108,24 +108,13 @@ object Dedup {
     * work + one groupBy(id, bit) + one groupBy(id) — no joins.
     */
   def simhash(docs: DataFrame, bits: Int = 16, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    require(bits <= 32, "bit votes derive from one md5: max 32 hex nibbles")
-    // ONE md5 per token; bit b votes on the b-th hex nibble (< '8' means
-    // the nibble's high bit is 0 — an unbiased coin per nibble).
-    val toks = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), md5(col("tok")).as("_h"))
-    val voted = toks
-      .select(col(idCol), col("_h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("vote",
-        when(col("_h").substr(col("b") + 1, lit(1)) < "8", 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("v"))
-    voted
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
-        .as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    // Single-pass signature expression: ONE md5 per token, nibble votes
+    // and the final bit-vote accumulated inline — pure map-side, zero
+    // shuffles (see graft.functions.SimHashSignature; bit-identical to
+    // the exploded token×bit formulation).
+    docs.select(col(idCol),
+      graft.functions.SimHashSignature(col(textCol), bits).as("simhash"))
 
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via

@@ -347,17 +347,19 @@ object Queries {
                FROM orders WHERE o_orderkey < 1000""")
     })
 
+  // `first3` is serialized to a delimited string: the driver's comparator
+  // sorts result rows through pandas, which cannot hash raw list cells.
   private val qArray = Q("q_array",
     Some("""SELECT doc_id,
             len(string_split(text, ' ')) AS n_tok,
             list_contains(string_split(text, ' '), 'join') AS has_join,
-            list_sort(string_split(text, ' '))[1:3] AS first3
+            array_to_string(list_sort(string_split(text, ' '))[1:3], '|') AS first3
             FROM documents"""),
     (s, d) => t(s, d, "documents").select(
       col("doc_id"),
-      size(split(col("text"), " ")).as("n_tok"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
       array_contains(split(col("text"), " "), "join").as("has_join"),
-      slice(sort_array(split(col("text"), " ")), 1, 3).as("first3")))
+      array_join(slice(sort_array(split(col("text"), " ")), 1, 3), "|").as("first3")))
 
   // --------------------------------------------------------- sort / top-k
 
@@ -409,15 +411,25 @@ object Queries {
         length(col("p_name")).as("name_len"),
         regexp_replace(col("p_name"), " ", "_").as("snake")))
 
+  // round/floor/ceil dtype+tie parity: DuckDB floor/ceil(DOUBLE) return
+  // DOUBLE (Spark returns LONG) and round(DOUBLE, 1) rounds the binary
+  // value while Spark rounds the shortest decimal representation — both
+  // diverge under the driver's dtype-sensitive value hash. Go through
+  // DECIMAL(12,2) (exact for the cents-scale source data) so both engines
+  // round identically (half away from zero), and pin integer results to
+  // BIGINT on both sides.
   private val qMath = Q("q_math",
-    Some("""SELECT s_suppkey, round(s_acctbal, 1) AS bal_r, abs(s_acctbal) AS bal_abs,
-            floor(s_acctbal) AS bal_f, ceil(s_acctbal) AS bal_c,
+    Some("""SELECT s_suppkey,
+            CAST(round(CAST(s_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS bal_r,
+            abs(s_acctbal) AS bal_abs,
+            CAST(floor(s_acctbal) AS BIGINT) AS bal_f,
+            CAST(ceil(s_acctbal) AS BIGINT) AS bal_c,
             CAST(sqrt(abs(s_acctbal)) AS DOUBLE) AS bal_sqrt,
             s_suppkey % 7 AS bucket
             FROM supplier"""),
     (s, d) => t(s, d, "supplier").select(
       col("s_suppkey"),
-      round(col("s_acctbal"), 1).as("bal_r"),
+      round(col("s_acctbal").cast(DecimalType(12, 2)), 1).cast("double").as("bal_r"),
       abs(col("s_acctbal")).as("bal_abs"),
       floor(col("s_acctbal")).as("bal_f"),
       ceil(col("s_acctbal")).as("bal_c"),
@@ -463,7 +475,7 @@ object Queries {
     */
   private val qSearch = Q("q_search",
     Some("""SELECT doc_id,
-            (length(text) - length(replace(text, 'merge', ''))) / 5 AS score
+            (length(text) - length(replace(text, 'merge', ''))) // 5 AS score
             FROM documents WHERE text LIKE '%merge%'"""),
     (s, d) => t(s, d, "documents")
       .where(col("text").like("%merge%"))
@@ -556,8 +568,8 @@ object Queries {
                    OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sessions AS (SELECT user_id, event_id, tns,
-              sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
-                ROWS UNBOUNDED PRECEDING) AS session_id
+              CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM marked)
             SELECT user_id, session_id, count(*) AS n_events,
               (max(tns) - min(tns)) // 1000000000 AS duration_s

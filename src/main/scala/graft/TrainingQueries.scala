@@ -71,7 +71,8 @@ object TrainingQueries {
               FROM toks, UNNEST(range(0, 16)) AS t(b)
               GROUP BY doc_id, b)
             SELECT doc_id,
-              sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+              CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id"""),
     (s, d) => Dedup.simhash(t(s, d, "documents")))
 

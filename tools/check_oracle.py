@@ -36,8 +36,13 @@ def eq(a, b):
             return False, False
         if math.isnan(fa) and math.isnan(fb):
             return True, True
-        exact = fa == fb
-        close = exact or abs(fa-fb) <= 1e-9*max(1.0, abs(fa), abs(fb))
+        # the driver hashes dtype-sensitively: an int64 1 on one side and a
+        # float64 1.0 on the other (e.g. DuckDB floor()->DOUBLE,
+        # sum(BIGINT)->HUGEINT->float64) is a hash MISMATCH even though the
+        # values are numerically equal
+        same_kind = isinstance(a, float) == isinstance(b, float)
+        exact = same_kind and fa == fb
+        close = fa == fb or abs(fa-fb) <= 1e-9*max(1.0, abs(fa), abs(fb))
         return exact, close
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         a = list(a) if a is not None else None
@@ -55,20 +60,30 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
+        # Both sides go through pandas, like the driver: this surfaces dtype
+        # coercions (DuckDB HUGEINT->float64, nullable int->float64) that a
+        # raw fetchall() would hide.
+        def df_rows(df):
+            def scal(v):
+                if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+                    return v.tolist()  # ndarray cell (list column)
+                if hasattr(v, "item"):
+                    return v.item()    # numpy scalar -> python int/float/bool
+                return v
+            return [tuple(scal(v) for v in row)
+                    for row in df.itertuples(index=False, name=None)]
         try:
-            tbl = pq.read_table(f"{out_dir}/{name}")
-            scols = tbl.column_names
-            srows = [tuple(d.values()) for d in tbl.to_pylist()]
-            # to_pylist gives dicts in column order
-            srows = [tuple(d[c] for c in scols) for d in tbl.to_pylist()]
+            df_s = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            scols = list(df_s.columns)
+            srows = df_rows(df_s)
         except Exception as e:
             results[name] = f"SPARK_READ_FAIL: {e}"
             print(f"FAIL  {name}: spark output unreadable: {e}")
             continue
         try:
-            cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            df_o = con.execute(sql).df()
+            ocols = list(df_o.columns)
+            orows = df_rows(df_o)
         except Exception as e:
             results[name] = f"ORACLE_FAIL: {e}"
             print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0]}")

@@ -16,7 +16,7 @@ object TrainingQueries {
   /** Shared oracle CTE: whitespace-normalized tokens per doc. */
   private val toksCte =
     """toks AS (SELECT doc_id,
-      |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+      |  string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ') AS l
       |  FROM documents)""".stripMargin
 
   /** Shared oracle CTE: word 3-shingles (requires toksCte). */
@@ -38,7 +38,7 @@ object TrainingQueries {
   // ------------------------------------------------------------- dedup
 
   private val qDedupExact = Q("q_dedup_exact",
-    Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+    Some("""SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp,
             count(*) AS n_copies, min(doc_id) AS keep_id
             FROM documents GROUP BY 1"""),
     (s, d) => Dedup.exact(t(s, d, "documents")))
@@ -63,7 +63,7 @@ object TrainingQueries {
 
   private val qDedupSimhash = Q("q_dedup_simhash",
     Some("""WITH toks AS (SELECT doc_id,
-              md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS h
+              md5(unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' '))) AS h
               FROM documents),
             votes AS (SELECT doc_id, b,
               sum(CASE WHEN substr(h, CAST(b AS INT) + 1, 1) < '8'
@@ -84,7 +84,7 @@ object TrainingQueries {
     */
   private val qDedupSimhashPairs = Q("q_dedup_simhash_pairs",
     Some("""WITH toks AS (SELECT doc_id,
-              md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))) AS h
+              md5(unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' '))) AS h
               FROM documents),
             votes AS (SELECT doc_id, b,
               sum(CASE WHEN substr(h, CAST(b AS INT) + 1, 1) < '8'
@@ -320,18 +320,18 @@ object TrainingQueries {
     */
   private val qQuality = Q("q_quality",
     Some("""WITH q0 AS (SELECT doc_id, text, length(text) AS len,
-              length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS pl
+              length(regexp_replace(text, '[a-z0-9 \t\n\f\r]', '', 'g')) AS pl
               FROM documents),
             q1 AS (SELECT doc_id, text, len,
               pl * 1.0 / greatest(len, 1) AS pr FROM q0)
             SELECT doc_id, len AS n_chars,
-              len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+              len(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS n_tokens,
               pr AS punct_ratio,
               least(len / 500.0, 1.0) * (1.0 - least(pr * 5, 1.0)) AS quality
             FROM q1"""),
     (s, d) => t(s, d, "documents")
       .withColumn("_len", length(col("text")))
-      .withColumn("_pl", length(regexp_replace(col("text"), "[a-z0-9\\s]", "")))
+      .withColumn("_pl", length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", "")))
       .withColumn("_pr",
         col("_pl").cast("double") / greatest(col("_len"), lit(1)).cast("double"))
       .select(
@@ -344,8 +344,8 @@ object TrainingQueries {
 
   private val qTokenCount = Q("q_token_count",
     Some("""SELECT doc_id,
-            len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_ws,
-            len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe
+            len(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS n_ws,
+            len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 \t\n\f\r]')) AS n_bpe
             FROM documents"""),
     (s, d) => t(s, d, "documents").select(
       col("doc_id"),
@@ -354,7 +354,7 @@ object TrainingQueries {
 
   private val qFingerprint = Q("q_fingerprint",
     Some("""SELECT doc_id,
-            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+            md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp,
             (SELECT min(md5(substr(text, i * 4 + 1, 8)))
              FROM UNNEST(range(0, greatest(CAST(floor((length(text) - 8) / 4) AS INT), 0) + 1)) AS t(i)
             ) AS sketch

@@ -40,7 +40,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
+    val toks = Tokenize.tokens(text)
     if (toks.length < shingleSize) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = Array.fill[String](numHashes)(null)

@@ -29,7 +29,7 @@ case class SimHashSignature(child: Expression, bits: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
+    val toks = Tokenize.tokens(text)
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0

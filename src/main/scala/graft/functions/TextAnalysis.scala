@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a text column (collapsed runs, trimmed). */
+  /** Whitespace tokens of a text column (collapsed runs, then trimmed) —
+    * the DataFrame form of the engine-wide policy in [[Tokenize]]. The
+    * explicit `[ \t\n\f\r]` class (NOT `\s`, whose membership differs
+    * between Java and DuckDB's RE2) keeps this bit-identical to the
+    * oracle SQL and the native signature expressions.
+    */
   def tokens(text: Column): Column =
-    split(regexp_replace(trim(text), "\\s+", " "), " ")
+    split(trim(regexp_replace(text, Tokenize.WsClass + "+", " ")), " ")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -25,7 +30,7 @@ object TextAnalysis {
     * would split on.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** N-gram language-ID heuristic: vote on language-characteristic
     * function words. Tiny stopword inventories per language keep this a
@@ -58,7 +63,7 @@ object TextAnalysis {
 
   /** Quality signals: length, token stats, punctuation/space ratios. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[a-z0-9\\s]", "")).cast("double") /
+    length(regexp_replace(text, "[a-z0-9 \\t\\n\\f\\r]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
   def stopwordRatio(text: Column): Column = {
@@ -81,7 +86,7 @@ object TextAnalysis {
     * whitespace) — the exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, Tokenize.WsClass + "+", " "))))
 
   /** Rolling-hash-style document sketch: the lexicographic minimum md5 over
     * character 8-grams sampled every 4 positions (winnowing-lite). Used as

@@ -84,12 +84,15 @@ object Ann {
   def trainCentroids(vectors: DataFrame, k: Int, iterations: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
+    // Seed: the k lowest-id vectors, re-keyed 0..k-1 by ordering on the
+    // ORIGINAL id values (no lossy int cast — non-int-castable or
+    // overflowing ids would become NULL and make the re-key order
+    // nondeterministic).
     var centroids = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("cv"))
-    // re-key 0..k-1 regardless of source ids
-    centroids = centroids.orderBy("centroid_id")
+      .select(col(idCol).as("_seed_id"), col(vecCol).as("cv"))
       .withColumn("centroid_id",
-        (row_number().over(Window.orderBy(col("centroid_id"))) - 1).cast("int"))
+        (row_number().over(Window.orderBy(col("_seed_id"))) - 1).cast("int"))
+      .select(col("centroid_id"), col("cv"))
 
     (0 until iterations).foreach { _ =>
       val assigned = assign(vectors, centroids, idCol, vecCol)
@@ -98,7 +101,11 @@ object Ann {
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
-        .agg(avg(col("x")).as("m"))
+        // exact decimal accumulation: a double avg would depend on
+        // partition/accumulation order across runs (same pattern as
+        // Queries.dsum / Similarity.dotExact)
+        .agg(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+          .cast("double").as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("centroid_id"),

@@ -113,8 +113,12 @@ object Dedup {
     // and the final bit-vote accumulated inline — pure map-side, zero
     // shuffles (see graft.functions.SimHashSignature; bit-identical to
     // the exploded token×bit formulation).
-    docs.select(col(idCol),
-      graft.functions.SimHashSignature(col(textCol), bits).as("simhash"))
+    //
+    // NULL-text docs are dropped, not emitted with a NULL signature: the
+    // oracle's unnest over string_split(NULL) yields no rows for them.
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.SimHashSignature(col(textCol), bits).as("simhash"))
 
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via

@@ -7,7 +7,7 @@ import graft.WarehouseOptions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Continuous ingestion: the Spark Structured Streaming form of the
   * reference's monitor mode (`index.js:143-170` — longpoll loop, per-batch
@@ -50,6 +50,7 @@ final class StreamIngest(
     */
   private val schemas = scala.collection.mutable.LinkedHashMap.empty[String, DocSchema]
   loadSchemas()
+  recoverState()
 
   def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
 
@@ -86,8 +87,8 @@ final class StreamIngest(
     *
     * Bucketed merge: ids hash to a `_bucket` partition; only partitions
     * present in the batch are read back, merged (last-writer-wins), and
-    * dynamically overwritten. Untouched buckets are never read or
-    * rewritten.
+    * atomically swapped in from a staging write ([[writeBuckets]]).
+    * Untouched buckets are never read or rewritten.
     */
   def applyBatch(batch0: DataFrame, batchId: Long): Unit = {
     val batch = opts.transform(batch0)
@@ -113,16 +114,74 @@ final class StreamIngest(
         .where(col("_rn") === 1)
         .drop("_rn")
 
-      state.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(stateDir)
+      writeBuckets(state)
 
       publish()
       advanceCheckpoint(batch)
     } finally batch.unpersist()
   }
+
+  /** Publish the merged (touched-bucket-only) state via a staging write +
+    * per-bucket atomic renames, instead of dynamically overwriting the
+    * directory a task may still be reading from. A reader never observes a
+    * partially written bucket: the swap is rename-only. A crash between
+    * two bucket swaps can leave a bucket retired but not yet replaced —
+    * [[recoverState]] restores it on the next start, and the LWW merge is
+    * replay-idempotent on top of that.
+    */
+  private def writeBuckets(state: DataFrame): Unit = {
+    val root = Paths.get(stateDir)
+    val staging = Paths.get(s"$warehouseDir/_state_staging")
+    deleteRecursively(staging)
+    state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    Files.createDirectories(root)
+    val buckets = Files.list(staging).iterator()
+    while (buckets.hasNext) {
+      val src = buckets.next()
+      val name = src.getFileName.toString
+      if (name.startsWith("_bucket=")) {
+        // the retired name starts with '.', so Spark's file listing never
+        // picks it up even if a crash strands it
+        val target = root.resolve(name)
+        val retired = root.resolve(s".$name.old")
+        deleteRecursively(retired)
+        if (Files.exists(target))
+          Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(retired)
+      }
+    }
+    deleteRecursively(staging)
+  }
+
+  /** Crash recovery for [[writeBuckets]]: a retired bucket whose
+    * replacement never landed is moved back; leftover retired/staging
+    * directories from completed swaps are dropped.
+    */
+  private def recoverState(): Unit = {
+    val root = Paths.get(stateDir)
+    if (Files.isDirectory(root)) {
+      val it = Files.list(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("._bucket=") && name.endsWith(".old")) {
+          val target = root.resolve(name.stripPrefix(".").stripSuffix(".old"))
+          if (Files.exists(target)) deleteRecursively(p)
+          else Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
+    deleteRecursively(Paths.get(s"$warehouseDir/_state_staging"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
 
   private def existingState(): Option[DataFrame] =
     if (Files.exists(Paths.get(stateDir)))

@@ -124,4 +124,31 @@ class StreamIngestSpec extends SparkSpec {
     assert(v == 100.0)
     assert(spark.sql("SELECT COUNT(*) FROM bdb").collect()(0).getLong(0) == 40L)
   }
+
+  test("crash recovery: a retired-but-unreplaced bucket is restored on restart") {
+    val wh = tempDir("recover-wh")
+    val mk = (ls: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; ls.toDF("value") }, "value")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "cdb"), wh)
+    ingest.applyBatch(mk(Seq(
+      change(1, "k1", """{"_id":"k1","_rev":"1","v":1}"""),
+      change(2, "k2", """{"_id":"k2","_rev":"1","v":2}"""))), 0L)
+
+    // simulate a crash mid-swap: one bucket moved aside, replacement lost
+    val root = Paths.get(wh, "_state")
+    val bucket = Files.list(root).iterator()
+    var victim: java.nio.file.Path = null
+    while (bucket.hasNext && victim == null) {
+      val p = bucket.next()
+      if (p.getFileName.toString.startsWith("_bucket=")) victim = p
+    }
+    val retired = root.resolve("." + victim.getFileName.toString + ".old")
+    Files.move(victim, retired)
+
+    // a fresh StreamIngest (restart) must restore the bucket
+    val restarted = new StreamIngest(spark, WarehouseOptions(database = "cdb"), wh)
+    assert(Files.exists(victim) && !Files.exists(retired))
+    restarted.publish()
+    assert(spark.sql("SELECT COUNT(*) FROM cdb").collect()(0).getLong(0) == 2L)
+  }
 }

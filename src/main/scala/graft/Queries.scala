@@ -143,6 +143,41 @@ object Queries {
 
   // ----------------------------------------------------------- aggregates
 
+  /** As-of join: each event enriched with the customer's latest order at
+    * event time ([[graft.ops.AsOfJoin]]). The oracle mirrors the same
+    * union + running-window construction — DuckDB's native ASOF JOIN
+    * breaks same-timestamp ties arbitrarily, so it cannot be a
+    * deterministic oracle.
+    */
+  private val qJoinAsof = Q("q_join_asof",
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
+            r AS (SELECT o_custkey, epoch_ns(o_orderdate) AS t,
+                    o_orderkey, o_totalprice FROM orders),
+            u AS (
+              SELECT o_custkey AS k, t, 0 AS pri, CAST(NULL AS BIGINT) AS event_id,
+                     o_orderkey, o_totalprice FROM r
+              UNION ALL
+              SELECT user_id AS k, t, 1 AS pri, event_id,
+                     CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) FROM l),
+            f AS (SELECT k, pri, event_id,
+                last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+                last_value(o_totalprice IGNORE NULLS) OVER w AS o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, pri, o_orderkey
+                ROWS UNBOUNDED PRECEDING))
+            SELECT event_id, k AS user_id, o_orderkey, o_totalprice
+            FROM f WHERE pri = 1 AND o_orderkey IS NOT NULL"""),
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, d, "orders").select(col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast to
+        // TIMESTAMP is value-preserving, matching DuckDB's epoch_ns
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "ots",
+          Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    })
+
   private val qCount = Q("q_count",
     Some("SELECT count(*) AS n FROM lineitem"),
     (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
@@ -592,7 +627,7 @@ object Queries {
 
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
-    qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange,
+    qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox, qMedian,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,

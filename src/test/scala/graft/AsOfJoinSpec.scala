@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes: (key, ts, px); trades: (trade_id, key, ts)
+  val quotes = Seq(
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 9.0),
+    ("C", 50L, 7.0) // only after every C trade
+  ).toDF("sym", "qts", "px")
+  val trades = Seq(
+    (1L, "A", 5L),   // before any A quote
+    (2L, "A", 20L),  // exactly at a quote ts -> inclusive
+    (3L, "A", 25L),  // between quotes -> ts=20 quote
+    (4L, "B", 100L), // latest B quote
+    (5L, "C", 40L)   // no quote at-or-before
+  ).toDF("trade_id", "sym", "tts")
+
+  test("as-of join picks the latest right row at-or-before, inclusive ties") {
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px")
+      .select("trade_id", "px")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 2.0, 3L -> 2.0, 4L -> 9.0))
+  }
+
+  test("left as-of keeps unmatched left rows with NULL carried columns") {
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px", joinType = "left")
+      .select("trade_id", "px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> Some(9.0), 5L -> None))
+  }
+
+  test("same-(key,ts) right rows resolve to the greatest tiebreak value") {
+    val q2 = Seq(("A", 10L, 1.0), ("A", 10L, 5.0), ("A", 10L, 3.0)).toDF("sym", "qts", "px")
+    val t2 = Seq((1L, "A", 10L)).toDF("trade_id", "sym", "tts")
+    val got = AsOfJoin.asOf(t2, q2, "sym", "sym", "tts", "qts", Seq("px"), tieBreak = "px")
+      .select("px").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(5.0))
+  }
+}

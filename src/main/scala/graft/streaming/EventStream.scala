@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming analytics over an event stream — the extension
@@ -58,4 +59,66 @@ object EventStream {
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** One closed user session: `[start_ms, end_ms]` in epoch-millis. */
+  final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Streaming sessionization with custom state: split each user's event
+    * stream into sessions at >`gapMinutes` event-time silence — the
+    * continuous form of the batch `q_sessionize` window query.
+    *
+    * `flatMapGroupsWithState` + event-time timeout is the Spark-native
+    * custom-state surface for this: per micro-batch each user folds new
+    * events into its single open-session state (closing sessions whose gap
+    * was exceeded in-batch), and the watermark closes idle sessions via
+    * timeout — so state per user is ONE small struct, evicted on session
+    * close, and the operator is a single stateful shuffle on user_id.
+    * Out-of-order events within the watermark horizon extend the open
+    * session (min/max of its bounds); older stragglers are dropped by the
+    * watermark upstream.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("event_time", "10 minutes")
+      .select(col("user_id").as("_k"), unix_millis(col("event_time")).as("_t"),
+        col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      // state is a plain (start_ms, last_ms, n) tuple — tuple encoders stay
+      // inside Spark's well-trodden codegen path
+      .flatMapGroupsWithState[(Long, Long, Long), UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is final
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(UserSession(user, start, last, n))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((start, last, n)) if t <= last + gapMs =>
+                  Some((math.min(start, t), math.max(last, t), n + 1))
+                case Some((start, last, n)) =>
+                  closed += UserSession(user, start, last, n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { case s @ (_, last, _) =>
+              state.update(s)
+              // never set a timeout at-or-before the current watermark
+              state.setTimeoutTimestamp(
+                math.max(last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -57,4 +57,36 @@ class EventStreamSpec extends SparkSpec {
     val total = spark.table("dedupagg").agg(sum("n")).collect()(0).getLong(0)
     assert(total == 1000L) // not 2000
   }
+
+  test("streaming sessionization: gap-close in batch, idle-close by watermark timeout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events-sess").toString
+    def write(rows: Seq[(Long, Long, Long)]): Unit = // (event_id, minute, user)
+      rows.map { case (id, m, u) => (id, m * 60000000000L, u, "c", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // user 1: one session (min 1000,1010,1020); user 9's min-1120 event
+    // drives the watermark to min 1110. (Events at epoch 0 exactly would be
+    // dropped by the initial late-row predicate — keep times positive.)
+    write(Seq((1L, 1000L, 1L), (2L, 1010L, 1L), (3L, 1020L, 1L), (4L, 1120L, 9L)))
+    val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    q.processAllAvailable()
+    // the watermark (min 1110) already times out user 1's idle state in the
+    // no-data batch Spark runs after a watermark advance
+    val m = 60000L
+    assert(spark.table("sess").as[EventStream.UserSession].collect().toSet ==
+      Set(EventStream.UserSession(1L, 1000 * m, 1020 * m, 3L)))
+
+    // next batch: user 9's min-1200 event closes its min-1120 session by
+    // gap (80 > 30)
+    write(Seq((5L, 1200L, 9L)))
+    q.processAllAvailable()
+    val got = spark.table("sess").as[EventStream.UserSession].collect().toSet
+    q.stop()
+    assert(got == Set(
+      EventStream.UserSession(1L, 1000 * m, 1020 * m, 3L),
+      EventStream.UserSession(9L, 1120 * m, 1120 * m, 1L)))
+  }
 }

@@ -117,8 +117,10 @@ object TrainingQueries {
             col("a.doc_id") < col("b2.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b2.doc_id").as("id_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b2.simhash"))).as("hamming"))
-        .distinct()
+        // hamming is a function of the pair, so filtering BEFORE the
+        // dedup shuffle is equivalent and shrinks it
         .where(col("hamming") <= 3)
+        .distinct()
     })
 
   private val qNgramJaccard = Q("q_ngram_jaccard",
@@ -190,6 +192,13 @@ object TrainingQueries {
     })
 
   // -------------------------------------------------- similarity search
+
+  /** The 8-hyperplane sign-LSH bucket as oracle SQL (mirrors
+    * [[Similarity.signBucket]]).
+    */
+  private def signBucketSql(c: String): String =
+    (0 until 8).map(b => s"(CASE WHEN $c[${b + 1}] >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString("\n              + ")
 
   /** The ANN oracles mirror the native [[graft.functions.CosineSimilarity]]
     * kernel bit-for-bit: DuckDB's `list_dot_product` over DOUBLE-cast lists
@@ -287,6 +296,27 @@ object TrainingQueries {
       Ann.ivfTopK(assigned, cents, query, k = 5)
     })
 
+  /** Sign-LSH bucketed ANN ([[Ann.lshTopK]]): top-5 by cosine within the
+    * query's sign bucket only — the training-free scale path beside IVF.
+    */
+  private val qAnnLsh = Q("q_ann_lsh",
+    Some(s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+              ${signBucketSql("embedding")} AS bucket
+              FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+              ${signBucketSql("embedding")} AS bucket
+              FROM embeddings)
+            SELECT vec_id,
+              list_dot_product(ev, qv)
+                / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos
+            FROM d JOIN q USING (bucket)
+            ORDER BY cos DESC, vec_id LIMIT 5"""),
+    (s, d) => Ann.lshTopK(
+      t(s, d, "embeddings"),
+      t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
+      k = 5))
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -380,5 +410,5 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
+    qAnnLsh, qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

@@ -69,6 +69,26 @@ object Ann {
       .limit(k)
   }
 
+  /** Sign-LSH bucketed ANN search: scan only the vectors sharing the
+    * query's sign bucket ([[Similarity.signBucket]] over the leading
+    * `bits` dimensions). The training-free counterpart of IVF: no
+    * centroid set to learn or broadcast-join against — the bucket is a
+    * pure map-side expression on both sides, so the big side is pruned to
+    * ~1/2^bits of the corpus before any cosine work. Recall improves by
+    * probing neighboring buckets (bit flips), exactly like IVF nprobe.
+    */
+  def lshTopK(vectors: DataFrame, query: DataFrame, k: Int, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      Similarity.signBucket(col(vecCol), bits).as("_bucket"))
+    val q = query.select(col("qv"), Similarity.signBucket(col("qv"), bits).as("_bucket"))
+    bucketed.join(broadcast(q), Seq("_bucket"))
+      .select(col(idCol),
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Spherical k-means centroid training (Lloyd's iterations with cosine
     * assignment): the real "train" step for the IVF index.
     *

@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Spark session extensions for the graft engine: registers the native
   * functions so plain `spark.sql` users get them without touching the
@@ -28,5 +28,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(
+        classOf[MinHashSignature].getCanonicalName, null, "minhash_signature"),
+      (children: Seq[Expression]) => MinHashSignature(children.head,
+        numHashes = intArg(children, 1, 4), shingleSize = intArg(children, 2, 3))))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(
+        classOf[SimHashSignature].getCanonicalName, null, "simhash"),
+      (children: Seq[Expression]) => SimHashSignature(children.head,
+        bits = intArg(children, 1, 16))))
   }
+
+  /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */
+  private def intArg(children: Seq[Expression], i: Int, default: Int): Int =
+    if (children.length <= i) default
+    else children(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
 }

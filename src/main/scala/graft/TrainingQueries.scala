@@ -123,6 +123,32 @@ object TrainingQueries {
         .distinct()
     })
 
+  /** Duplicate-cluster resolution ([[Dedup.clusters]]): connected
+    * components over the MinHash-LSH candidate-pair graph, each doc
+    * labeled with its component's smallest id (the canonical keeper). The
+    * oracle computes the same fixpoint with a recursive CTE (min reachable
+    * node per node).
+    */
+  private val qDedupClusters = Q("q_dedup_clusters",
+    Some(s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+             pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band)
+               WHERE a.doc_id < b.doc_id),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT reach.doc_id, edges.dst AS r
+               FROM reach JOIN edges ON edges.src = reach.r)
+             SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id"""),
+    (s, d) => Dedup.clusters(
+      Dedup.minhashCandidates(Dedup.minhash(t(s, d, "documents")))))
+
   private val qNgramJaccard = Q("q_ngram_jaccard",
     Some(s"""WITH $toksCte, $shinglesCte,
              dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -408,7 +434,8 @@ object TrainingQueries {
       upper(substring(hex(col("text").cast("binary")), 1, 16)).as("header_hex")))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupSimhash, qDedupSimhashPairs,
+    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
+    qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnLsh, qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

@@ -31,6 +31,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // NOT inherited from the child: a doc with fewer than `shingleSize`
+  // tokens yields null even when the input column is non-nullable
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

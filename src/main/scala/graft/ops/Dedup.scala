@@ -120,6 +120,54 @@ object Dedup {
       .select(col(idCol),
         graft.functions.SimHashSignature(col(textCol), bits).as("simhash"))
 
+  /** Duplicate-cluster resolution: connected components over a
+    * candidate-pair graph (e.g. [[minhashCandidates]] output), labeling
+    * every member with the SMALLEST doc id in its component — the
+    * canonical keeper a pipeline retains while dropping the rest.
+    *
+    * Iterative min-label propagation (the hash-to-min scheme from the
+    * MapReduce connected-components literature — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+    * round every node takes the min of its own and its neighbors' labels —
+    * one join + one groupBy shuffle per round, rounds = component
+    * diameter (tiny for near-dup clusters). The fixpoint (min node id per
+    * component) is unique, so the converged result is partitioning- and
+    * iteration-order-independent. Only the per-round change COUNT reaches
+    * the driver.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    // every endpoint appears as src (edges are bidirectional)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbl")), Seq("dst"))
+        .groupBy("src").agg(min(col("nbl")).as("nbl_min"))
+        .withColumnRenamed("src", "doc_id")
+      // localCheckpoint truncates the per-iteration lineage growth
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbl_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via
     * shingle join, sizes via per-doc distinct counts.

@@ -32,6 +32,17 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clusters: min-label connected components over candidate pairs") {
+    import spark.implicits._
+    // two components: a 5-node chain (needs >1 propagation round) and a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))

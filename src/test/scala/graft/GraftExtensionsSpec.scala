@@ -26,6 +26,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val described = spark.sql("DESCRIBE FUNCTION cosine_similarity")
         .collect().map(_.getString(0)).mkString("\n")
       assert(described.contains("cosine_similarity"))
+
+      // the signature expressions are SQL-reachable too, with optional
+      // integer-literal parameters
+      val sh = spark.sql("SELECT simhash('a b c') AS s, simhash('a b c', 8) AS s8")
+        .collect()(0)
+      assert(sh.getLong(0) >= 0 && sh.getLong(1) < 256)
+      val mh = spark.sql("SELECT minhash_signature('a b c d e') AS m").collect()(0)
+      assert(mh.getSeq[String](0).length == 4)
+      assert(spark.sql("SELECT minhash_signature('a b') AS m").collect()(0).isNullAt(0))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

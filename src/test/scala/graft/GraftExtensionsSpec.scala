@@ -10,6 +10,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // restore the previous default session afterwards
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
+    // getOrCreate returns an existing active/default session and silently
+    // IGNORES withExtensions — clear both so a fresh session (sharing the
+    // context) is built with the graft function registry
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("ext-test")

@@ -143,6 +143,13 @@ object Dedup {
     // every endpoint appears as src (edges are bidirectional)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    // convergence check: labels only ever decrease, so the label sum is
+    // strictly decreasing until the fixpoint — one cheap aggregate per
+    // round instead of a join + count against the previous labels
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -157,11 +164,10 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbl_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .where(col("cluster_id") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      done = changed == 0
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

@@ -41,6 +41,30 @@ object ScaleProbe {
     val q = spark.read.parquet(s"$d/embeddings.parquet").limit(1).select(col("embedding").as("qv"))
     time("ann_1x (2k)") { graft.ops.Ann.bruteTopK(spark.read.parquet(s"$d/embeddings.parquet"), q, 10) }
     time("ann_10x (20k)") { graft.ops.Ann.bruteTopK(emb10, q, 10) }
+    // as-of join: 100k events x 1.5M orders (10x both sides)
+    def prep(ev: DataFrame, ord: DataFrame) = {
+      val e = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val o = ord.select(col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ts", "ots",
+        Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev1 = spark.read.parquet(s"$d/events.parquet")
+    val or1 = spark.read.parquet(s"$d/orders.parquet")
+    time("asof_1x (100k x 150k)") { prep(ev1, or1) }
+    time("asof_10x (1M x 1.5M)") { prep(rep("events", Seq("event_id"), 10),
+      rep("orders", Seq("o_orderkey"), 10)) }
+    // duplicate clustering over LSH candidate pairs (10x docs)
+    time("clusters_1x (5k docs)") {
+      graft.ops.Dedup.clusters(graft.ops.Dedup.minhashCandidates(
+        graft.ops.Dedup.minhash(spark.read.parquet(s"$d/documents.parquet"))))
+    }
+    time("clusters_10x (50k docs)") {
+      graft.ops.Dedup.clusters(graft.ops.Dedup.minhashCandidates(
+        graft.ops.Dedup.minhash(docs10)))
+    }
     spark.stop()
   }
 }

@@ -90,9 +90,11 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame sampling stub for video-ish payloads: every `stride`-th byte
-    * window stands in for a frame grab; real impl swaps the window slice
-    * for a codec frame decode. Pure expression tree — stays in codegen.
+  /** Frame sampling stub for video-ish payloads: the `frame`-byte window
+    * at every `stride`-th offset stands in for a frame grab (base64'd for
+    * display); a real impl swaps the window slice for a codec frame
+    * decode. Pure expression tree — stays in codegen; `substring` slices
+    * the binary payload directly.
     */
   def sampleFrames(media: DataFrame, stride: Int = 64, frame: Int = 16): DataFrame =
     media.select(
@@ -100,7 +102,7 @@ object Multimodal {
       posexplode(transform(
         sequence(lit(0),
           greatest(floor((octet_length(col("payload")) - frame) / stride).cast("int"), lit(0))),
-        i => substring(base64(col("payload")), 1, 24))))
+        i => base64(substring(col("payload"), i * stride + lit(1), lit(frame))))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_stub")
 }

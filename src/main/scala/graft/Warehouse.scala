@@ -137,6 +137,25 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
 
   /** The delegated-query surface, answered natively (A16). */
   def query(sql: String): DataFrame = spark.sql(sql)
+
+  /** Persist a warehouse table hash-bucketed (and sorted) on `keys` — the
+    * 100 TB join/aggregation layout: two tables bucketed the same way
+    * equi-join with NO shuffle at read time (Catalyst sees the bucketing
+    * output partitioning), and per-bucket sort makes the merge join
+    * sort-free too. `numBuckets` sizes one bucket to a comfortable task
+    * read (table_bytes / buckets ≲ a few hundred MB at target scale).
+    *
+    * Uses the session catalog (`saveAsTable` — bucket metadata only lives
+    * in catalog tables, not plain parquet paths).
+    */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   numBuckets: Int = 64): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 object Warehouse {

@@ -90,6 +90,20 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stub for image-ish payloads: emits the payload truncated to
+    * `w*h` bytes (a real impl decodes, resamples, re-encodes here) with
+    * the width/height metadata updated — the metadata/schema plumbing and
+    * the map-side-only execution shape are the real, tested parts.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      substring(col("payload"), lit(1), lit(w * h)).as("payload"),
+      col("mime"),
+      when(col("kind") === "image", lit(w)).otherwise(col("width")).as("width"),
+      when(col("kind") === "image", lit(h)).otherwise(col("height")).as("height"),
+      col("duration_ms"))
+
   /** Frame sampling stub for video-ish payloads: the `frame`-byte window
     * at every `stride`-th offset stands in for a frame grab (base64'd for
     * display); a real impl swaps the window slice for a codec frame

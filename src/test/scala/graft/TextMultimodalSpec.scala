@@ -89,4 +89,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_stub"))
     assert(frames.count() == 3) // floor((200-16)/64)+1
   }
+
+  test("resize truncates payload and rewrites image dimensions only") {
+    // doc_ids 3 and 4 synthesize to kind=image and kind=audio respectively
+    val docs = Seq((3L, "x" * 100, "en", "s", 100L), (4L, "y" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resize(Multimodal.synthesize(docs), w = 4, h = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](2).length, r.get(4), r.get(5)))).toMap
+    assert(resized(3L) == ((32, 4, 8)))         // image: truncated + w/h set
+    assert(resized(4L) == ((32, null, null)))   // audio: dims untouched
+  }
 }

@@ -303,6 +303,17 @@ object Queries {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders")))
 
+  /** Skew-proof exact distinct count ([[graft.ops.Skew.saltedCountDistinct]]):
+    * the two-stage salted aggregation must produce exactly the plain
+    * `count(DISTINCT …)` answer — the oracle is the unsalted SQL.
+    */
+  private val qSkewDistinct = Q("q_skew_distinct",
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+            FROM lineitem GROUP BY l_returnflag"""),
+    (s, d) => graft.ops.Skew
+      .saltedCountDistinct(t(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))
+      .withColumnRenamed("k", "l_returnflag"))
+
   // -------------------------------------------------------------- windows
 
   private val qWindowRownum = Q("q_window_rownum",
@@ -628,7 +639,8 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
-    qCount, qAggGroup, qAggHaving, qAggDistinct, qRollup, qCube, qPivot, qApprox, qMedian,
+    qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct,
+    qRollup, qCube, qPivot, qApprox, qMedian,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,

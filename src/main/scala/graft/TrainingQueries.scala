@@ -276,12 +276,12 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
     })
 
-  /** The search half of IVF (nprobe=1): find the query's nearest centroid,
-    * then top-5 by cosine WITHIN that centroid's bucket only — the scan
-    * touches 1/k of the corpus.
+  /** The IVF search oracle, parameterized by the probe width: assign all
+    * vectors to their nearest of 8 fixed centroids, take the query's
+    * `nprobe` nearest centroids, top-k by cosine within those buckets.
     */
-  private val qAnnIvfSearch = Q("q_ann_ivf_search",
-    Some("""WITH cents AS (SELECT vec_id AS centroid_id,
+  private def ivfSearchSql(nprobe: Int, k: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS centroid_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
               FROM embeddings WHERE vec_id < 8),
             q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -302,7 +302,7 @@ object TrainingQueries {
                   list_dot_product(q.qv, c.cv)
                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
                   DESC, c.centroid_id) AS rn
-              FROM cents c CROSS JOIN q) WHERE rn = 1)
+              FROM cents c CROSS JOIN q) WHERE rn <= $nprobe)
             SELECT a.vec_id,
               list_dot_product(v.ev, q.qv)
                 / (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
@@ -310,17 +310,29 @@ object TrainingQueries {
             JOIN allv v ON v.vec_id = a.vec_id
             JOIN qc ON a.centroid_id = qc.centroid_id
             CROSS JOIN q
-            ORDER BY cos DESC, a.vec_id LIMIT 5"""),
-    (s, d) => {
-      val vecs = t(s, d, "embeddings")
-      val cents = vecs.where(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      val query = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val assigned = Ann.assign(vecs, cents)
-        .select(col("vec_id"), col("centroid_id"))
-        .join(vecs, Seq("vec_id"))
-      Ann.ivfTopK(assigned, cents, query, k = 5)
-    })
+            ORDER BY cos DESC, a.vec_id LIMIT $k"""
+
+  private def ivfSearchRun(nprobe: Int, k: Int)(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val vecs = t(s, d, "embeddings")
+    val cents = vecs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val query = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val assigned = Ann.assign(vecs, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(vecs, Seq("vec_id"))
+    Ann.ivfTopK(assigned, cents, query, k = k, nprobe = nprobe)
+  }
+
+  /** nprobe=1: the scan touches 1/8 of the corpus. */
+  private val qAnnIvfSearch = Q("q_ann_ivf_search",
+    Some(ivfSearchSql(nprobe = 1, k = 5)), ivfSearchRun(nprobe = 1, k = 5))
+
+  /** nprobe=2: double the probed buckets for recall — the standard IVF
+    * recall/scan trade-off knob.
+    */
+  private val qAnnIvfProbe2 = Q("q_ann_ivf_probe2",
+    Some(ivfSearchSql(nprobe = 2, k = 5)), ivfSearchRun(nprobe = 2, k = 5))
 
   /** Sign-LSH bucketed ANN ([[Ann.lshTopK]]): top-5 by cosine within the
     * query's sign bucket only — the training-free scale path beside IVF.
@@ -437,5 +449,5 @@ object TrainingQueries {
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnLsh, qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
+    qAnnIvfProbe2, qAnnLsh, qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

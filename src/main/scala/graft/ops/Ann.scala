@@ -55,15 +55,18 @@ object Ann {
       .select(col(idCol), col("centroid_id"), col("cos"))
   }
 
-  /** IVF search with nprobe=1: top-k within the query's own centroid
-    * bucket. `assigned` is the output of [[assign]] joined back to the
-    * vectors (i.e. carries id, centroid_id, embedding).
+  /** IVF search: top-k within the query's `nprobe` nearest centroid
+    * buckets (nprobe=1 scans 1/k of the corpus; higher nprobe trades scan
+    * for recall, the standard IVF knob). `assigned` is the output of
+    * [[assign]] joined back to the vectors (i.e. carries id, centroid_id,
+    * embedding).
     */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: DataFrame, k: Int,
+              nprobe: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qCentroid = assignQuery(query, centroids)
+    val qCentroids = assignQuery(query, centroids, nprobe)
     assigned
-      .join(broadcast(qCentroid), Seq("centroid_id"))
+      .join(broadcast(qCentroids), Seq("centroid_id"))
       .select(col(idCol), graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -138,13 +141,14 @@ object Ann {
     centroids
   }
 
-  /** The query vector's nearest centroid: `[centroid_id, qv]` (1 row). */
-  private def assignQuery(query: DataFrame, centroids: DataFrame): DataFrame =
+  /** The query vector's `nprobe` nearest centroids: `[centroid_id, qv]`. */
+  private def assignQuery(query: DataFrame, centroids: DataFrame,
+                          nprobe: Int = 1): DataFrame =
     query
       .crossJoin(broadcast(centroids))
       .select(col("centroid_id"), col("qv"),
         graft.functions.CosineSimilarity(col("qv"), col("cv")).as("cos"))
       .orderBy(col("cos").desc, col("centroid_id"))
-      .limit(1)
+      .limit(nprobe)
       .select(col("centroid_id"), col("qv"))
 }

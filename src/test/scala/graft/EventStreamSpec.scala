@@ -89,4 +89,49 @@ class EventStreamSpec extends SparkSpec {
       EventStream.UserSession(1L, 1000 * m, 1020 * m, 3L),
       EventStream.UserSession(9L, 1120 * m, 1120 * m, 1L)))
   }
+
+  test("streaming sessionization matches the batch window formulation") {
+    import spark.implicits._
+    // batch sessions over the real events table (q_sessionize's lag +
+    // cumulative-sum shape, grouped to (start, end, n) per session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // per-event ms exactly as the streaming path derives it
+    // (ns -> truncate to us -> truncate to ms), BEFORE any aggregation
+    val ems = ((col("ts") / 1000).cast("long") / 1000).cast("long")
+    val batchSessions = ev
+      .withColumn("ems", ems)
+      .withColumn("prev_ms", lag(col("ems"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ems") - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ems")).as("start_ms"), max(col("ems")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[EventStream.UserSession].collect().toSet
+
+    // streaming sessions over the same file; a far-future sentinel event
+    // flushes every open session through the watermark timeout
+    val dir = Files.createTempDirectory("events-parity")
+    Files.copy(Paths.get(s"$eventsDir/part-0.parquet"), dir.resolve("a.parquet"))
+    val q = EventStream.sessionize(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    q.processAllAvailable()
+    Seq((999999L, java.lang.Long.MAX_VALUE / 2, 999999L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    val streamed = spark.table("sess_parity").as[EventStream.UserSession]
+      .collect().toSet.filter(_.user_id != 999999L)
+    q.stop()
+
+    assert(streamed == batchSessions)
+    assert(streamed.nonEmpty)
+  }
 }

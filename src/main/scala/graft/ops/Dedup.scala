@@ -180,7 +180,9 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, shingleSize, idCol, textCol).distinct()
+    // cached: the distinct shingle set feeds three consumers (two sides of
+    // the intersection join + the size table) and is the expensive part
+    val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle", "s"), Seq("id_a"))

@@ -45,4 +45,29 @@ class AsOfJoinSpec extends SparkSpec {
       .select("px").collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(5.0))
   }
+
+  test("randomized: matches the naive per-row definition (dense ties)") {
+    // small key/time domains force heavy key and timestamp collisions
+    val rnd = new scala.util.Random(42)
+    val rQuotes = Seq.fill(120)((s"K${rnd.nextInt(5)}", rnd.nextInt(20).toLong, rnd.nextInt(1000).toDouble))
+    val rTrades = Seq.tabulate(80)(i => (i.toLong, s"K${rnd.nextInt(5)}", rnd.nextInt(20).toLong))
+
+    // naive reference: latest quote at-or-before; ties by max ts then max px
+    val expected = rTrades.flatMap { case (id, k, t) =>
+      val cands = rQuotes.filter(q => q._1 == k && q._2 <= t)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(q => (q._2, q._3))
+        Some(id -> best._3)
+      }
+    }.toMap
+
+    val got = AsOfJoin.asOf(
+        rTrades.toDF("trade_id", "sym", "tts"),
+        rQuotes.toDF("sym", "qts", "px"),
+        "sym", "sym", "tts", "qts", Seq("px"), tieBreak = "px")
+      .select("trade_id", "px")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality gate over EVERY scored query: the physical plans must keep
+  * the shapes that survive a 100 TB scale-up. Complements `tools/Explain`
+  * (interactive audit) by failing the build on regressions.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] = SparkEntry.queries.map {
+    case (name, fn) =>
+      name -> fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(FormattedMode)
+  }
+
+  test("no scored plan collects a limit on the driver") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CollectLimit") => n
+    }
+    assert(offenders.isEmpty, s"driver-side limit in: $offenders")
+  }
+
+  test("no scored plan contains a non-broadcast cartesian product") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
+  test("every scored plan reads parquet with a pruned schema, never SELECT *") {
+    // every scan must carry an explicit ReadSchema (vectorized parquet
+    // batch scan); presence alone is asserted — pruning specifics are
+    // query-dependent and audited via tools/Explain. Iterative operators
+    // whose final job reads its own localCheckpoint (ExistingRDD) are
+    // exempt — their parquet reads happened in earlier jobs.
+    val offenders = plans.collect {
+      case (n, p) if !p.contains("ReadSchema") && !p.contains("ExistingRDD") => n
+    }
+    assert(offenders.isEmpty, s"no parquet ReadSchema in: $offenders")
+  }
+}

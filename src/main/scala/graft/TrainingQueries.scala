@@ -355,6 +355,30 @@ object TrainingQueries {
       t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
       k = 5))
 
+  // ------------------------------------------------ sampling / splitting
+
+  /** Deterministic ≈10% hash sample ([[graft.ops.Sampling.hashSample]]):
+    * membership is a pure function of the doc id, so the sample is
+    * reproducible across engines and partitionings — no rand().
+    */
+  private val qSampleHash = Q("q_sample_hash",
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'"""),
+    (s, d) => graft.ops.Sampling.hashSample(t(s, d, "documents"), "doc_id", "1a")
+      .select("doc_id", "lang"))
+
+  /** Deterministic 80/10/10 train/val/test assignment
+    * ([[graft.ops.Sampling.assignSplit]]), summarized per (split, lang).
+    */
+  private val qSampleSplit = Q("q_sample_split",
+    Some("""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test' END AS split,
+              lang, count(*) AS n
+            FROM documents GROUP BY 1, 2"""),
+    (s, d) => graft.ops.Sampling.assignSplit(t(s, d, "documents"), "doc_id")
+      .groupBy("split", "lang").agg(count(lit(1)).as("n")))
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -449,5 +473,6 @@ object TrainingQueries {
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
+    qAnnIvfProbe2, qAnnLsh, qSampleHash, qSampleSplit,
+    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for dataset curation.
+  *
+  * Everything keys off the md5 of a stable row key — never `rand()` — so a
+  * sample or train/val/test assignment is reproducible across runs,
+  * engines, partitionings, and cluster sizes, and a row's assignment never
+  * changes as the corpus grows (the property a training pipeline needs for
+  * stable eval splits). md5's hex digits are uniform, so a hex-prefix
+  * range is an unbiased Bernoulli sample with a deterministic membership
+  * function.
+  *
+  * Both helpers are pure map-side expression trees: no shuffle, no state,
+  * trivially pushdown-friendly.
+  */
+object Sampling {
+
+  /** First two md5 hex digits of the key as the 256-bucket hash. */
+  private def hexBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Deterministic ≈`n`/256 sample: keeps rows whose bucket is below the
+    * two-hex-digit `threshold` (e.g. "1a" → 26/256 ≈ 10.2%).
+    */
+  def hashSample(df: DataFrame, keyCol: String, threshold: String): DataFrame =
+    df.where(hexBucket(col(keyCol)) < lit(threshold))
+
+  /** Deterministic train/val/test assignment by hash bucket:
+    * `[00, cc)` → train (204/256 ≈ 79.7%), `[cc, e6)` → val (≈ 10.2%),
+    * `[e6, ff]` → test (≈ 10.2%).
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  trainEnd: String = "cc", valEnd: String = "e6"): DataFrame = {
+    val b = hexBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < lit(trainEnd), "train")
+        .when(b < lit(valEnd), "val")
+        .otherwise("test"))
+  }
+}

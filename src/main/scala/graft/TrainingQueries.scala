@@ -379,6 +379,26 @@ object TrainingQueries {
     (s, d) => graft.ops.Sampling.assignSplit(t(s, d, "documents"), "doc_id")
       .groupBy("split", "lang").agg(count(lit(1)).as("n")))
 
+  /** Sequential context-window packing ([[graft.ops.Sampling.packSequences]]):
+    * per-lang shards, docs ordered by id, `bin = exclusive-prefix-tokens
+    * // 512` — the streaming rule that fills fixed-size training contexts.
+    */
+  private val qPack = Q("q_pack",
+    Some("""WITH s AS (SELECT doc_id, lang,
+              len(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS n_tok
+              FROM documents)
+            SELECT doc_id, lang, n_tok,
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                // 512 AS bin
+            FROM s"""),
+    (s, d) => graft.ops.Sampling.packSequences(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        shardCol = "lang", orderCol = "doc_id", sizeCol = "n_tok", budget = 512L)
+      .select("doc_id", "lang", "n_tok", "bin"))
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -473,6 +493,6 @@ object TrainingQueries {
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qSampleHash, qSampleSplit,
+    qAnnIvfProbe2, qAnnLsh, qSampleHash, qSampleSplit, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
 }

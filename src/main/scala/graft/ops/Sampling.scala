@@ -40,4 +40,25 @@ object Sampling {
         .when(b < lit(valEnd), "val")
         .otherwise("test"))
   }
+
+  /** Sequential sequence packing: assign each document a `bin` so that
+    * consecutive documents (ordered by `orderCol` within a `shardCol`
+    * partition) accumulate into ~`budget`-token context windows —
+    * `bin = floor(exclusive_prefix_sum(sizeCol) / budget)`, the streaming
+    * packing rule training pipelines use to fill fixed-size contexts.
+    *
+    * Sharding keeps this scalable: the running sum is a window per shard
+    * (one shuffle on the shard key), never a global single-task sort. A
+    * document larger than `budget` occupies its own bin(s) boundary like
+    * any run of documents would.
+    */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    sizeCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      (coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)) / budget)
+        .cast("long"))
+  }
 }

@@ -43,6 +43,36 @@ class DedupAnnSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("clusters: randomized graphs match a union-find reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> {
+      // root is the minimum of the component by construction of the merges?
+      // no — derive the true min per component explicitly
+      n -> find(n)
+    }).map(_._2).groupBy(_._2).flatMap { case (_, members) =>
+      val ids = members.map(_._1)
+      val m = ids.min
+      ids.map(_ -> m)
+    }
+    val got = graft.ops.Dedup.clusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val sh = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))

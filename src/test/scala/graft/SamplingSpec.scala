@@ -29,4 +29,18 @@ class SamplingSpec extends SparkSpec {
     val train = aFull.values.count(_ == "train").toDouble / 2000
     assert(train > 0.74 && train < 0.85, s"~80% train expected, got $train")
   }
+
+  test("packSequences bins by exclusive prefix sum within each shard") {
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), ("a", 4L, 100L),
+      ("b", 1L, 600L), ("b", 2L, 10L)
+    ).toDF("shard", "id", "n")
+    val got = Sampling.packSequences(docs, "shard", "id", "n", budget = 512L)
+      .select("shard", "id", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // shard a prefix sums: 0, 300, 600, 1100 -> bins 0, 0, 1, 2
+    // shard b prefix sums: 0, 600           -> bins 0, 1
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("a", 4L) -> 2L, ("b", 1L) -> 0L, ("b", 2L) -> 1L))
+  }
 }

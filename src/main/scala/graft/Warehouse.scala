@@ -138,6 +138,20 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
   /** The delegated-query surface, answered natively (A16). */
   def query(sql: String): DataFrame = spark.sql(sql)
 
+  /** Export a warehouse table for external consumers — the stand-in for
+    * the reference's SQLite/PostgreSQL/MySQL/Elasticsearch targets
+    * (`/root/reference/index.js:12-27`) in an environment with no
+    * database endpoints: `parquet` (columnar, default), `csv` (header,
+    * RFC-4180 quoting) or `json` (JSONL, the ES `_bulk`-friendly shape).
+    * On a cluster this is the same `df.write` a JDBC/ES sink would hang
+    * off; only the format token differs.
+    */
+  def export(table: String, path: String, format: String = "parquet"): Unit = {
+    require(Set("parquet", "csv", "json")(format), s"unsupported export format $format")
+    val w = spark.table(table).write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
+  }
+
   /** Persist a warehouse table hash-bucketed (and sorted) on `keys` — the
     * 100 TB join/aggregation layout: two tables bucketed the same way
     * equi-join with NO shuffle at read time (Catalyst sees the bucketing

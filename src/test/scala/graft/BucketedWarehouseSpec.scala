@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class BucketedWarehouseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("export round-trips a warehouse table through csv and jsonl") {
+    val wh = new Warehouse(spark, WarehouseOptions(database = "exp"))
+    (1L to 50L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v")
+      .createOrReplaceTempView("exp_t")
+    val dir = Files.createTempDirectory("wh-export")
+    wh.export("exp_t", s"$dir/csv", "csv")
+    wh.export("exp_t", s"$dir/json", "json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    val jsonl = spark.read.json(s"$dir/json")
+    assert(csv.count() == 50 && jsonl.count() == 50)
+    assert(csv.columns.sorted.toSeq == Seq("id", "name", "v"))
+    assert(jsonl.where(col("id") === 7).collect()(0).getAs[String]("name") == "n7")
+    intercept[IllegalArgumentException](wh.export("exp_t", s"$dir/x", "xml"))
+  }
+
   test("co-bucketed tables equi-join with no shuffle") {
     val wh = new Warehouse(spark, WarehouseOptions(database = "bwh"))
     val facts = (1L to 1000L).map(i => (i % 100, i, i * 1.5)).toDF("k", "fact_id", "v")

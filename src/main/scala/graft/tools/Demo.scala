@@ -55,6 +55,36 @@ object Demo {
          FROM emb e JOIN emb q ON q.vec_id = 0
          ORDER BY cos DESC, e.vec_id LIMIT 3""").show(false)
 
+    // Flow 5: training-data pipeline over the documents corpus — dedup
+    // clusters from LSH candidate pairs, deterministic split assignment,
+    // context packing
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.ops.Dedup.minhashCandidates(graft.ops.Dedup.minhash(docs))
+    println("DEDUP_CLUSTERS=" + graft.ops.Dedup.clusters(pairs).count())
+    val split = graft.ops.Sampling.assignSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) + ":" + r.getLong(1)).sorted.mkString(",")
+    println("SPLITS=" + split)
+    println("PACK_BINS=" + graft.ops.Sampling.packSequences(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit("all").as("shard"),
+        graft.functions.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n")),
+      "shard", "doc_id", "n", 512L)
+      .agg(org.apache.spark.sql.functions.max("bin")).collect()(0).getLong(0))
+
+    // Flow 6: as-of join — each event tagged with the user's latest order
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_orderkey"))
+    println("ASOF_MATCHED=" + graft.ops.AsOfJoin.asOf(ev, ord,
+      "user_id", "o_custkey", "ts", "ots", Seq("o_orderkey"), "o_orderkey").count())
+
     // Probes: bad selector and missing column fail cleanly
     try Warehouse.start(spark, s"$fixtures/samplechanges.txt",
       WarehouseOptions(database = "x", mangoSelector = Some("{bad")))

@@ -19,8 +19,29 @@ import org.apache.spark.sql.SparkSession
   * `--sql` runs the delegated-query half natively instead of printing
   * "now query your SQLite db". `--database` falls back to
   * `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin.js:4-5`.
+  * `--reset` (reference `-r`) wipes the persistent warehouse/checkpoint
+  * dirs before a monitor run; `--drop-fields a,b` is the declarative
+  * stand-in for `--transform` (the reference's JS hook file,
+  * `bin/couchwarehouse.bin.js:12`) covering its README's delete-field
+  * example — arbitrary hooks remain available to library users via
+  * `WarehouseOptions.transform`.
   */
 object CouchWarehouseCli {
+
+  // shared across rows on each executor; ObjectMapper is thread-safe for read+write
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** doc→doc transform dropping top-level fields (reference README.md
+    * transform example "delete a field").
+    */
+  private[tools] def dropFieldsHook(fields: Seq[String]): graft.ops.Transform.Hook =
+    graft.ops.Transform.jsonDocTransform { doc =>
+      mapper.readTree(doc) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          fields.foreach(o.remove); mapper.writeValueAsString(o)
+        case _ => doc
+      }
+    }
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -61,13 +82,28 @@ object CouchWarehouseCli {
     val wopts = WarehouseOptions(
       database = database,
       split = opts.get("split"),
-      mangoSelector = opts.get("query"))
+      mangoSelector = opts.get("query"),
+      transform = opts.get("drop-fields")
+        .map(fs => dropFieldsHook(fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        .getOrElse(graft.ops.Transform.identity))
 
     if (opts.contains("monitor")) {
       // continuous mode (reference monitor loop): tail the feed directory
       // as a stream of spool chunks into a persistent bucketed warehouse
       val whDir = opts.getOrElse("warehouse-dir", s"/tmp/graft-warehouse-$database")
       val ckDir = opts.getOrElse("checkpoint-dir", s"$whDir/_spark_checkpoint")
+      if (opts.contains("reset")) {
+        // reference --reset: ignore previously downloaded data, start again
+        Seq(whDir, ckDir).foreach { d =>
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => java.nio.file.Files.deleteIfExists(q))
+            finally s.close()
+          }
+        }
+      }
       val ingest = new graft.streaming.StreamIngest(spark, wopts, whDir)
       val q = ingest.start(feed, ckDir)
       q.awaitTermination()

@@ -25,11 +25,15 @@ object Bench {
     // touch each parquet file otherwise pays cold-disk reads that have
     // nothing to do with the query's cost.
     val dir = new java.io.File(sfDir)
-    if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-      val in = new java.io.FileInputStream(f)
-      val buf = new Array[Byte](1 << 20)
-      try { while (in.read(buf) >= 0) () } finally in.close()
-    }
+    if (dir.isDirectory)
+      dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { f =>
+        // best-effort: a warm-read failure must never abort the bench
+        try {
+          val in = new java.io.FileInputStream(f)
+          val buf = new Array[Byte](1 << 20)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        } catch { case _: java.io.IOException => () }
+      }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     // Per-query warmup at the smallest SF immediately before its timed run:
     // pays the one-off whole-stage codegen (janino) + JIT for that query

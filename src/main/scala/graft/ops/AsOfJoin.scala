@@ -51,28 +51,35 @@ object AsOfJoin {
     require(joinType == "inner" || joinType == "left",
       s"as-of join supports inner|left, got $joinType")
     val leftCols = left.columns.toSeq
-    val rightSchema = right.schema
-    def rnull(c: String): Column = lit(null).cast(rightSchema(c).dataType)
+    // the right row's carried columns travel as ONE struct so the window's
+    // last() picks them atomically — carrying each column independently
+    // with last(ignoreNulls) could stitch together values from DIFFERENT
+    // right rows whenever a right value column is NULL
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
 
     // leftTs/rightTs must already be in the same comparable unit (no cast
     // here — a silent timestamp→long cast would truncate to seconds)
     val lTagged = left.select(
       col(leftKey).as("_k") +: col(leftTs).as("_t") +: lit(1).as("_pri") +:
-        (leftCols.map(col) ++ rightValueCols.map(c => rnull(c).as(s"_r_$c"))): _*)
+        (leftCols.map(col) :+ lit(null).cast(rStructType).as("_r")): _*)
     val leftSchema = lTagged.schema
     def lnull(c: String): Column = lit(null).cast(leftSchema(c).dataType)
     val rTagged = right.select(
       col(rightKey).as("_k") +: col(rightTs).as("_t") +: lit(0).as("_pri") +:
-        (leftCols.map(c => lnull(c).as(c)) ++ rightValueCols.map(c => col(c).as(s"_r_$c"))): _*)
+        (leftCols.map(c => lnull(c).as(c)) :+
+          struct(rightValueCols.map(col): _*).as("_r")): _*)
 
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_pri").asc, col(s"_r_$tieBreak").asc_nulls_last)
+      .orderBy(col("_t").asc, col("_pri").asc,
+        col("_r").getField(tieBreak).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(c))
     val joined = lTagged.unionByName(rTagged)
-      .select(col("_pri") +: (leftCols.map(col) ++ carried): _*)
+      .select(col("_pri") +: leftCols.map(col) :+
+        last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
       .where(col("_pri") === 1)
-      .select((leftCols ++ rightValueCols).map(col): _*)
-    if (joinType == "inner") joined.where(col(tieBreak).isNotNull) else joined
+    val matched = if (joinType == "inner") joined.where(col("_rc").isNotNull) else joined
+    matched.select(leftCols.map(col) ++
+      rightValueCols.map(c => col("_rc").getField(c).as(c)): _*)
   }
 }

@@ -147,7 +147,9 @@ object Dedup {
     // strictly decreasing until the fixpoint — one cheap aggregate per
     // round instead of a join + count against the previous labels
     def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .agg(coalesce(
+        sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
       .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
@@ -170,6 +172,12 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    if (!done)
+      // a component with diameter > maxIter would exit with non-fixpoint
+      // labels; surface it rather than silently returning wrong clusters
+      System.err.println(
+        s"[dedup] clusters: NOT converged after $maxIter rounds — " +
+          "raise maxIter (labels are not yet per-component minima)")
     edges.unpersist()
     labels
   }
@@ -181,7 +189,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // cached: the distinct shingle set feeds three consumers (two sides of
-    // the intersection join + the size table) and is the expensive part
+    // the intersection join + the size table) and is the expensive part.
+    // Caller-managed lifetime (like minhashCandidates' signature cache):
+    // release with df.sparkSession.catalog.clearCache() / sh unpersist when
+    // the result has been materialized.
     val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs

@@ -98,7 +98,10 @@ object Multimodal {
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.select(
       col("media_id"), col("kind"),
-      substring(col("payload"), lit(1), lit(w * h)).as("payload"),
+      // non-image rows pass through untouched — only images are resized
+      when(col("kind") === "image",
+        substring(col("payload"), lit(1), lit(w * h)))
+        .otherwise(col("payload")).as("payload"),
       col("mime"),
       when(col("kind") === "image", lit(w)).otherwise(col("width")).as("width"),
       when(col("kind") === "image", lit(h)).otherwise(col("height")).as("height"),

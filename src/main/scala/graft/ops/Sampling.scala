@@ -25,8 +25,14 @@ object Sampling {
   /** Deterministic ≈`n`/256 sample: keeps rows whose bucket is below the
     * two-hex-digit `threshold` (e.g. "1a" → 26/256 ≈ 10.2%).
     */
-  def hashSample(df: DataFrame, keyCol: String, threshold: String): DataFrame =
+  private def requireHex2(name: String, v: String): Unit =
+    require(v.matches("[0-9a-f]{2}"),
+      s"$name must be two lowercase hex digits (the md5 bucket domain), got '$v'")
+
+  def hashSample(df: DataFrame, keyCol: String, threshold: String): DataFrame = {
+    requireHex2("threshold", threshold)
     df.where(hexBucket(col(keyCol)) < lit(threshold))
+  }
 
   /** Deterministic train/val/test assignment by hash bucket:
     * `[00, cc)` → train (204/256 ≈ 79.7%), `[cc, e6)` → val (≈ 10.2%),
@@ -34,6 +40,8 @@ object Sampling {
     */
   def assignSplit(df: DataFrame, keyCol: String,
                   trainEnd: String = "cc", valEnd: String = "e6"): DataFrame = {
+    requireHex2("trainEnd", trainEnd)
+    requireHex2("valEnd", valEnd)
     val b = hexBucket(col(keyCol))
     df.withColumn("split",
       when(b < lit(trainEnd), "train")

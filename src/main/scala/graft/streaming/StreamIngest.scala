@@ -135,22 +135,25 @@ final class StreamIngest(
     deleteRecursively(staging)
     state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
     Files.createDirectories(root)
-    val buckets = Files.list(staging).iterator()
-    while (buckets.hasNext) {
-      val src = buckets.next()
-      val name = src.getFileName.toString
-      if (name.startsWith("_bucket=")) {
-        // the retired name starts with '.', so Spark's file listing never
-        // picks it up even if a crash strands it
-        val target = root.resolve(name)
-        val retired = root.resolve(s".$name.old")
-        deleteRecursively(retired)
-        if (Files.exists(target))
-          Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(retired)
+    val listing = Files.list(staging)
+    try {
+      val buckets = listing.iterator()
+      while (buckets.hasNext) {
+        val src = buckets.next()
+        val name = src.getFileName.toString
+        if (name.startsWith("_bucket=")) {
+          // the retired name starts with '.', so Spark's file listing never
+          // picks it up even if a crash strands it
+          val target = root.resolve(name)
+          val retired = root.resolve(s".$name.old")
+          deleteRecursively(retired)
+          if (Files.exists(target))
+            Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(retired)
+        }
       }
-    }
+    } finally listing.close()
     deleteRecursively(staging)
   }
 
@@ -161,27 +164,25 @@ final class StreamIngest(
   private def recoverState(): Unit = {
     val root = Paths.get(stateDir)
     if (Files.isDirectory(root)) {
-      val it = Files.list(root).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.startsWith("._bucket=") && name.endsWith(".old")) {
-          val target = root.resolve(name.stripPrefix(".").stripSuffix(".old"))
-          if (Files.exists(target)) deleteRecursively(p)
-          else Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      val listing = Files.list(root)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("._bucket=") && name.endsWith(".old")) {
+            val target = root.resolve(name.stripPrefix(".").stripSuffix(".old"))
+            if (Files.exists(target)) deleteRecursively(p)
+            else Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          }
         }
-      }
+      } finally listing.close()
     }
     deleteRecursively(Paths.get(s"$warehouseDir/_state_staging"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally s.close()
-    }
+    StreamIngest.deleteRecursively(p)
 
   private def existingState(): Option[DataFrame] =
     if (Files.exists(Paths.get(stateDir)))
@@ -247,4 +248,15 @@ final class StreamIngest(
     }
   }
 
+}
+
+object StreamIngest {
+  /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally s.close()
+    }
 }

@@ -92,18 +92,10 @@ object CouchWarehouseCli {
       // as a stream of spool chunks into a persistent bucketed warehouse
       val whDir = opts.getOrElse("warehouse-dir", s"/tmp/graft-warehouse-$database")
       val ckDir = opts.getOrElse("checkpoint-dir", s"$whDir/_spark_checkpoint")
-      if (opts.contains("reset")) {
+      if (opts.contains("reset"))
         // reference --reset: ignore previously downloaded data, start again
-        Seq(whDir, ckDir).foreach { d =>
-          val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p)) {
-            val s = java.nio.file.Files.walk(p)
-            try s.sorted(java.util.Comparator.reverseOrder())
-              .forEach(q => java.nio.file.Files.deleteIfExists(q))
-            finally s.close()
-          }
-        }
-      }
+        Seq(whDir, ckDir).foreach(d =>
+          graft.streaming.StreamIngest.deleteRecursively(java.nio.file.Paths.get(d)))
       val ingest = new graft.streaming.StreamIngest(spark, wopts, whDir)
       val q = ingest.start(feed, ckDir)
       q.awaitTermination()

@@ -46,6 +46,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq(5.0))
   }
 
+  test("NULL right values never mix columns from different right rows") {
+    // latest quote has px=NULL: the carried (px, sz) must BOTH come from
+    // that row — not px from an older row and sz from the newer one
+    val q = Seq(
+      ("A", 10L, Some(1.0), 100L),
+      ("A", 20L, None, 200L)
+    ).toDF("sym", "qts", "px", "sz")
+    val tr = Seq((1L, "A", 30L)).toDF("trade_id", "sym", "tts")
+    val row = AsOfJoin.asOf(tr, q, "sym", "sym", "tts", "qts",
+        Seq("px", "sz"), tieBreak = "sz")
+      .select("px", "sz").collect()(0)
+    assert(row.isNullAt(0) && row.getLong(1) == 200L)
+  }
+
   test("randomized: matches the naive per-row definition (dense ties)") {
     // small key/time domains force heavy key and timestamp collisions
     val rnd = new scala.util.Random(42)

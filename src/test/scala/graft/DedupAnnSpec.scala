@@ -43,6 +43,12 @@ class DedupAnnSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("clusters: empty candidate-pair input yields an empty result, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.ops.Dedup.clusters(empty).count() == 0L)
+  }
+
   test("clusters: randomized graphs match a union-find reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -97,7 +97,7 @@ class TextMultimodalSpec extends SparkSpec {
     val resized = Multimodal.resize(Multimodal.synthesize(docs), w = 4, h = 8)
       .collect().map(r => r.getLong(0) ->
         ((r.getAs[Array[Byte]](2).length, r.get(4), r.get(5)))).toMap
-    assert(resized(3L) == ((32, 4, 8)))         // image: truncated + w/h set
-    assert(resized(4L) == ((32, null, null)))   // audio: dims untouched
+    assert(resized(3L) == ((32, 4, 8)))          // image: truncated + w/h set
+    assert(resized(4L) == ((100, null, null)))   // audio: fully untouched
   }
 }

@@ -314,6 +314,20 @@ object Queries {
       .saltedCountDistinct(t(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))
       .withColumnRenamed("k", "l_returnflag"))
 
+  /** Skew-proof replicated-right join ([[graft.ops.Skew.saltedJoin]]): hot
+    * left keys spread over salt buckets; must produce exactly the plain
+    * equi-join answer — the oracle is the unsalted SQL.
+    */
+  private val qSkewJoin = Q("q_skew_join",
+    Some("""SELECT l_orderkey AS k, l_linenumber, l_quantity, o_totalprice
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_orderkey < 500"""),
+    (s, d) => graft.ops.Skew.saltedJoin(
+      t(s, d, "lineitem").where(col("l_orderkey") < 500)
+        .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity")),
+      t(s, d, "orders").select(col("o_orderkey").as("k"), col("o_totalprice")),
+      key = "k"))
+
   // -------------------------------------------------------------- windows
 
   private val qWindowRownum = Q("q_window_rownum",
@@ -639,7 +653,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
-    qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct,
+    qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qPivot, qApprox, qMedian,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,

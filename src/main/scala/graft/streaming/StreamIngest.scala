@@ -228,10 +228,11 @@ final class StreamIngest(
 
   private def loadSchemas(): Unit =
     if (Files.exists(schemaDir)) {
-      Files.list(schemaDir).forEach { p =>
+      val listing = Files.list(schemaDir)
+      try listing.forEach { p =>
         val t = p.getFileName.toString.stripSuffix(".json")
         schemas(t) = SchemaDiscovery.discover(Files.readString(p))
-      }
+      } finally listing.close()
     }
 
   def checkpoint: Long =

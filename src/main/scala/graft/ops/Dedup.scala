@@ -125,27 +125,33 @@ object Dedup {
     * every member with the SMALLEST doc id in its component — the
     * canonical keeper a pipeline retains while dropping the rest.
     *
-    * Iterative min-label propagation (the hash-to-min scheme from the
-    * MapReduce connected-components literature — Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014): each
-    * round every node takes the min of its own and its neighbors' labels —
-    * one join + one groupBy shuffle per round, rounds = component
-    * diameter (tiny for near-dup clusters). The fixpoint (min node id per
-    * component) is unique, so the converged result is partitioning- and
-    * iteration-order-independent. Only the per-round change COUNT reaches
-    * the driver.
+    * Iterative min-label propagation with pointer doubling (the
+    * hash-to-min family from the MapReduce connected-components
+    * literature — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): each round every node takes the min of (its own
+    * label, its neighbors' labels, its LABEL'S label). The label-of-label
+    * hop squares the propagation distance, so rounds = O(log diameter)
+    * instead of O(diameter) — two joins + one groupBy shuffle per round.
+    * The fixpoint (min node id per component) is unique, so the converged
+    * result is partitioning- and iteration-order-independent. Each round
+    * runs exactly ONE Spark job: the labels are lazily local-checkpointed
+    * (truncating lineage) and materialized by the convergence aggregate.
+    * Only the per-round label SUM reaches the driver.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
-    // every endpoint appears as src (edges are bidirectional)
+    // every endpoint appears as src (edges are bidirectional); the lazy
+    // localCheckpoint is materialized by the first labelSum below
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     // convergence check: labels only ever decrease, so the label sum is
     // strictly decreasing until the fixpoint — one cheap aggregate per
-    // round instead of a join + count against the previous labels
+    // round instead of a join + count against the previous labels. This
+    // aggregate is also what materializes the round's checkpoint, so the
+    // whole round is a single job.
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(coalesce(
         sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
@@ -159,13 +165,22 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbl")), Seq("dst"))
         .groupBy("src").agg(min(col("nbl")).as("nbl_min"))
         .withColumnRenamed("src", "doc_id")
-      // localCheckpoint truncates the per-iteration lineage growth
+      // pointer doubling: follow my current label to ITS label. Every
+      // cluster_id is itself a node id present in `labels`, so the lookup
+      // is a self-join; left + coalesce keeps the row if the parent is
+      // missing (cannot happen at a fixpoint precursor, but harmless).
+      val parent = labels
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll"))
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
+        .join(parent, Seq("cluster_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbl_min"), col("cluster_id")))
+          least(
+            col("cluster_id"),
+            coalesce(col("nbl_min"), col("cluster_id")),
+            coalesce(col("ll"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       done = nextSum.compareTo(prevSum) == 0

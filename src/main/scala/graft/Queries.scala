@@ -648,14 +648,274 @@ object Queries {
           expr("(max(ts) - min(ts)) div 1000000000").as("duration_s"))
     })
 
+  /** Full outer join: per-nation customer vs supplier counts, each side
+    * filtered so some nations appear on only one side. Counts are
+    * coalesced to 0 (NULL-free output keeps both engines' result frames
+    * dtype-identical).
+    */
+  private val qJoinFull = Q("q_join_full",
+    Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+              count(*) AS customers
+              FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+            s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+              count(*) AS suppliers
+              FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+              coalesce(customers, 0) AS customers,
+              coalesce(suppliers, 0) AS suppliers
+            FROM c FULL JOIN s ON c.nationkey = s.nationkey"""),
+    (s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("customers"))
+      val sup = t(s, d, "supplier").where(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("suppliers"))
+      c.join(sup, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+    })
+
+  /** LEFT as-of join ([[graft.ops.AsOfJoin]] joinType="left"): events with
+    * no prior order survive with sentinel values. The carried columns are
+    * coalesced (-1 / -1.0) so both engines emit NULL-free, dtype-identical
+    * frames; the sentinel rows are exactly the left-outer surplus.
+    */
+  private val qJoinAsofLeft = Q("q_join_asof_left",
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
+            r AS (SELECT o_custkey, epoch_ns(o_orderdate) AS t,
+                    o_orderkey, o_totalprice FROM orders),
+            u AS (
+              SELECT o_custkey AS k, t, 0 AS pri, CAST(NULL AS BIGINT) AS event_id,
+                     o_orderkey, o_totalprice FROM r
+              UNION ALL
+              SELECT user_id AS k, t, 1 AS pri, event_id,
+                     CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) FROM l),
+            f AS (SELECT k, pri, event_id,
+                last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+                last_value(o_totalprice IGNORE NULLS) OVER w AS o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, pri, o_orderkey
+                ROWS UNBOUNDED PRECEDING))
+            SELECT event_id, k AS user_id,
+              coalesce(o_orderkey, -1) AS o_orderkey,
+              coalesce(o_totalprice, -1.0) AS o_totalprice
+            FROM f WHERE pri = 1"""),
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, d, "orders").select(col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "ots",
+          Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey",
+          joinType = "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
+    })
+
+  /** Binned range join ([[graft.ops.RangeJoin.binned]]): the hash
+    * equi-join rewrite of the point-in-interval join — the shape that
+    * survives an interval table too big to broadcast. The oracle is the
+    * plain range-predicate join (result-invariance of the rewrite).
+    */
+  private val qJoinRangeBinned = Q("q_join_range_binned",
+    Some("""SELECT band, count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events
+            JOIN (VALUES ('xs', 0.0, 25.0), ('s', 25.0, 75.0),
+                         ('m', 75.0, 160.0), ('l', 160.0, 320.0),
+                         ('xl', 320.0, 512.0)) b(band, lo, hi)
+              ON value >= lo AND value < hi
+            GROUP BY band"""),
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(("xs", 0.0, 25.0), ("s", 25.0, 75.0), ("m", 75.0, 160.0),
+        ("l", 160.0, 320.0), ("xl", 320.0, 512.0)).toDF("band", "lo", "hi")
+      graft.ops.RangeJoin.binned(t(s, d, "events"), "value", bands, "lo", "hi",
+          binWidth = 64.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    })
+
+  /** GROUPING SETS beyond rollup/cube: two independent single-column
+    * groupings in one pass, with grouping indicators. Expressed in Spark
+    * SQL (the reference's warehouse surface is SQL — `README.md:68`).
+    */
+  private val qGroupingSets = Q("q_grouping_sets",
+    Some("""SELECT o_orderstatus, o_orderpriority,
+            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+            count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""),
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+            count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders_gs
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    })
+
+  /** Unpivot (wide → long): per-flag quantity/price sums melted into
+    * (metric, amount) rows — `Dataset.unpivot`, the inverse of q_pivot.
+    */
+  private val qUnpivot = Q("q_unpivot",
+    Some("""WITH w AS (SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, 'qty' AS metric, qty AS amount FROM w
+            UNION ALL
+            SELECT l_returnflag, 'price' AS metric, price AS amount FROM w"""),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("qty"), dsum(col("l_extendedprice")).as("price"))
+      .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+        "metric", "amount"))
+
+  /** TPC-H Q3 shape (shipping-priority): selective dimension filter →
+    * two-fact join on the order key → grouped revenue → top-10. The
+    * headline multi-join: broadcast the filtered customer dimension,
+    * shuffle-join orders⋈lineitem on the key they share, top-k via
+    * TakeOrderedAndProject. Revenue uses the exact integer-cents pattern
+    * (see q_agg_group).
+    */
+  private val qTpchQ3 = Q("q_tpch_q3",
+    Some("""SELECT l_orderkey,
+            SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+            epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    (s, d) => {
+      val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate").cast("timestamp") < lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") > lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_orderpriority"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"))
+        .select("l_orderkey", "revenue", "odate_ms", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
+
+  /** Tumbling 1-hour windows over the event stream, batch form (`ts` is
+    * epoch-nanos — see `t()`). The continuous twin is
+    * [[graft.streaming.EventStream.windowedCounts]]; parity is asserted in
+    * EventStreamSpec.
+    */
+  private val qWindowTumbling = Q("q_window_tumbling",
+    Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+            count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events GROUP BY 1, 2"""),
+    (s, d) => t(s, d, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")))
+
+  /** Correlation / covariance / stddev from exact decimal power sums: the
+    * five sums Σx, Σy, Σx², Σy², Σxy accumulate as decimals (order-
+    * independent, engine-exact), and the closed-form moment formulas run
+    * once on the final doubles with an identical expression tree in both
+    * engines. Built-in `corr`/`stddev` use streaming one-pass updates
+    * whose float error differs per engine and per partitioning — they can
+    * never hash-match; this decomposition is how you get bit-stable
+    * second moments out of a distributed engine.
+    */
+  private val qCorr = Q("q_corr",
+    Some("""WITH s AS (SELECT l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                * CAST(l_quantity AS DECIMAL(17,4))) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+                * CAST(l_extendedprice AS DECIMAL(17,4))) AS DOUBLE) AS syy,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                * CAST(l_extendedprice AS DECIMAL(17,4))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+              (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp,
+              (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop_qp,
+              sqrt(n * sxx - sx * sx) / n AS stddev_pop_q
+            FROM s"""),
+    (s, d) => {
+      // product operands are (20,4) x (17,4): exact DECIMAL(37..38,8) in
+      // BOTH engines (DuckDB 1.0 does not widen a (18,4)x(18,4) multiply
+      // and overflows; Spark would cap a (19+,4) pair at precision 38 and
+      // silently round the scale)
+      def dec(c: Column) = c.cast(DecimalType(18, 4))
+      def decL(c: Column) = c.cast(DecimalType(20, 4))
+      def decR(c: Column) = c.cast(DecimalType(17, 4))
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(q)).cast("double").as("sx"),
+          sum(dec(p)).cast("double").as("sy"),
+          sum(decL(q) * decR(q)).cast("double").as("sxx"),
+          sum(decL(p) * decR(p)).cast("double").as("syy"),
+          sum(decL(q) * decR(p)).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n").cast("double") * col("n"))).as("covar_pop_qp"),
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n"))
+            .as("stddev_pop_q"))
+    })
+
+  /** KMV (k-minimum-values) distinct-count sketch, fully oracle-checkable
+    * unlike HLL (q_approx): the k smallest 32-bit md5 prefixes of the key
+    * estimate the distinct count as (k−1)/h₍ₖ₎ (Bar-Yossef et al.,
+    * "Counting distinct elements in a data stream", RANDOM 2002). The
+    * top-k plans as TakeOrderedAndProject — per-partition k-mins merged on
+    * the driver, the same merge a 1000-executor run does.
+    */
+  private val qDistinctKmv = Q("q_distinct_kmv",
+    Some("""WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS hx
+              FROM lineitem),
+            v AS (SELECT CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) AS hv FROM h),
+            k AS (SELECT hv FROM v ORDER BY hv LIMIT 64)
+            SELECT count(*) AS k, max(hv) AS kth_min,
+              63.0 * 4294967296.0 / max(hv) AS est_distinct
+            FROM k"""),
+    (s, d) => t(s, d, "lineitem")
+      .select(md5(col("l_partkey").cast("string")).as("hx")).distinct()
+      .select(conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hv"))
+      .orderBy(col("hv")).limit(64)
+      .agg(count(lit(1)).as("k"), max(col("hv")).as("kth_min"),
+        (lit(63.0) * lit(4294967296.0) / max(col("hv"))).as("est_distinct")))
+
   // ------------------------------------------------------------- registry
 
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
+    qJoinFull, qJoinAsofLeft, qJoinRangeBinned,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
-    qRollup, qCube, qPivot, qApprox, qMedian,
-    qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qSubquery, qArray,
+    qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
+    qCorr, qDistinctKmv, qTpchQ3,
+    qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
+    qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize)

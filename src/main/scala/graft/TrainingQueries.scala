@@ -489,10 +489,121 @@ object TrainingQueries {
       octet_length(col("text")).as("n_bytes"),
       upper(substring(hex(col("text").cast("binary")), 1, 16)).as("header_hex")))
 
+  /** TF-IDF ranked retrieval with corpus-wide document frequencies: tf per
+    * (doc, term), df per term over the whole corpus, rational idf
+    * `(N − df)/df` in fixed point (×10⁶, integer division) so the score is
+    * pure BIGINT arithmetic — order-independent and engine-exact, unlike a
+    * float `log(N/df)` whose libm bits differ per engine. Scale shape: one
+    * explode + two aggregations; the tiny df table broadcasts back onto
+    * the tf rows.
+    */
+  private val qSearchTfidf = Q("q_search_tfidf",
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            q(token) AS (VALUES ('merge'), ('join'), ('spark')),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+              FROM toks JOIN q USING (token) GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM toks JOIN q USING (token) GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id,
+              CAST(SUM(tf * ((1000000 * (n_docs - df)) // df)) AS BIGINT) AS score
+            FROM tf JOIN df USING (token) CROSS JOIN nd
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val terms = Seq("merge", "join", "spark").toDF("token")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(terms), Seq("token"))
+        .cache()
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), Seq("token"))
+        .join(broadcast(nDocs))
+        .groupBy("doc_id")
+        .agg(sum(expr("tf * ((1000000 * (n_docs - df)) div df)")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    })
+
+  /** MinHash Jaccard ESTIMATION (vs the exact q_ngram_jaccard): the
+    * estimated resemblance of a doc pair is the fraction of signature
+    * slots that agree (Broder 1997) — here over adjacent-id pairs so the
+    * estimate is directly comparable with q_ngram_jaccard's exact values.
+    * Integer agreement count / 4.0 — engine-exact.
+    */
+  private val qMinhashEst = Q("q_minhash_est",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0
+                 AS jaccard_est
+             FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1"""),
+    (s, d) => {
+      val sig = Dedup.minhash(t(s, d, "documents")).cache()
+      val a = sig.select(col("doc_id").as("id_a"),
+        col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+      val b = sig.select(col("doc_id").as("id_b"),
+        col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          (((0 until 4).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _)).cast("double") / 4.0).as("jaccard_est"))
+    })
+
+  /** Per-class centroid of the embedding corpus: the per-dimension mean,
+    * one row per (label, dim). Exactness: a float times 2²¹ is exact in
+    * double arithmetic wherever the result is an integer, and both
+    * engines round the identical exact double the same way, so the sums
+    * are pure BIGINT — order-independent — and the final division tree is
+    * identical. One explode + one aggregation; at 100 TB this is the
+    * map-side-combine-friendly layout (64 rows per vector, partial aggs
+    * collapse per label×dim before the shuffle).
+    */
+  private val qEmbedCentroid = Q("q_embed_centroid",
+    Some("""SELECT label, i - 1 AS dim,
+            CAST(CAST(SUM(CAST(round(embedding[CAST(i AS INT)] * 2097152.0) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 2097152.0 / count(*) AS mean_v
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY 1, 2"""),
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg((sum(round(col("v") * 2097152.0).cast("long")).cast("double")
+        / 2097152.0 / count(lit(1))).as("mean_v")))
+
+  /** Byte-histogram media features, the exact-integer companion of
+    * [[graft.ops.Multimodal.fakeDecode]] (same dims-bucketed accumulation;
+    * fakeDecode's float features are `feature/255`): payload byte `i`
+    * accumulates into dim `i % 8`. Pure expression tree (explode + sum) —
+    * map-side, codegen'd, payload never shuffled; the oracle mirrors it
+    * byte-for-byte (the corpus is ASCII, so `unicode(char) == byte`).
+    */
+  private val qMediaFeatures = Q("q_media_features",
+    Some("""SELECT doc_id, CAST((i - 1) % 8 AS BIGINT) AS dim,
+            CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS feature
+            FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+            WHERE text IS NOT NULL AND length(text) > 0
+            GROUP BY 1, 2"""),
+    (s, d) => t(s, d, "documents")
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))))).as(Seq("pos", "b")))
+      .groupBy(col("doc_id"), (col("pos") % 8).cast("long").as("dim"))
+      .agg(sum(col("b")).as("feature")))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qDedupEmbed, qDedupEmbedPairs, qAnnTopk, qAnnIvf, qAnnIvfSearch,
+    qNgramJaccard, qMinhashEst, qDedupEmbed, qDedupEmbedPairs,
+    qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qSampleHash, qSampleSplit, qPack,
-    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta)
+    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
+    qSearchTfidf, qEmbedCentroid, qMediaFeatures)
 }

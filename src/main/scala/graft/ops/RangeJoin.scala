@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join: point-in-interval joins as hash equi-joins.
+  *
+  * Spark plans a raw `p >= lo AND p < hi` join as
+  * BroadcastNestedLoopJoin — fine while the interval table fits in a
+  * broadcast, catastrophic (all-pairs) once it doesn't. This operator
+  * rewrites the join onto a fixed grid of width-`binWidth` bins:
+  *
+  *   1. each interval is replicated onto every bin it overlaps
+  *      (`explode(sequence(...))`, map-side, ⌈(hi−lo)/w⌉ copies);
+  *   2. each point maps to exactly ONE bin (`floor(p/w)`) — so the
+  *      equi-join on the bin key cannot duplicate a (point, interval)
+  *      match and needs no post-dedup;
+  *   3. the residual predicate `lo <= p < hi` filters false bin
+  *      neighbors inside the hash join.
+  *
+  * Cost: one shuffle of |points| + Σ⌈len/w⌉ rows on an integer key —
+  * AQE-skew-splittable, no broadcast requirement on either side. Pick
+  * `binWidth` near the median interval length (replication factor ~2).
+  * This is the standard interval-binning layout used by genomics range
+  * joiners and Flink/kdb window joins.
+  *
+  * Reference context: the reference delegates arbitrary `ON` predicates
+  * to its SQL targets (`/root/reference/README.md:68`); this is the
+  * shape that keeps them joinable at 100 TB.
+  */
+object RangeJoin {
+
+  /** @param points    fact side, one row per point value
+    * @param pointCol  numeric point column in `points`
+    * @param intervals interval side with [lo, hi) bounds; every interval
+    *                  must satisfy lo < hi
+    * @param loCol     inclusive lower-bound column in `intervals`
+    * @param hiCol     exclusive upper-bound column in `intervals`
+    * @param binWidth  grid width (> 0)
+    */
+  def binned(points: DataFrame, pointCol: String,
+             intervals: DataFrame, loCol: String, hiCol: String,
+             binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val w = lit(binWidth)
+    // last overlapped bin: ceil(hi/w)-1 handles both the grid-aligned and
+    // interior hi exactly (hi itself is exclusive)
+    val gridded = intervals
+      .where(col(loCol) < col(hiCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(loCol) / w).cast("long"),
+        (ceil(col(hiCol) / w) - 1).cast("long"))))
+    val binnedPoints = points.withColumn("_bin", floor(col(pointCol) / w).cast("long"))
+    binnedPoints
+      .join(gridded,
+        binnedPoints("_bin") === gridded("_bin") &&
+          col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

@@ -69,13 +69,30 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness captures only a 2000-char tail of stdout; a single JSON
+    // line carrying all per-query timings at full double precision outgrew
+    // it once the suite passed ~75 queries (head-truncated -> unparseable).
+    // So: full-precision per-query map goes to a side file, and stdout gets
+    // ONE compact line (3-decimal values, slowest queries only) that stays
+    // well inside the tail window.
+    def j(v: Double): String = f"$v%.3f"
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A query that throws must be visible in the JSON itself, not just on
     // stderr — a fast-failing query must not pass as a fast query.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val detailPath = "bench_queries.json"
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: java.io.IOException => () }
+    val slow = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${results.size},"queries":$slow,"failed":$failedJson,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -844,12 +844,12 @@ object Queries {
     Some("""WITH s AS (SELECT l_returnflag, count(*) AS n,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
-                * CAST(l_quantity AS DECIMAL(17,4))) AS DOUBLE) AS sxx,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
-                * CAST(l_extendedprice AS DECIMAL(17,4))) AS DOUBLE) AS syy,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
-                * CAST(l_extendedprice AS DECIMAL(17,4))) AS DOUBLE) AS sxy
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                * CAST(l_quantity AS DECIMAL(17,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+                * CAST(l_extendedprice AS DECIMAL(17,4))) AS VARCHAR) AS DOUBLE) AS syy,
+              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))
+                * CAST(l_extendedprice AS DECIMAL(17,4))) AS VARCHAR) AS DOUBLE) AS sxy
               FROM lineitem GROUP BY 1)
             SELECT l_returnflag, n,
               (n * sxy - sx * sy)
@@ -861,7 +861,12 @@ object Queries {
       // product operands are (20,4) x (17,4): exact DECIMAL(37..38,8) in
       // BOTH engines (DuckDB 1.0 does not widen a (18,4)x(18,4) multiply
       // and overflows; Spark would cap a (19+,4) pair at precision 38 and
-      // silently round the scale)
+      // silently round the scale).
+      // The scale-8 sums exceed 2^53 unscaled, where DuckDB's direct
+      // DECIMAL->DOUBLE cast (hugeint->double, then /1e8 — two roundings)
+      // can land 1 ulp off Spark's correctly-rounded BigDecimal cast; the
+      // oracle routes those casts through VARCHAR (strtod is correctly
+      // rounded) so both engines agree bit-for-bit.
       def dec(c: Column) = c.cast(DecimalType(18, 4))
       def decL(c: Column) = c.cast(DecimalType(20, 4))
       def decR(c: Column) = c.cast(DecimalType(17, 4))

@@ -76,52 +76,44 @@ object TrainingQueries {
             FROM votes GROUP BY doc_id"""),
     (s, d) => Dedup.simhash(t(s, d, "documents")))
 
-  /** SimHash near-dup pairs: block on either byte of the 16-bit signature
-    * (two docs within hamming distance ≤ 3 share at least one exact byte
-    * whenever the differing bits fall in one byte — a standard
-    * permute-and-block scheme), then verify with bit_count(xor). Pairwise
-    * work never leaves a block.
+  /** SimHash near-dup pairs at web-crawl scale: 64-bit signature split
+    * into four 16-bit blocks ([[Dedup.simhashBlocks]]) — any two docs
+    * within hamming distance 3 agree exactly on ≥1 block (pigeonhole), so
+    * blocking on each of the 4 block values (65,536 keys per family, vs
+    * the 256-key byte scheme of round 3) is exact-recall LSH whose bucket
+    * population shrinks as n/2^16. Verified with full-signature
+    * bit_count(xor) ≤ 3; pairwise work never leaves a block
+    * (Manku/Jain/Sarma, WWW 2007, §3).
     */
   private val qDedupSimhashPairs = Q("q_dedup_simhash_pairs",
-    Some("""WITH toks AS (SELECT doc_id,
-              md5(unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' '))) AS h
-              FROM documents),
+    Some("""WITH toks AS (SELECT doc_id, md5(tok) || md5('x' || tok) AS h
+              FROM (SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS tok
+                FROM documents)),
             votes AS (SELECT doc_id, b,
               sum(CASE WHEN substr(h, CAST(b AS INT) + 1, 1) < '8'
                   THEN 1 ELSE -1 END) AS v
-              FROM toks, UNNEST(range(0, 16)) AS t(b)
+              FROM toks, UNNEST(range(0, 64)) AS t(b)
               GROUP BY doc_id, b),
             sh AS (SELECT doc_id,
-              sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS s
+              CAST(sum(CASE WHEN v > 0 AND b // 16 = 0 THEN CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS s0,
+              CAST(sum(CASE WHEN v > 0 AND b // 16 = 1 THEN CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+              CAST(sum(CASE WHEN v > 0 AND b // 16 = 2 THEN CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN v > 0 AND b // 16 = 3 THEN CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS s3
               FROM votes GROUP BY doc_id),
             blocks AS (
-              SELECT doc_id, s, 0 AS blk, s % 256 AS key FROM sh
-              UNION ALL
-              SELECT doc_id, s, 1 AS blk, s // 256 AS key FROM sh),
+              SELECT doc_id, s0, s1, s2, s3, 0 AS blk, s0 AS key FROM sh
+              UNION ALL SELECT doc_id, s0, s1, s2, s3, 1, s1 FROM sh
+              UNION ALL SELECT doc_id, s0, s1, s2, s3, 2, s2 FROM sh
+              UNION ALL SELECT doc_id, s0, s1, s2, s3, 3, s3 FROM sh),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                a.s AS s_a, b.s AS s_b
+                bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+                  + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS hd
               FROM blocks a JOIN blocks b
                 ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b, bit_count(xor(s_a, s_b)) AS hamming
-            FROM cand WHERE bit_count(xor(s_a, s_b)) <= 3"""),
-    (s, d) => {
-      val sh = Dedup.simhash(t(s, d, "documents")).cache()
-      val blocks = sh.select(col("doc_id"), col("simhash"),
-          explode(array(
-            struct(lit(0).as("blk"), (col("simhash") % 256).as("key")),
-            struct(lit(1).as("blk"), (col("simhash") / 256).cast("long").as("key"))))
-            .as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
-      blocks.as("a").join(blocks.as("b2"),
-          col("a.blk") === col("b2.blk") && col("a.key") === col("b2.key") &&
-            col("a.doc_id") < col("b2.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b2.doc_id").as("id_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b2.simhash"))).as("hamming"))
-        // hamming is a function of the pair, so filtering BEFORE the
-        // dedup shuffle is equivalent and shrinks it
-        .where(col("hamming") <= 3)
-        .distinct()
-    })
+            SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming
+            FROM cand WHERE hd <= 3"""),
+    (s, d) => Dedup.simhashCandidates(Dedup.simhashBlocks(t(s, d, "documents"))))
 
   /** Duplicate-cluster resolution ([[Dedup.clusters]]): connected
     * components over the MinHash-LSH candidate-pair graph, each doc
@@ -183,47 +175,40 @@ object TrainingQueries {
       .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id")))
 
-  /** Embedding near-dup PAIRS: candidate pairs share a sign-LSH bucket
-    * (first 8 dims), verified by cosine above a threshold — pairwise work
-    * never leaves a bucket (O(Σ bucket²), not O(n²)). Threshold 0.25 keeps
-    * the result non-empty on this corpus; a production near-dup run uses
-    * ~0.9 with more hyperplanes.
+  /** Embedding near-dup PAIRS at scale: 16-hyperplane sign-LSH (65,536
+    * buckets — in-bucket pairwise work shrinks as n/2^16, surviving a
+    * 100× corpus where round 3's 8-bit/256-bucket scheme went quadratic)
+    * with single-bit MULTI-PROBE: each vector also probes the 16 buckets
+    * at hamming distance 1 (Lv et al., "Multi-probe LSH", VLDB 2007), so
+    * a near-dup pair straddling one hyperplane is still a candidate.
+    * Candidates verified by exact cosine above a threshold; pairwise work
+    * never leaves a (bucket, probe) key. Threshold 0.25 keeps the result
+    * non-empty on this corpus; a production near-dup run uses ~0.9.
     */
   private val qDedupEmbedPairs = Q("q_dedup_embed_pairs",
-    Some("""WITH b AS (SELECT vec_id,
+    Some(s"""WITH b AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
-              (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 1
-              + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2
-              + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 4
-              + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 8
-              + (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 16
-              + (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 32
-              + (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 64
-              + (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) * 128 AS bucket
+              ${signBucketSql("embedding", 16)} AS bucket
               FROM embeddings),
-            pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-              list_dot_product(a.ev, b2.ev)
-                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b2.ev, b2.ev))) AS cos
-              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            pr AS (SELECT vec_id, ev,
+              CASE WHEN i = 0 THEN bucket
+                   ELSE xor(bucket, CAST(power(2, i - 1) AS BIGINT)) END AS probe
+              FROM b, UNNEST(range(0, 17)) AS t(i)),
+            pairs AS (SELECT a.vec_id AS id_a, p.vec_id AS id_b,
+              list_dot_product(a.ev, p.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(p.ev, p.ev))) AS cos
+              FROM b a JOIN pr p ON a.bucket = p.probe AND a.vec_id < p.vec_id)
             SELECT id_a, id_b, cos FROM pairs WHERE cos > 0.25"""),
-    (s, d) => {
-      val b = t(s, d, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        Similarity.signBucket(col("embedding"), 8).as("bucket"))
-      b.as("a").join(b.as("b2"),
-          col("a.bucket") === col("b2.bucket") && col("a.vec_id") < col("b2.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"),
-          graft.functions.CosineSimilarity(col("a.embedding"), col("b2.embedding")).as("cos"))
-        .where(col("cos") > 0.25)
-    })
+    (s, d) => Ann.lshCandidatePairs(t(s, d, "embeddings"), bits = 16)
+      .where(col("cos") > 0.25))
 
   // -------------------------------------------------- similarity search
 
-  /** The 8-hyperplane sign-LSH bucket as oracle SQL (mirrors
+  /** The `bits`-hyperplane sign-LSH bucket as oracle SQL (mirrors
     * [[Similarity.signBucket]]).
     */
-  private def signBucketSql(c: String): String =
-    (0 until 8).map(b => s"(CASE WHEN $c[${b + 1}] >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+  private def signBucketSql(c: String, bits: Int = 8): String =
+    (0 until bits).map(b => s"(CASE WHEN $c[${b + 1}] >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
       .mkString("\n              + ")
 
   /** The ANN oracles mirror the native [[graft.functions.CosineSimilarity]]

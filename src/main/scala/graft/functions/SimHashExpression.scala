@@ -12,11 +12,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit b set when the vote sum is positive. Pure map-side — replaces the
   * token×bit explode + two groupBys in the DataFrame formulation with
   * zero shuffles, bit-identical output (same digests, same vote rule).
+  *
+  * Bits 32–63 vote on the nibbles of a SECOND digest, `md5("x" + token)`
+  * (oracle mirror: `substr(md5(tok) || md5('x' || tok), b+1, 1)`), so a
+  * 64-bit signature still costs a constant number of digests per token.
+  * For `bits <= 32` output is bit-identical to previous rounds.
   */
 case class SimHashSignature(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(bits >= 1 && bits <= 32, "bit votes derive from one md5: max 32 hex nibbles")
+  require(bits >= 1 && bits <= 64, "bit votes derive from two md5s: max 64 hex nibbles")
 
   override def dataType: DataType = LongType
 
@@ -37,9 +42,15 @@ case class SimHashSignature(child: Expression, bits: Int)
       md.reset()
       val hex = MinHashSignature.toHex(
         md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val hex2 = if (bits <= 32) null else {
+        md.reset()
+        MinHashSignature.toHex(
+          md.digest(("x" + toks(i)).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
       var b = 0
       while (b < bits) {
-        if (hex.charAt(b) < '8') votes(b) += 1 else votes(b) -= 1
+        val c = if (b < 32) hex.charAt(b) else hex2.charAt(b - 32)
+        if (c < '8') votes(b) += 1 else votes(b) -= 1
         b += 1
       }
       i += 1

@@ -92,6 +92,31 @@ object Ann {
       .limit(k)
   }
 
+  /** Sign-LSH near-dup candidate pairs with single-bit multi-probe:
+    * vectors are bucketed by [[Similarity.signBucket]] over `bits`
+    * hyperplanes (2^bits keys — at 16 bits the in-bucket pairwise work
+    * shrinks as n/65536, surviving a 100× corpus), and a pair is a
+    * candidate when the buckets are within hamming distance 1: each
+    * vector probes its own bucket plus the `bits` one-bit flips (Lv et
+    * al., "Multi-probe LSH", VLDB 2007), recovering the recall a single
+    * straddled hyperplane would cost. Pairwise cosine work never leaves a
+    * bucket key, and a pair matches exactly one probe (probe values are
+    * distinct), so no dedup pass follows the join. Returns
+    * `(id_a, id_b, cos)` with `id_a < id_b`; threshold downstream.
+    */
+  def lshCandidatePairs(vectors: DataFrame, bits: Int = 16,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = vectors.select(col(idCol), col(vecCol),
+      Similarity.signBucket(col(vecCol), bits).as("_bucket"))
+    val probes = base.select(col(idCol), col(vecCol),
+      explode(array(col("_bucket") +:
+        (0 until bits).map(i => col("_bucket").bitwiseXOR(lit(1L << i))): _*)).as("_probe"))
+    base.as("a").join(probes.as("p"),
+        col("a._bucket") === col("p._probe") && col(s"a.$idCol") < col(s"p.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"p.$idCol").as("id_b"),
+        graft.functions.CosineSimilarity(col(s"a.$vecCol"), col(s"p.$vecCol")).as("cos"))
+  }
+
   /** Spherical k-means centroid training (Lloyd's iterations with cosine
     * assignment): the real "train" step for the IVF index.
     *

@@ -90,17 +90,46 @@ object Dedup {
     * of the expensive shingle explode and would otherwise be recomputed for
     * every join branch. Bands are unpivoted into (id, band) rows so all
     * bands go through ONE shuffle + join instead of one join per band.
+    *
+    * Degenerate-band guard: a band value shared by millions of docs (e.g.
+    * boilerplate repeated verbatim across a crawl) would create ONE
+    * quadratic bucket and stall the whole stage. Bands whose population
+    * exceeds `maxBandPopulation` are excluded from the pairwise join —
+    * their members are near-certain duplicates and belong in the cheap
+    * linear path instead ([[exact]] dedup / direct same-band clustering;
+    * enumerate them with [[oversizedBands]]). The guard costs one
+    * aggregation on the band key the join shuffles on anyway.
     */
   def minhashCandidates(sig0: DataFrame, numBands: Int = 2,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        maxBandPopulation: Long = 10000L): DataFrame = {
     val sig = sig0.cache()
     val bandCols = (0 until numBands).map(b => col(s"band$b"))
     val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
-    bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band"))
+    val keep = bands.groupBy("band")
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBandPopulation)
+      .select("band")
+    val bounded = bands.join(keep, Seq("band"))
+    bounded.as("a")
+      .join(bounded.as("b"), col("a.band") === col("b.band"))
       .where(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Bands diverted by [[minhashCandidates]]'s population guard:
+    * (band, population) for every band above the threshold. A pipeline
+    * routes these members through exact dedup (sharing a full band at that
+    * multiplicity means near-identical content) instead of pairwise work.
+    */
+  def oversizedBands(sig0: DataFrame, numBands: Int = 2,
+                     idCol: String = "doc_id",
+                     maxBandPopulation: Long = 10000L): DataFrame = {
+    val bandCols = (0 until numBands).map(b => col(s"band$b"))
+    sig0.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("population"))
+      .where(col("population") > maxBandPopulation)
   }
 
   /** SimHash: `bits`-bit signature from per-token md5 bit votes. Two docs
@@ -119,6 +148,54 @@ object Dedup {
     docs.where(col(textCol).isNotNull)
       .select(col(idCol),
         graft.functions.SimHashSignature(col(textCol), bits).as("simhash"))
+
+  /** 64-bit SimHash split into four 16-bit blocks `s0..s3` (low block
+    * first) — the permute-and-block layout of Manku/Jain/Sarma, "Detecting
+    * near-duplicates for web crawling" (WWW 2007, §3): any two signatures
+    * within hamming distance 3 agree EXACTLY on at least one of the four
+    * blocks (pigeonhole), so each block value is an LSH key with 2^16
+    * distinct values per block family — candidate buckets shrink as
+    * n/2^16, not n/2^8, and the in-bucket pairwise work survives a 100×
+    * corpus. Pure map-side (one signature expression + bit slicing).
+    */
+  def simhashBlocks(docs: DataFrame, bits: Int = 64, blockBits: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bits % blockBits == 0, s"bits=$bits must be a multiple of blockBits=$blockBits")
+    val nb = bits / blockBits
+    val mask = (1L << blockBits) - 1
+    val sig = simhash(docs, bits, idCol, textCol)
+    sig.select(col(idCol) +: col("simhash") +:
+      (0 until nb).map(k =>
+        shiftrightunsigned(col("simhash"), blockBits * k).bitwiseAND(lit(mask))
+          .as(s"s$k")): _*)
+  }
+
+  /** SimHash near-dup candidate pairs from [[simhashBlocks]] output:
+    * block-local self-join on each of the `numBlocks` block keys, verified
+    * by full-signature hamming distance ≤ `maxHamming`. Exact recall for
+    * `maxHamming < numBlocks` (pigeonhole over the blocks); pairwise work
+    * never leaves a (block-index, block-value) bucket.
+    */
+  def simhashCandidates(sig0: DataFrame, numBlocks: Int = 4, maxHamming: Int = 3,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < numBlocks,
+      s"recall guarantee needs maxHamming < numBlocks (got $maxHamming >= $numBlocks)")
+    val sig = sig0.cache()
+    val blocks = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until numBlocks).map(k =>
+        struct(lit(k).as("blk"), col(s"s$k").as("key"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
+    blocks.as("a")
+      .join(blocks.as("b2"),
+        col("a.blk") === col("b2.blk") && col("a.key") === col("b2.key") &&
+          col(s"a.$idCol") < col(s"b2.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b2.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b2.simhash"))).cast("long").as("hamming"))
+      // hamming is a function of the pair, so filtering BEFORE the dedup
+      // shuffle is equivalent and shrinks it
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Duplicate-cluster resolution: connected components over a
     * candidate-pair graph (e.g. [[minhashCandidates]] output), labeling
@@ -182,6 +259,10 @@ object Dedup {
             .as("cluster_id"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
+      // the superseded round's checkpoint blocks are dead once `next` is
+      // materialized — release them instead of accumulating O(log diameter)
+      // cached label tables for the life of the session
+      labels.unpersist(false)
       labels = next
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -137,6 +137,88 @@ class DedupAnnSpec extends SparkSpec {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
   }
 
+  test("simhashCandidates: blocked pairs EQUAL brute-force hamming<=3 pairs " +
+       "on a seeded near-dup corpus (exact recall via 4x16 pigeonhole)") {
+    // 40 base docs of ~400 random tokens; each gets a variant with one
+    // token appended — the vote sums shift by ±1 per bit, flipping only
+    // bits whose sum sat at 0/±1, so variants land a few hamming bits away
+    // (some within <=3, exercising the recall path) — plus exact dups
+    // (hamming 0) and unrelated docs.
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val docs = (0 until 40).flatMap { i =>
+      val base = Seq.fill(400)(words(rnd.nextInt(words.length))).mkString(" ")
+      Seq((i * 3L, base),
+        (i * 3L + 1, base + " " + words(rnd.nextInt(words.length))),
+        (i * 3L + 2, base)) // exact dup of base
+    }.toDF("doc_id", "text")
+    val sig = Dedup.simhashBlocks(docs).cache()
+    val blocked = Dedup.simhashCandidates(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the full signature table (test-only; 118 docs)
+    val sigs = sig.select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(blocked == brute)
+    assert(brute.values.exists(_ == 0), "corpus must contain exact dups")
+    assert(brute.values.exists(h => h >= 1 && h <= 3),
+      "corpus must contain non-identical near-dups within hamming 3")
+    sig.unpersist()
+  }
+
+  test("minhashCandidates: oversized-band guard diverts a degenerate " +
+       "boilerplate band instead of going quadratic inside it") {
+    // 200 identical boilerplate docs (all 4 minhash slots equal -> both
+    // bands shared by all 200) + the 5-doc corpus above
+    val boiler = (100L until 300L).map(i => (i, "shared boilerplate text " +
+      "repeated verbatim across the whole crawl corpus every single time"))
+    val docs = (corpus.collect().map(r => (r.getLong(0), r.getString(1))) ++ boiler)
+      .toSeq.toDF("doc_id", "text")
+    val sig = Dedup.minhash(docs)
+    val over = Dedup.oversizedBands(sig, maxBandPopulation = 50)
+      .collect().map(r => r.getLong(1))
+    assert(over.length == 2 && over.forall(_ == 200L)) // band0 + band1
+    val pairs = Dedup.minhashCandidates(sig, maxBandPopulation = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate pairs diverted (200*199/2 of them); organic dups kept
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 100L))
+    // default threshold keeps them (population 200 < 10000)
+    val unguarded = Dedup.minhashCandidates(sig)
+    assert(unguarded.where($"id_a" >= 100L).count() == 200L * 199 / 2)
+  }
+
+  test("lshCandidatePairs: multi-probe recovers bucket-hamming-1 pairs, " +
+       "excludes hamming-2, never duplicates a pair") {
+    // 16+ dims so the full 16-bit bucket is defined; sign pattern of dims
+    // 0..15 IS the bucket
+    def v(signs: Int*): Array[Float] = {
+      val a = Array.fill(18)(0.5f)
+      signs.foreach(i => a(i) = -0.5f)
+      a
+    }
+    val evecs = Seq(
+      (0L, v()),      // bucket 0xFFFF
+      (1L, v()),      // same bucket (hamming 0)
+      (2L, v(3)),     // hamming 1 -> candidate via probe
+      (3L, v(3, 7)),  // hamming 2 from 0L -> NOT a candidate of 0/1
+      (4L, v(7))      // hamming 1 of 0L; hamming 2 of 2L
+    ).toDF("vec_id", "embedding")
+    val got = Ann.lshCandidatePairs(evecs, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.distinct.size == got.size, "a pair must match exactly one probe")
+    val set = got.toSet
+    assert(set.contains((0L, 1L)) && set.contains((0L, 2L)) && set.contains((0L, 4L)))
+    assert(set.contains((1L, 2L)) && set.contains((1L, 4L)))
+    assert(set.contains((2L, 3L)) && set.contains((3L, 4L))) // hamming 1 each
+    assert(!set.contains((0L, 3L)) && !set.contains((2L, 4L))) // hamming 2
+  }
+
   test("k-means training recovers planted clusters") {
     import org.apache.spark.sql.functions.col
     // two tight clusters around +x and +y, plus the 4 seed vectors

@@ -889,26 +889,33 @@ object Queries {
     })
 
   /** KMV (k-minimum-values) distinct-count sketch, fully oracle-checkable
-    * unlike HLL (q_approx): the k smallest 32-bit md5 prefixes of the key
-    * estimate the distinct count as (k−1)/h₍ₖ₎ (Bar-Yossef et al.,
-    * "Counting distinct elements in a data stream", RANDOM 2002). The
-    * top-k plans as TakeOrderedAndProject — per-partition k-mins merged on
-    * the driver, the same merge a 1000-executor run does.
+    * unlike HLL (q_approx): the k smallest distinct 32-bit md5 prefixes of
+    * the key estimate the distinct count as (k−1)·2³²/h₍ₖ₎ (Bar-Yossef et
+    * al., "Counting distinct elements in a data stream", RANDOM 2002).
+    * True sketch layout via [[graft.functions.BottomKDistinct]]: every
+    * partition keeps only its k smallest distinct hashes and just those
+    * merge at one point — NO shuffle of the full distinct key set (the
+    * previous `distinct().orderBy().limit()` form shuffled every distinct
+    * md5 before truncating; at 100 TB that shuffle IS the query). The
+    * estimator numerator uses the actual retained count, so a corpus with
+    * fewer than k distinct hashes still estimates correctly.
     */
   private val qDistinctKmv = Q("q_distinct_kmv",
-    Some("""WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS hx
+    Some("""WITH v AS (SELECT DISTINCT
+              CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
               FROM lineitem),
-            v AS (SELECT CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) AS hv FROM h),
             k AS (SELECT hv FROM v ORDER BY hv LIMIT 64)
             SELECT count(*) AS k, max(hv) AS kth_min,
-              63.0 * 4294967296.0 / max(hv) AS est_distinct
+              (count(*) - 1) * 4294967296.0 / max(hv) AS est_distinct
             FROM k"""),
     (s, d) => t(s, d, "lineitem")
-      .select(md5(col("l_partkey").cast("string")).as("hx")).distinct()
-      .select(conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hv"))
-      .orderBy(col("hv")).limit(64)
+      .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("hv"))
+      .agg(graft.functions.BottomKDistinct(col("hv"), 64).as("ks"))
+      .select(explode(col("ks")).as("hv"))
       .agg(count(lit(1)).as("k"), max(col("hv")).as("kth_min"),
-        (lit(63.0) * lit(4294967296.0) / max(col("hv"))).as("est_distinct")))
+        ((count(lit(1)) - 1).cast("double") * lit(4294967296.0) / max(col("hv")))
+          .as("est_distinct")))
 
   // ------------------------------------------------------------- registry
 

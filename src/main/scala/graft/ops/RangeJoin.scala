@@ -43,13 +43,17 @@ object RangeJoin {
              binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
-    // last overlapped bin: ceil(hi/w)-1 handles both the grid-aligned and
-    // interior hi exactly (hi itself is exclusive)
+    // last overlapped bin: floor(hi/w) INCLUSIVE, not ceil(hi/w)-1. The
+    // two agree for interior hi, but for a point p just under hi with a
+    // non-power-of-two width, fl(p/w) can round UP to exactly fl(hi/w) —
+    // with ceil(hi/w)-1 the interval would not be replicated into that
+    // bin and a true match silently dropped. The one extra grid-aligned
+    // bin this replicates is filtered by the residual predicate.
     val gridded = intervals
       .where(col(loCol) < col(hiCol))
       .withColumn("_bin", explode(sequence(
         floor(col(loCol) / w).cast("long"),
-        (ceil(col(hiCol) / w) - 1).cast("long"))))
+        floor(col(hiCol) / w).cast("long"))))
     val binnedPoints = points.withColumn("_bin", floor(col(pointCol) / w).cast("long"))
     binnedPoints
       .join(gridded,

@@ -152,6 +152,20 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
     (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
   }
 
+  /** Export a warehouse table into a SQL database via executor-parallel
+    * transactional upserts, then advance its checkpoint row — the
+    * reference's SQLite/PostgreSQL/MySQL targets proper
+    * (`/root/reference/lib/sqlite.js:55-121`), completing [[export]]'s
+    * file formats with a real JDBC sink ([[graft.sinks.JdbcUpsertSink]]).
+    */
+  def exportJdbc(table: String, url: String, jdbcTable: String,
+                 keyCol: String = "id",
+                 connProps: Map[String, String] = Map.empty): Unit = {
+    graft.sinks.JdbcUpsertSink.upsert(spark.table(table), url, jdbcTable, keyCol,
+      connProps = connProps)
+    graft.sinks.JdbcUpsertSink.writeCheckpoint(url, jdbcTable, lastSeq, connProps)
+  }
+
   /** Persist a warehouse table hash-bucketed (and sorted) on `keys` — the
     * 100 TB join/aggregation layout: two tables bucketed the same way
     * equi-join with NO shuffle at read time (Catalyst sees the bucketing

@@ -19,8 +19,10 @@ import scala.jdk.CollectionConverters._
   * plus the array/type operators `$size $all $elemMatch $mod $type`.
   * Array-valued operators act on the warehouse's array storage form —
   * JSON-string columns (§1.2: arrays are stored stringified); `$elemMatch`
-  * on the Column side supports scalar-element conditions (object-element
-  * matches need the document-side evaluator used by the DSv2 source).
+  * supports both scalar-element conditions (`{"$gt": 5}`) and
+  * object-element sub-selectors (`{"qty": {"$gte": 2}}`), all conditions
+  * holding on the same element, in BOTH the Column compiler and the
+  * document-side evaluator.
   *
   * Invalid selector JSON and a nested `{"selector": …}` wrapper are rejected
   * (reference `index.js:202-214` validates the same way and exits).
@@ -107,6 +109,15 @@ object Mango {
   private def sampleValue(v: JsonNode): JsonNode =
     if (v.isArray && v.size() > 0) v.get(0) else v
 
+  private val Combinators = Set("$and", "$or", "$nor", "$not")
+
+  /** An `$elemMatch` argument whose keys are all VALUE operators applies
+    * to a scalar element directly; anything else (field conditions or
+    * combinators) is a sub-selector over an object element.
+    */
+  private def scalarElemMatch(v: JsonNode): Boolean =
+    v.fieldNames().asScala.forall(k => k.startsWith("$") && !Combinators(k))
+
   private def compileOp(c: Column, op: String, v: JsonNode): Column = op match {
     case "$eq"     => c === literal(v)
     case "$ne"     => c =!= literal(v)
@@ -128,19 +139,28 @@ object Mango {
       v.elements().asScala.map(e => array_contains(arr, e.asText))
         .reduceOption(_ && _).getOrElse(lit(true))
     case "$elemMatch" =>
-      if (v.fieldNames().asScala.exists(!_.startsWith("$")))
-        throw MangoException(
-          "$elemMatch on object elements is only supported document-side " +
-            "(DSv2 source selector); Column-side supports scalar conditions")
+      // from_json to array<string> keeps object elements as their raw JSON
+      // text, so both element shapes compile over one parse
       val arr = from_json(c, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
-      exists(arr, e =>
-        v.properties().asScala.map { f =>
-          // try_cast: non-numeric elements become NULL and fail the
-          // comparison instead of raising under ANSI mode
-          val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else (e: Column)
-          compileOp(cast, f.getKey, f.getValue)
-        }.reduceOption(_ && _).getOrElse(lit(true)))
+      if (scalarElemMatch(v))
+        // scalar-element conditions: {"$gt": 5} against each element
+        exists(arr, e =>
+          v.properties().asScala.map { f =>
+            // try_cast: non-numeric elements become NULL and fail the
+            // comparison instead of raising under ANSI mode
+            val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else (e: Column)
+            compileOp(cast, f.getKey, f.getValue)
+          }.reduceOption(_ && _).getOrElse(lit(true)))
+      else
+        // object-element conditions: the condition is a full sub-selector
+        // evaluated against each element object — ALL conditions must hold
+        // on the SAME element (CouchDB semantics, mirrored from the
+        // document-side evaluator below). Fields resolve via
+        // get_json_object on the element's JSON text; non-object elements
+        // never match (evalDoc's `e.isObject` guard — matters under
+        // negation, where a sub-$nor would otherwise select them).
+        exists(arr, e => e.startsWith("{") && compileObject(v, jsonResolver(e)))
     case "$type" =>
       val t = v.asText
       val tf = typeof(c)
@@ -224,7 +244,7 @@ object Mango {
         fv.get.elements().asScala.exists(e => cmp(e, want).contains(0)))
     case "$elemMatch" =>
       fv.get.isArray && fv.get.elements().asScala.exists { e =>
-        if (v.fieldNames().asScala.forall(_.startsWith("$")))
+        if (scalarElemMatch(v))
           v.properties().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
         else e.isObject && evalDoc(v, e)
       }

@@ -1,0 +1,224 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** JDBC upsert sink: the reference's SQL write targets re-expressed for
+  * Spark's execution model.
+  *
+  * The reference streams each `_changes` batch into SQLite / PostgreSQL /
+  * MySQL with per-document upserts and per-batch transactions
+  * (`/root/reference/lib/sqlite.js:55-121`, `lib/postgresql.js:91`,
+  * `lib/mysql.js:104`), plus a `couchwarehouse_checkpoints` side table
+  * (`lib/sqlite.js:138-170`). Here the same contract is distributed:
+  *
+  *   - **Executor-parallel writes.** Each input partition opens its own
+  *     connection and commits ONE transaction of batched
+  *     `DELETE`-by-key + `INSERT` statements — the dialect-neutral upsert
+  *     (works on Derby/SQLite/PG/MySQL alike, no MERGE/ON CONFLICT
+  *     dialect fork). With the warehouse's compacted tables (one row per
+  *     id — [[graft.ops.Compact]]) the result is last-writer-wins,
+  *     exactly the reference's `INSERT OR REPLACE`.
+  *   - **Idempotent, so replay-safe.** Re-upserting the same rows is a
+  *     no-op; a failed/repeated micro-batch (streaming `foreachBatch`
+  *     replay after crash) converges to the same table — the distributed
+  *     stand-in for the reference's single-connection batch transaction.
+  *   - **Deletes.** Rows flagged in a `deleted` column are applied as
+  *     `DELETE`s (reference A11), everything else as upserts.
+  *
+  * Driver-side work is only DDL (create-if-missing via JDBC metadata) and
+  * the checkpoint row; all row traffic flows executor→database in
+  * parallel. At 100 TB the bottleneck is the database's ingest path, not
+  * Spark: partition count = connection parallelism, `batchSize` = rows
+  * per round trip.
+  */
+object JdbcUpsertSink {
+
+  /** Spark→SQL type mapping extending the reference's three logical types
+    * (`lib/schema.js:9-11`: string/number/boolean → TEXT/REAL/BOOLEAN)
+    * with the integer/timestamp types the Spark warehouse carries.
+    * VARCHAR over TEXT keeps Derby (no TEXT type) and MySQL index rules
+    * happy; 4000 mirrors common row-size limits.
+    */
+  def sqlType(dt: DataType): String = dt match {
+    case BooleanType                           => "BOOLEAN"
+    case ByteType | ShortType | IntegerType
+         | LongType                            => "BIGINT"
+    case FloatType | DoubleType                => "DOUBLE"
+    case _: DecimalType                        => "DOUBLE"
+    case TimestampType                         => "TIMESTAMP"
+    case DateType                              => "DATE"
+    case _                                     => "VARCHAR(4000)"
+  }
+
+  /** `java.sql.Types` code per Spark type — strict JDBC drivers (Derby)
+    * reject `setNull(i, Types.NULL)` and need the column's real code.
+    */
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case BooleanType                           => java.sql.Types.BOOLEAN
+    case ByteType | ShortType | IntegerType
+         | LongType                            => java.sql.Types.BIGINT
+    case FloatType | DoubleType
+         | (_: DecimalType)                    => java.sql.Types.DOUBLE
+    case TimestampType                         => java.sql.Types.TIMESTAMP
+    case DateType                              => java.sql.Types.DATE
+    case _                                     => java.sql.Types.VARCHAR
+  }
+
+  private val Ident = "[A-Za-z][A-Za-z0-9_]*".r
+
+  private def checkIdent(name: String): String = name match {
+    case Ident() => name
+    case other   => throw new IllegalArgumentException(
+      s"unsafe SQL identifier '$other' (sanitize first — graft.ops.Split.sanitize)")
+  }
+
+  private def connect(url: String, props: Map[String, String]): java.sql.Connection = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, p)
+  }
+
+  /** Create `table` for `schema` if it does not exist (checked via JDBC
+    * metadata — dialect-neutral, unlike CREATE TABLE IF NOT EXISTS).
+    * `keyCol` becomes the primary key, VARCHAR(255) for string keys so
+    * index-length-limited targets accept it (reference
+    * `lib/mysql.js:58-60`).
+    */
+  def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
+                  connProps: Map[String, String] = Map.empty): Unit = {
+    require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
+    val conn = connect(url, connProps)
+    try {
+      if (!tableExists(conn, table)) {
+        val cols = schema.fields.map { f =>
+          val t = if (f.name == keyCol && f.dataType == StringType) "VARCHAR(255)"
+                  else sqlType(f.dataType)
+          val nn = if (f.name == keyCol) " NOT NULL" else ""
+          s"${checkIdent(f.name)} $t$nn"
+        }
+        val ddl = s"CREATE TABLE ${checkIdent(table)} (${cols.mkString(", ")}, " +
+          s"PRIMARY KEY (${checkIdent(keyCol)}))"
+        val st = conn.createStatement()
+        try st.executeUpdate(ddl) finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next()) found =
+        rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally rs.close()
+  }
+
+  /** Upsert `df` into `table` keyed on `keyCol` (last-writer-wins given
+    * one row per key, e.g. [[graft.ops.Compact]] output). When
+    * `deletedCol` is set, rows with that column true are DELETEd instead
+    * of inserted (reference delete application, A11). One transaction of
+    * batched statements per partition, executor-side.
+    */
+  def upsert(df: DataFrame, url: String, table: String, keyCol: String = "id",
+             deletedCol: Option[String] = None,
+             connProps: Map[String, String] = Map.empty,
+             batchSize: Int = 500): Unit = {
+    val dataSchema = StructType(df.schema.fields.filterNot(f => deletedCol.contains(f.name)))
+    ensureTable(url, table, dataSchema, keyCol, connProps)
+    val cols = dataSchema.fieldNames
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val delIdx = deletedCol.map(df.schema.fieldIndex)
+    val colIdx = cols.map(df.schema.fieldIndex)
+    val colSqlType = dataSchema.fields.map(f => jdbcTypeCode(f.dataType))
+    val tbl = checkIdent(table); val key = checkIdent(keyCol)
+    val deleteSql = s"DELETE FROM $tbl WHERE $key = ?"
+    val insertSql = s"INSERT INTO $tbl (${cols.map(checkIdent).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect(url, connProps)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              val isDelete = delIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))
+              // upsert = delete old row (if any) + insert fresh; a pure
+              // tombstone stops after the delete
+              del.setObject(1, r.get(keyIdx))
+              del.addBatch()
+              if (!isDelete) {
+                colIdx.zipWithIndex.foreach { case (ri, pi) =>
+                  val v = r.get(ri)
+                  if (v == null) ins.setNull(pi + 1, colSqlType(pi))
+                  else ins.setObject(pi + 1, v)
+                }
+                ins.addBatch()
+              }
+              pending += 1
+              if (pending >= batchSize) {
+                del.executeBatch(); ins.executeBatch(); pending = 0
+              }
+            }
+            if (pending > 0) { del.executeBatch(); ins.executeBatch() }
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally { del.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Upsert the per-table checkpoint row (reference
+    * `couchwarehouse_checkpoints`, `lib/sqlite.js:138-170`): written AFTER
+    * the data lands, so a crash between the two replays the batch —
+    * convergent, because [[upsert]] is idempotent.
+    */
+  def writeCheckpoint(url: String, tablename: String, seq: Long,
+                      connProps: Map[String, String] = Map.empty,
+                      checkpointTable: String = "couchwarehouse_checkpoints"): Unit = {
+    val schema = StructType(Seq(
+      StructField("tablename", StringType, nullable = false),
+      StructField("seq", LongType)))
+    ensureTable(url, checkpointTable, schema, "tablename", connProps)
+    val tbl = checkIdent(checkpointTable)
+    val conn = connect(url, connProps)
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(s"DELETE FROM $tbl WHERE tablename = ?")
+      val ins = conn.prepareStatement(s"INSERT INTO $tbl (tablename, seq) VALUES (?, ?)")
+      try {
+        del.setString(1, tablename); del.executeUpdate()
+        ins.setString(1, tablename); ins.setLong(2, seq); ins.executeUpdate()
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+      finally { del.close(); ins.close() }
+    } finally conn.close()
+  }
+
+  /** A `foreachBatch` function for Structured Streaming: each micro-batch
+    * upserts transactionally and then advances the checkpoint row — the
+    * reference's per-batch transaction loop (A12) on Spark's replay
+    * semantics.
+    */
+  def foreachBatchUpserter(url: String, table: String, keyCol: String = "id",
+                           deletedCol: Option[String] = None,
+                           seqCol: Option[String] = None,
+                           connProps: Map[String, String] = Map.empty)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val b = batch.cache()
+    try {
+      upsert(b, url, table, keyCol, deletedCol, connProps)
+      val seq = seqCol.map { c =>
+        import org.apache.spark.sql.functions.{col, max}
+        b.agg(max(col(c))).collect()(0)
+      }.collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      seq.foreach(writeCheckpoint(url, table, _, connProps))
+    } finally { b.unpersist(); () }
+  }
+}

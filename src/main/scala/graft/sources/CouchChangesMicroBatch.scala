@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming half of the couch-changes source (reference A2, the monitor
@@ -17,6 +17,16 @@ import org.apache.spark.sql.types.StructType
   * append-only. Readers reuse [[ChangesReader]], so Mango selector
   * evaluation and column pruning work identically in batch and streaming.
   *
+  * Rate control (reference A3, slow-mode batched polling
+  * `index.js:93-100,232-234`): `.option("maxChunksPerTrigger", n)` caps
+  * every micro-batch at `n` chunk files via Spark's admission-control
+  * contract, so a backlog drains in bounded batches instead of one giant
+  * first batch. [[SupportsTriggerAvailableNow]] snapshots the chunk count
+  * when a `Trigger.AvailableNow` query starts: the query drains exactly
+  * what existed at start (in rate-capped batches) and terminates, even
+  * while a live spooler keeps appending — no
+  * may-not-process-all-data fallback.
+  *
   * `spark.readStream.format("couch-changes").load(dir)`.
   */
 final case class ChangesFileOffset(fileCount: Int) extends Offset {
@@ -24,8 +34,9 @@ final case class ChangesFileOffset(fileCount: Int) extends Offset {
 }
 
 final class CouchChangesMicroBatch(path: String, selector: Option[String],
-                                   schema: StructType)
-    extends MicroBatchStream {
+                                   schema: StructType,
+                                   maxChunksPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def chunkFiles(): Seq[String] = {
     val f = new java.io.File(path)
@@ -35,9 +46,39 @@ final class CouchChangesMicroBatch(path: String, selector: Option[String],
     else Seq.empty
   }
 
+  /** Chunk count frozen by `Trigger.AvailableNow` at query start; batches
+    * never read past it so the query terminates on a live directory.
+    */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(chunkFiles().size)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxChunksPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
   override def initialOffset(): Offset = ChangesFileOffset(0)
 
-  override def latestOffset(): Offset = ChangesFileOffset(chunkFiles().size)
+  // Spark drives admission-control sources exclusively through the
+  // two-argument form below (same contract as the built-in file source).
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called for this source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableNowCap.getOrElse(chunkFiles().size)
+    val s = start.asInstanceOf[ChangesFileOffset].fileCount
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(avail, s + mf.maxFiles())
+      case _                => avail
+    }
+    ChangesFileOffset(math.max(end, s))
+  }
+
+  /** True head of the feed for progress reporting, independent of any
+    * rate cap or AvailableNow snapshot.
+    */
+  override def reportLatestOffset(): Offset = ChangesFileOffset(chunkFiles().size)
 
   override def deserializeOffset(json: String): Offset = {
     val n = "\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0)

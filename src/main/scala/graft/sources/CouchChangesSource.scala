@@ -72,10 +72,12 @@ final class CouchChangesTable(path: String, selector: Option[String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangesScanBuilder(path, selector.orElse(Option(options.get("selector"))))
+    new ChangesScanBuilder(path, selector.orElse(Option(options.get("selector"))),
+      Option(options.get("maxChunksPerTrigger")).map(_.toInt))
 }
 
-final class ChangesScanBuilder(path: String, selector: Option[String])
+final class ChangesScanBuilder(path: String, selector: Option[String],
+                               maxChunksPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -111,7 +113,7 @@ final class ChangesScanBuilder(path: String, selector: Option[String])
     override def toBatch: Batch = this
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new CouchChangesMicroBatch(path, selector, required)
+      new CouchChangesMicroBatch(path, selector, required, maxChunksPerTrigger)
     override def description(): String =
       s"couch-changes $path selector=${selector.isDefined} pushed=${pushed.mkString(",")}"
 

@@ -38,6 +38,34 @@ class CouchMicroBatchSpec extends SparkSpec {
       s"expected exactly seqs 1-4 (resume without replay), got ${seqs.toSeq}")
   }
 
+  test("maxChunksPerTrigger bounds every micro-batch; AvailableNow drains " +
+       "the backlog in rate-capped batches and terminates") {
+    val dir = Files.createTempDirectory("mb-rate")
+    val ckpt = Files.createTempDirectory("mb-rate-ck").toString
+    // 5 chunk files of 2 changes each
+    (1 to 5).foreach { c =>
+      Files.write(dir.resolve(f"$c%05d.jsonl"),
+        Seq(change(c * 2 - 1, s"d${c * 2 - 1}", c), change(c * 2, s"d${c * 2}", c))
+          .mkString("\n").getBytes)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("couch-changes")
+      .option("maxChunksPerTrigger", "2")
+      .load(dir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    // 5 chunks at <=2 chunks (4 rows) per trigger -> batches 4,4,2
+    assert(sizes.sum == 10, s"all rows drained, got $sizes")
+    assert(sizes.forall(_ <= 4), s"every batch capped at 2 chunks, got $sizes")
+    assert(sizes.count(_ > 0) == 3, s"expected 3 bounded batches, got $sizes")
+  }
+
   test("streaming source honors the mango selector option") {
     val dir = Files.createTempDirectory("mb-sel")
     val ckpt = Files.createTempDirectory("mb-sel-ck").toString

@@ -109,8 +109,41 @@ class MangoSpec extends SparkSpec {
     assert(ev("""{"tags":{"$size":2}}""", """{"tags":["a","b"]}"""))
     assert(ev("""{"n":{"$mod":[3,1]}}""", """{"n":7}"""))
     assert(ev("""{"meta":{"$type":"object"}}""", """{"meta":{"a":1}}"""))
-    // object-element $elemMatch rejected Column-side with a clear error
-    intercept[graft.ops.Mango.MangoException](
-      Mango.compile("""{"basket":{"$elemMatch":{"sku":"A1"}}}"""))
+  }
+
+  test("$elemMatch object-element sub-selectors in Column position " +
+       "(stringified array-of-objects storage, CouchDB same-element rule)") {
+    import graft.ops.Mango
+    import spark.implicits._
+    // warehouse storage form (§1.2): array of objects as one JSON string
+    val bdf = Seq(
+      ("o1", """[{"sku":"A1","qty":3},{"sku":"B2","qty":1}]"""),
+      ("o2", """[{"sku":"A1","qty":1},{"sku":"B2","qty":9}]"""),
+      ("o3", """[{"sku":"C3","qty":5}]"""),
+      ("o4", """["not-an-object",5]""")
+    ).toDF("id", "basket")
+    def bids(sel: String) =
+      bdf.where(Mango.compile(sel)).select("id").collect().map(_.getString(0)).sorted.toSeq
+    // both conditions must hold on the SAME element: o2 has A1 and a
+    // qty>=2 element, but not on one element -> excluded
+    assert(bids("""{"basket":{"$elemMatch":{"sku":"A1","qty":{"$gte":2}}}}""")
+      == Seq("o1"))
+    assert(bids("""{"basket":{"$elemMatch":{"qty":{"$gte":5}}}}""")
+      == Seq("o2", "o3"))
+    assert(bids("""{"basket":{"$elemMatch":{"sku":{"$in":["A1","C3"]}}}}""")
+      == Seq("o1", "o2", "o3"))
+    // nested combinators inside the sub-selector
+    assert(bids("""{"basket":{"$elemMatch":{"$or":[{"sku":"C3"},{"qty":{"$gt":8}}]}}}""")
+      == Seq("o2", "o3"))
+    // Column compiler and document-side evaluator agree
+    val mapper2 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sel = """{"basket":{"$elemMatch":{"sku":"A1","qty":{"$gte":2}}}}"""
+    val parsed = Mango.parse(sel)
+    val docs = Seq(
+      """{"basket":[{"sku":"A1","qty":3},{"sku":"B2","qty":1}]}""",
+      """{"basket":[{"sku":"A1","qty":1},{"sku":"B2","qty":9}]}""",
+      """{"basket":[{"sku":"C3","qty":5}]}""")
+    assert(docs.map(d => Mango.evalDoc(parsed, mapper2.readTree(d)))
+      == Seq(true, false, false))
   }
 }

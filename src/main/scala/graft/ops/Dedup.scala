@@ -91,26 +91,33 @@ object Dedup {
     * every join branch. Bands are unpivoted into (id, band) rows so all
     * bands go through ONE shuffle + join instead of one join per band.
     *
-    * Degenerate-band guard: a band value shared by millions of docs (e.g.
-    * boilerplate repeated verbatim across a crawl) would create ONE
-    * quadratic bucket and stall the whole stage. Bands whose population
-    * exceeds `maxBandPopulation` are excluded from the pairwise join —
+    * Degenerate-band guard (OPT-IN): a band value shared by millions of
+    * docs (e.g. boilerplate repeated verbatim across a crawl) would create
+    * ONE quadratic bucket and stall the whole stage. Pass a finite
+    * `maxBandPopulation` to exclude such bands from the pairwise join —
     * their members are near-certain duplicates and belong in the cheap
     * linear path instead ([[exact]] dedup / direct same-band clustering;
-    * enumerate them with [[oversizedBands]]). The guard costs one
-    * aggregation on the band key the join shuffles on anyway.
+    * enumerate them with [[oversizedBands]], which a guarded pipeline MUST
+    * consume or it silently loses those duplicates). The guard costs one
+    * aggregation on the band key the join shuffles on anyway. The default
+    * (`Long.MaxValue`) diverts nothing: dropping candidate pairs is a
+    * recall decision the caller has to make explicitly.
     */
   def minhashCandidates(sig0: DataFrame, numBands: Int = 2,
                         idCol: String = "doc_id",
-                        maxBandPopulation: Long = 10000L): DataFrame = {
+                        maxBandPopulation: Long = Long.MaxValue): DataFrame = {
     val sig = sig0.cache()
     val bandCols = (0 until numBands).map(b => col(s"band$b"))
     val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
-    val keep = bands.groupBy("band")
-      .agg(count(lit(1)).as("_n"))
-      .where(col("_n") <= maxBandPopulation)
-      .select("band")
-    val bounded = bands.join(keep, Seq("band"))
+    // the population count + semi-join only enter the plan when the guard
+    // is actually on — the unguarded path stays one shuffle + one join
+    val bounded = if (maxBandPopulation == Long.MaxValue) bands else {
+      val keep = bands.groupBy("band")
+        .agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= maxBandPopulation)
+        .select("band")
+      bands.join(keep, Seq("band"))
+    }
     bounded.as("a")
       .join(bounded.as("b"), col("a.band") === col("b.band"))
       .where(col(s"a.$idCol") < col(s"b.$idCol"))

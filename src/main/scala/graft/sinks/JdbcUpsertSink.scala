@@ -106,7 +106,14 @@ object JdbcUpsertSink {
   }
 
   private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    // scope the lookup to the connection's current catalog/schema — a
+    // same-named table in ANOTHER schema must not satisfy the check (it
+    // would skip CREATE TABLE and then fail every insert). Some drivers
+    // don't support getSchema/getCatalog; null there means "unscoped",
+    // the best that driver can do.
+    val catalog = try conn.getCatalog catch { case _: java.sql.SQLException => null }
+    val schema = try conn.getSchema catch { case _: java.sql.SQLException => null }
+    val rs = conn.getMetaData.getTables(catalog, schema, "%", Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next()) found =
@@ -205,6 +212,12 @@ object JdbcUpsertSink {
     * upserts transactionally and then advances the checkpoint row — the
     * reference's per-batch transaction loop (A12) on Spark's replay
     * semantics.
+    *
+    * `seqCol` must name an INTEGRAL column (the source's numeric `seqNum`,
+    * not the opaque string `seq` token "104-g1A…" — max() over those is
+    * lexicographic nonsense). Validated up front: a wrong column fails the
+    * first batch with a clear message instead of a ClassCastException
+    * mid-stream.
     */
   def foreachBatchUpserter(url: String, table: String, keyCol: String = "id",
                            deletedCol: Option[String] = None,
@@ -213,10 +226,18 @@ object JdbcUpsertSink {
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val b = batch.cache()
     try {
+      seqCol.foreach { c =>
+        val dt = b.schema(c).dataType
+        val integral = dt == LongType || dt == IntegerType ||
+          dt == ShortType || dt == ByteType
+        require(integral,
+          s"seqCol '$c' is $dt; it must be an integral sequence number " +
+            "(e.g. the source's seqNum column, not the string seq token)")
+      }
       upsert(b, url, table, keyCol, deletedCol, connProps)
       val seq = seqCol.map { c =>
         import org.apache.spark.sql.functions.{col, max}
-        b.agg(max(col(c))).collect()(0)
+        b.agg(max(col(c).cast(LongType))).collect()(0)
       }.collect { case r if !r.isNullAt(0) => r.getLong(0) }
       seq.foreach(writeCheckpoint(url, table, _, connProps))
     } finally { b.unpersist(); () }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming half of the couch-changes source (reference A2, the monitor
@@ -65,12 +65,26 @@ final class CouchChangesMicroBatch(path: String, selector: Option[String],
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called for this source")
 
+  /** The effective per-trigger file cap inside `limit`, if any. Spark can
+    * hand a [[CompositeReadLimit]] (e.g. under `Trigger.AvailableNow`
+    * combined with a default limit, version-dependent); flattening it and
+    * taking the tightest ReadMaxFiles mirrors the built-in file source —
+    * matching only the top-level ReadMaxFiles would silently disable the
+    * rate cap.
+    */
+  private def maxFilesIn(limit: ReadLimit): Option[Int] = limit match {
+    case mf: ReadMaxFiles      => Some(mf.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesIn).reduceOption(math.min)
+    case _                     => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val avail = availableNowCap.getOrElse(chunkFiles().size)
     val s = start.asInstanceOf[ChangesFileOffset].fileCount
-    val end = limit match {
-      case mf: ReadMaxFiles => math.min(avail, s + mf.maxFiles())
-      case _                => avail
+    val end = maxFilesIn(limit) match {
+      case Some(mf) => math.min(avail, s + mf)
+      case None     => avail
     }
     ChangesFileOffset(math.max(end, s))
   }

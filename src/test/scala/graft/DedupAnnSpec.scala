@@ -188,7 +188,7 @@ class DedupAnnSpec extends SparkSpec {
     // boilerplate pairs diverted (200*199/2 of them); organic dups kept
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 >= 100L))
-    // default threshold keeps them (population 200 < 10000)
+    // the guard is opt-in: the default diverts nothing
     val unguarded = Dedup.minhashCandidates(sig)
     assert(unguarded.where($"id_a" >= 100L).count() == 200L * 199 / 2)
   }

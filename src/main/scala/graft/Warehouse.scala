@@ -166,6 +166,17 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
     graft.sinks.JdbcUpsertSink.writeCheckpoint(url, jdbcTable, lastSeq, connProps)
   }
 
+  /** Export a warehouse table into Elasticsearch via executor-parallel
+    * `_bulk` requests, then advance its checkpoint doc — the reference's
+    * ES target (`/root/reference/lib/elasticsearch.js`), completing the
+    * sink family ([[graft.sinks.ElasticsearchSink]]).
+    */
+  def exportElasticsearch(table: String, esUrl: String, index: String,
+                          keyCol: String = "id"): Unit = {
+    graft.sinks.ElasticsearchSink.bulkUpsert(spark.table(table), esUrl, index, keyCol)
+    graft.sinks.ElasticsearchSink.writeCheckpoint(esUrl, index, lastSeq)
+  }
+
   /** Persist a warehouse table hash-bucketed (and sorted) on `keys` — the
     * 100 TB join/aggregation layout: two tables bucketed the same way
     * equi-join with NO shuffle at read time (Catalyst sees the bucketing

@@ -514,6 +514,132 @@ object TrainingQueries {
         .limit(20)
     })
 
+  /** BM25 ranked retrieval (Robertson/Walker, Okapi BM25) in pure
+    * fixed-point integer arithmetic, so the ranking is order-independent
+    * and engine-exact — no float `log` idf, no float length
+    * normalization. With k1 = 1.2, b = 0.75 the per-term factor
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` multiplies out (avgdl =
+    * T/N) to the all-integer `22000·tf·T // (10·T·tf + 3·T + 9·dl·N)`
+    * (×1000 fixed point), and idf reuses q_search_tfidf's rational
+    * `(10⁶·(N−df)) // df`. Scale shape: one explode + two aggregations;
+    * tiny df/stats tables broadcast back onto the tf rows.
+    */
+  private val qSearchBm25 = Q("q_search_bm25",
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            q(token) AS (VALUES ('merge'), ('join'), ('spark')),
+            dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok
+              FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+              FROM toks JOIN q USING (token) GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM toks JOIN q USING (token) GROUP BY 1)
+            SELECT tf.doc_id,
+              CAST(SUM(((1000000 * (n_docs - df)) // df)
+                * ((22000 * tf * t_tok)
+                   // (10 * t_tok * tf + 3 * t_tok + 9 * dl.dl * n_docs))) AS BIGINT)
+                AS score
+            FROM tf JOIN df USING (token)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val terms = Seq("merge", "join", "spark").toDF("token")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(terms), Seq("token"))
+        .cache()
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(stats))
+        .select(col("doc_id"),
+          expr("(1000000 * (n_docs - df)) div df").as("idf_fp"),
+          expr("(22000 * tf * t_tok) div (10 * t_tok * tf + 3 * t_tok + 9 * dl * n_docs)")
+            .as("factor_fp"))
+        .groupBy("doc_id")
+        .agg(sum(col("idf_fp") * col("factor_fp")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    })
+
+  /** Product-quantization codes ([[Ann.pqCodes]]): 64 dims → 4 subspaces
+    * of 16, each coded against an 8-entry subspace codebook (vectors
+    * vec_id < 8, like the fixed IVF centroid set) — the vector compresses
+    * to 4 small ints. The oracle mirrors the slice + cosine + argmax per
+    * (vector, subspace) with the proven list_dot_product kernel.
+    */
+  private val qAnnPq = Q("q_ann_pq",
+    Some("""WITH sub AS (SELECT vec_id, s,
+              list_transform(embedding[(s*16+1):(s*16+16)], x -> CAST(x AS DOUBLE)) AS sv
+              FROM embeddings, UNNEST(range(0, 4)) AS t(s)),
+            csub AS (SELECT vec_id AS centroid_id, s, sv AS cv FROM sub
+              WHERE vec_id < 8),
+            scored AS (SELECT sub.vec_id, sub.s, centroid_id,
+              list_dot_product(sv, cv)
+                / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM sub JOIN csub ON sub.s = csub.s),
+            best AS (SELECT vec_id, s, centroid_id FROM (
+              SELECT vec_id, s, centroid_id,
+                row_number() OVER (PARTITION BY vec_id, s
+                  ORDER BY cos DESC, centroid_id) AS rn
+              FROM scored) WHERE rn = 1)
+            SELECT vec_id,
+              max(CASE WHEN s = 0 THEN centroid_id END) AS code0,
+              max(CASE WHEN s = 1 THEN centroid_id END) AS code1,
+              max(CASE WHEN s = 2 THEN centroid_id END) AS code2,
+              max(CASE WHEN s = 3 THEN centroid_id END) AS code3
+            FROM best GROUP BY vec_id"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      Ann.pqCodes(vecs,
+        vecs.where(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding")))
+    })
+
+  /** Tokenizer-vocabulary build: top-30 corpus terms with corpus and
+    * document frequency — the first step of training any BPE/WordPiece
+    * vocab. One explode + one aggregation (map-side combine collapses
+    * per-partition duplicates before the shuffle), TakeOrdered top-k.
+    */
+  private val qVocab = Q("q_vocab",
+    Some("""WITH toks AS (SELECT doc_id,
+              unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS token
+              FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS tf,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 30"""),
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(30))
+
+  /** Per-source duplication report: how much of each source is exact-dup
+    * content (the fingerprint family of q_dedup_exact, aggregated the way
+    * a crawl-curation dashboard consumes it). Exact integers; one
+    * aggregation over the 16-byte fingerprint key.
+    */
+  private val qDupRate = Q("q_dup_rate",
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))) AS BIGINT) AS n_distinct,
+              CAST(count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))) AS BIGINT) AS n_dups
+            FROM documents GROUP BY source"""),
+    (s, d) => t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups")))
+
   /** MinHash Jaccard ESTIMATION (vs the exact q_ngram_jaccard): the
     * estimated resemblance of a doc pair is the fraction of signature
     * slots that agree (Broder 1997) — here over adjacent-id pairs so the
@@ -588,7 +714,8 @@ object TrainingQueries {
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qSampleHash, qSampleSplit, qPack,
+    qAnnIvfProbe2, qAnnLsh, qAnnPq, qSampleHash, qSampleSplit, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qEmbedCentroid, qMediaFeatures)
+    qSearchTfidf, qSearchBm25, qVocab, qDupRate,
+    qEmbedCentroid, qMediaFeatures)
 }

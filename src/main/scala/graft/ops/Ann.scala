@@ -166,6 +166,51 @@ object Ann {
     centroids
   }
 
+  /** Product quantization codes (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the embedding
+    * is split into `m` contiguous subvectors of `dim/m` dims, and each
+    * subvector is coded as its nearest codebook entry in that subspace —
+    * compressing a float vector to `m` small integers, the memory layout
+    * that makes billion-scale ANN indexes fit in RAM.
+    *
+    * `codebook` is `[centroid_id, vecCol]` full-dim vectors sliced the
+    * same way (any fixed deterministic set; train with [[trainCentroids]]
+    * per subspace for a real index). Nearness = argmax cosine with ties to
+    * the lowest centroid id, reusing the engine-exact kernel.
+    *
+    * Scale shape: subvector explode and the codebook comparison are
+    * map-side (broadcast of m×k sub-centroids, no shuffle of the corpus);
+    * the per-(vector, subspace) argmax is a `min(struct(-cos, id))`
+    * aggregate — partial-combinable, so only n×m best-rows cross the
+    * wire, then one more partial-combinable pivot to `n` code rows.
+    * No window sort anywhere.
+    */
+  def pqCodes(vectors: DataFrame, codebook: DataFrame, m: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"dim=$dim must divide into m=$m subspaces")
+    def subspaces(df: DataFrame, keyCol: String, outKey: String): DataFrame =
+      df.select(col(keyCol).as(outKey), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col(vecCol), s * subLen + 1, subLen).as("sv"))): _*))
+        .as("_x"))
+        .select(col(outKey), col("_x.s").as("s"), col("_x.sv").as("sv"))
+    val v = subspaces(vectors, idCol, idCol)
+    val c = subspaces(codebook, "centroid_id", "centroid_id")
+      .withColumnRenamed("sv", "cv")
+    v.join(broadcast(c), Seq("s"))
+      .select(col(idCol), col("s"), col("centroid_id"),
+        graft.functions.CosineSimilarity(col("sv"), col("cv")).as("cos"))
+      // argmax cosine, ties to lowest centroid id, as a partial-combinable
+      // aggregate: lexicographic min over (-cos, centroid_id)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct((-col("cos")).as("nc"), col("centroid_id").as("cid"))).as("best"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("s") === 0, col("best.cid"))).as("code0"),
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("best.cid"))).as(s"code$s")): _*)
+  }
+
   /** The query vector's `nprobe` nearest centroids: `[centroid_id, qv]`. */
   private def assignQuery(query: DataFrame, centroids: DataFrame,
                           nprobe: Int = 1): DataFrame =

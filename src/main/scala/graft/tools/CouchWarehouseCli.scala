@@ -14,17 +14,25 @@ import org.apache.spark.sql.SparkSession
   *      [--sql 'SELECT ... FROM mydb'] [--verbose]"
   * ```
   *
-  * Differences from the reference CLI, by design: `--feed` replaces
-  * `--url` (batch file/dir input — the DSv2 source handles spool chunks);
-  * `--sql` runs the delegated-query half natively instead of printing
-  * "now query your SQLite db". `--database` falls back to
-  * `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin.js:4-5`.
-  * `--reset` (reference `-r`) wipes the persistent warehouse/checkpoint
-  * dirs before a monitor run; `--drop-fields a,b` is the declarative
-  * stand-in for `--transform` (the reference's JS hook file,
-  * `bin/couchwarehouse.bin.js:12`) covering its README's delete-field
-  * example — arbitrary hooks remain available to library users via
-  * `WarehouseOptions.transform`.
+  * Input modes: `--feed <file|dir>` reads an already-spooled feed, and
+  * `--url <couchdb>` (the reference's primary mode,
+  * `bin/couchwarehouse.bin.js:7`) spools the live `_changes` feed over
+  * HTTP into `--spool-dir` first via [[graft.sources.ChangesSpooler]],
+  * honoring `--since` and `--slow` (paced pages, reference
+  * `index.js:93-100`). Output targets beyond the native warehouse views:
+  * `--es-url`/`--es-index` bulk-exports every built table to
+  * Elasticsearch and `--jdbc-url` upserts them into a SQL database — the
+  * reference's four `databaseType` targets.
+  *
+  * Other differences, by design: `--sql` runs the delegated-query half
+  * natively instead of printing "now query your SQLite db". `--database`
+  * falls back to `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin
+  * .js:4-5`. `--reset` (reference `-r`) wipes the persistent
+  * warehouse/checkpoint dirs before a monitor run; `--drop-fields a,b` is
+  * the declarative stand-in for `--transform` (the reference's JS hook
+  * file, `bin/couchwarehouse.bin.js:12`) covering its README's
+  * delete-field example — arbitrary hooks remain available to library
+  * users via `WarehouseOptions.transform`.
   */
 object CouchWarehouseCli {
 
@@ -61,13 +69,28 @@ object CouchWarehouseCli {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    val feed = opts.getOrElse("feed", {
-      System.err.println("--feed <changes file|dir> is required"); sys.exit(2); ""
-    })
     val database = opts.get("database")
       .orElse(sys.env.get("COUCH_DATABASE"))
       .getOrElse({ System.err.println("--database (or COUCH_DATABASE) is required"); sys.exit(2); "" })
+    // --url spools CouchDB → chunk dir first; --feed uses an existing one
+    val feed = (opts.get("feed"), opts.get("url")) match {
+      case (Some(f), None) => f
+      case (None, Some(u)) =>
+        val spoolDir = opts.getOrElse("spool-dir", s"/tmp/graft-spool-$database")
+        val sp = new graft.sources.ChangesSpooler(u, database, spoolDir,
+          selector = opts.get("query"),
+          pauseMillis = if (opts.contains("slow")) 500L else 0L)
+        val seq = sp.spool(opts.getOrElse("since", "0"))
+        println(s"spooled to: $spoolDir (seq $seq)")
+        spoolDir
+      case _ =>
+        System.err.println("exactly one of --feed <changes file|dir> or --url <couchdb url> is required")
+        sys.exit(2); ""
+    }
 
+    // when embedded (tests, notebooks) an active session is reused and
+    // must survive this main returning
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(s"couchwarehouse-$database")
@@ -114,10 +137,25 @@ object CouchWarehouseCli {
       w.ingest(changes)
       println(s"tables: ${w.tableNames.mkString(", ")}")
       println(s"checkpoint seq: ${w.checkpoint}")
+      // output targets (reference databaseType=elasticsearch / sql)
+      opts.get("es-url").foreach { esUrl =>
+        w.tableNames.foreach { tbl =>
+          val index = opts.getOrElse("es-index", tbl)
+          w.exportElasticsearch(tbl, esUrl, index)
+          println(s"exported $tbl -> $esUrl/$index")
+        }
+      }
+      opts.get("jdbc-url").foreach { jdbcUrl =>
+        w.tableNames.foreach { tbl =>
+          val target = opts.getOrElse("jdbc-table", tbl)
+          w.exportJdbc(tbl, jdbcUrl, target)
+          println(s"exported $tbl -> $jdbcUrl table $target")
+        }
+      }
       opts.get("sql").foreach { sql =>
         w.query(sql).show(opts.getOrElse("limit", "20").toInt, truncate = false)
       }
     }
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }

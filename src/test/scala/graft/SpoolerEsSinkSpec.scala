@@ -91,6 +91,37 @@ class SpoolerEsSinkSpec extends SparkSpec {
     } finally couch.stop()
   }
 
+  test("live pipeline: HTTP monitor feeds Structured Streaming ingest across restarts") {
+    val couch = new FakeHttp.FakeCouch(sampleChanges)
+    val spool = tempDir("live-spool")
+    val wh = tempDir("live-wh")
+    val ck = tempDir("live-ck")
+    try {
+      val sp = new graft.sources.ChangesSpooler(couch.url, "sampledata", spool,
+        batchSize = 40, longpollTimeoutMillis = 2000)
+      val seq = sp.spool("0")
+
+      val ingest = new graft.streaming.StreamIngest(spark,
+        WarehouseOptions(database = "live"), wh)
+      ingest.start(spool, ck).awaitTermination()
+      ingest.publish()
+      assert(spark.table("live").count() == 99L)
+
+      // a change lands in CouchDB; the monitor spools it; a new
+      // AvailableNow run drains ONLY the new chunk (offset resume)
+      couch.append(mapper.readTree(
+        """{"seq":"105-x","id":"zzz3","changes":[{"rev":"1-r"}],"doc":{"_id":"zzz3","_rev":"1-r","name":"Live Three","age":40,"verified":true,"description":"d","address":{"street":"s","location":{"long":0.5,"lat":0.6}},"tags":["c"]}}"""))
+      sp.monitor(seq, maxBatches = 1)
+
+      val resumed = new graft.streaming.StreamIngest(spark,
+        WarehouseOptions(database = "live"), wh)
+      resumed.start(spool, ck).awaitTermination()
+      resumed.publish()
+      assert(spark.table("live").count() == 100L)
+      assert(resumed.checkpoint == 105L)
+    } finally couch.stop()
+  }
+
   test("ES sink: warehouse export lands 99 docs, strips id/rev from source, checkpoints") {
     val es = new FakeHttp.FakeEs
     try {

@@ -50,6 +50,8 @@ final class ChangesSpooler(
     selector: Option[String] = None,
     pauseMillis: Long = 0L,
     longpollTimeoutMillis: Long = 55000L,
+    maxRetries: Int = 3,
+    retryBackoffMillis: Long = 500L,
     client: HttpClient = HttpClient.newHttpClient()) {
 
   private val mapper = new ObjectMapper()
@@ -104,11 +106,37 @@ final class ChangesSpooler(
 
   /** One page: fetch, spool if non-empty, return (results, lastSeq,
     * pending). `pending` is -1 when the server omits it (CouchDB < 2.0).
+    *
+    * Transient failures (connection refused/reset, 5xx, timeouts) are
+    * retried with linear backoff — a multi-hour 100 TB spool must survive
+    * a network blip, and re-requesting the same `since` page is safe:
+    * nothing was written for the failed attempt, so the chunk sequence
+    * has no gap. 4xx responses are NOT retried (a bad database name or
+    * selector never heals).
     */
   private def fetchPage(since: String, longpoll: Boolean,
                         chunkIndex: Int): (Int, String, Long) = {
-    val resp = client.send(request(since, longpoll),
-      HttpResponse.BodyHandlers.ofString())
+    var attempt = 0
+    var resp: HttpResponse[String] = null
+    var lastErr: Exception = null
+    while (resp == null && attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(retryBackoffMillis * attempt)
+      try {
+        val r = client.send(request(since, longpoll),
+          HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() / 100 == 5)
+          lastErr = new java.io.IOException(
+            s"_changes returned HTTP ${r.statusCode()}: ${r.body().take(300)}")
+        else resp = r
+      } catch {
+        case e: java.io.IOException => lastErr = e
+        case e: InterruptedException => throw e
+      }
+      attempt += 1
+    }
+    if (resp == null)
+      throw new java.io.IOException(
+        s"_changes failed after $maxRetries retries: ${lastErr.getMessage}", lastErr)
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"_changes returned HTTP ${resp.statusCode()}: ${resp.body().take(300)}")

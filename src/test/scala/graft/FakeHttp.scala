@@ -48,6 +48,9 @@ object FakeHttp {
     initial.foreach(changes.add)
     private val lock = new Object
 
+    /** Fail the next N requests with HTTP 500 (transient-outage injection). */
+    val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+
     def append(change: JsonNode): Unit = {
       changes.add(change)
       lock.synchronized(lock.notifyAll())
@@ -66,6 +69,9 @@ object FakeHttp {
     private def handle(ex: HttpExchange): Unit = {
       if (!ex.getRequestURI.getPath.endsWith("/_changes")) {
         respond(ex, 404, """{"error":"not_found"}"""); return
+      }
+      if (failNext.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
+        respond(ex, 500, """{"error":"injected_outage"}"""); return
       }
       val p = queryParams(ex)
       val since = p.getOrElse("since", "0")

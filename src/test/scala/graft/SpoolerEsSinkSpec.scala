@@ -62,6 +62,30 @@ class SpoolerEsSinkSpec extends SparkSpec {
     } finally couch.stop()
   }
 
+  test("spooler: transient 5xx outages are retried without gapping the chunk sequence") {
+    val couch = new FakeHttp.FakeCouch(sampleChanges)
+    val spool = tempDir("spool-retry")
+    try {
+      val sp = new ChangesSpooler(couch.url, "sampledata", spool, batchSize = 30,
+        retryBackoffMillis = 10)
+      couch.failNext.set(2) // first page fails twice, then heals
+      val seq = sp.spool("0")
+      assert(FakeHttp.seqNum(seq) == 104L)
+      assert(new java.io.File(spool).listFiles().length == 4, "no gap, no duplicate chunk")
+      assert(spark.read.format("couch-changes").load(spool)
+        .where(!org.apache.spark.sql.functions.col("deleted")).count() == 99L)
+
+      // a persistent outage (> maxRetries) surfaces instead of spinning
+      couch.failNext.set(100)
+      val e = intercept[java.io.IOException] {
+        new ChangesSpooler(couch.url, "sampledata", tempDir("spool-dead"),
+          maxRetries = 1, retryBackoffMillis = 10).spool("0")
+      }
+      assert(e.getMessage.contains("after 1 retries"))
+      couch.failNext.set(0)
+    } finally couch.stop()
+  }
+
   test("spooler: monitor longpolls — drains an immediate change, then one arriving mid-poll") {
     val couch = new FakeHttp.FakeCouch(sampleChanges)
     val spool = tempDir("spool-mon")

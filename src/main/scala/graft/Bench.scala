@@ -72,16 +72,21 @@ object Bench {
     // leakage to queries stalled in three windows spread over ~10 min.
     val firstPass = sorted.map { case (name, fn) => name -> measure(name, fn) }
     val byName = SparkEntry.queries
-    val results = (1 to 2).foldLeft(firstPass) { (acc, round) =>
-      val suspects = acc.filter(_._2 > 1.5).map(_._1)
-      if (suspects.isEmpty) acc
-      else {
-        System.err.println(
-          s"[bench] retry round $round for possible stalls: ${suspects.mkString(", ")}")
-        val retried = suspects.map(n => n -> measure(n, byName(n))).toMap
-        acc.map { case (n, v) => n -> math.min(v, retried.getOrElse(n, v)) }
-      }
+    var acc = firstPass
+    // round 1 retries everything still >1.5s; round 2 only queries whose
+    // round-1 retry IMPROVED them >10% (still converging — a legitimately
+    // slow query confirms its time in round 1 and is not re-paid twice)
+    var suspects = acc.collect { case (n, v) if v > 1.5 => n }
+    for (round <- 1 to 2 if suspects.nonEmpty) {
+      System.err.println(
+        s"[bench] retry round $round for possible stalls: ${suspects.mkString(", ")}")
+      val before = acc.toMap
+      val retried = suspects.map(n => n -> measure(n, byName(n))).toMap
+      acc = acc.map { case (n, v) => n -> math.min(v, retried.getOrElse(n, v)) }
+      val after = acc.toMap
+      suspects = suspects.filter(n => after(n) > 1.5 && after(n) < before(n) * 0.9)
     }
+    val results = acc
     // The harness captures only a 2000-char tail of stdout; a single JSON
     // line carrying all per-query timings at full double precision outgrew
     // it once the suite passed ~75 queries (head-truncated -> unparseable).

@@ -518,18 +518,23 @@ object TrainingQueries {
     * fixed-point integer arithmetic, so the ranking is order-independent
     * and engine-exact — no float `log` idf, no float length
     * normalization. With k1 = 1.2, b = 0.75 the per-term factor
-    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` multiplies out (avgdl =
-    * T/N) to the all-integer `22000·tf·T // (10·T·tf + 3·T + 9·dl·N)`
-    * (×1000 fixed point), and idf reuses q_search_tfidf's rational
-    * `(10⁶·(N−df)) // df`. Scale shape: one explode + two aggregations;
-    * tiny df/stats tables broadcast back onto the tf rows.
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` becomes, with the average
+    * doc length in milli-token fixed point `A = (1000·T) // N`, the
+    * all-integer `22000·tf // (10·tf + 3 + (9000·dl) // A)` — every
+    * intermediate stays far from Long overflow at any corpus size
+    * (1000·T is the largest term, safe to ~9·10¹⁵ corpus tokens; no
+    * tf×T or dl×N products). idf reuses q_search_tfidf's rational
+    * `(10⁶·(N−df)) // df` (bounded by 10⁶·N/df). Scale shape: one
+    * explode + two aggregations; tiny df/stats tables broadcast back
+    * onto the tf rows.
     */
   private val qSearchBm25 = Q("q_search_bm25",
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents),
             q(token) AS (VALUES ('merge'), ('join'), ('spark')),
             dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-            stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok
+            stats AS (SELECT count(*) AS n_docs,
+              (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp
               FROM dl),
             tf AS (SELECT doc_id, token, count(*) AS tf
               FROM toks JOIN q USING (token) GROUP BY 1, 2),
@@ -537,8 +542,8 @@ object TrainingQueries {
               FROM toks JOIN q USING (token) GROUP BY 1)
             SELECT tf.doc_id,
               CAST(SUM(((1000000 * (n_docs - df)) // df)
-                * ((22000 * tf * t_tok)
-                   // (10 * t_tok * tf + 3 * t_tok + 9 * dl.dl * n_docs))) AS BIGINT)
+                * ((22000 * tf)
+                   // (10 * tf + 3 + (9000 * dl.dl) // avgdl_fp))) AS BIGINT)
                 AS score
             FROM tf JOIN df USING (token)
             JOIN dl ON dl.doc_id = tf.doc_id
@@ -550,7 +555,8 @@ object TrainingQueries {
       val terms = Seq("merge", "join", "spark").toDF("token")
       val dl = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(dl)) div count(1)").as("avgdl_fp"))
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .join(broadcast(terms), Seq("token"))
@@ -562,7 +568,7 @@ object TrainingQueries {
         .join(broadcast(stats))
         .select(col("doc_id"),
           expr("(1000000 * (n_docs - df)) div df").as("idf_fp"),
-          expr("(22000 * tf * t_tok) div (10 * t_tok * tf + 3 * t_tok + 9 * dl * n_docs)")
+          expr("(22000 * tf) div (10 * tf + 3 + (9000 * dl) div avgdl_fp)")
             .as("factor_fp"))
         .groupBy("doc_id")
         .agg(sum(col("idf_fp") * col("factor_fp")).as("score"))

@@ -174,7 +174,10 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
   def exportElasticsearch(table: String, esUrl: String, index: String,
                           keyCol: String = "id"): Unit = {
     graft.sinks.ElasticsearchSink.bulkUpsert(spark.table(table), esUrl, index, keyCol)
-    graft.sinks.ElasticsearchSink.writeCheckpoint(esUrl, index, lastSeq)
+    // checkpoint doc is keyed by the TABLE name (the sink contract and the
+    // reference's writeCheckpoint(tablename, seq)), not the target index —
+    // two tables exported into one index keep separate checkpoints
+    graft.sinks.ElasticsearchSink.writeCheckpoint(esUrl, table, lastSeq)
   }
 
   /** Persist a warehouse table hash-bucketed (and sorted) on `keys` — the

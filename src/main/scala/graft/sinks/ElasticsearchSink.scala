@@ -37,25 +37,59 @@ object ElasticsearchSink {
   /** One shared client per executor JVM (HttpClient is thread-safe). */
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  /** JSON-encode one row as an ES source document. Column types map to
-    * their JSON natural form; temporal values serialize ISO-8601 via
-    * toString (the ES default date formats accept both).
+  /** JSON-encode one row as an ES source document: scalars in their JSON
+    * natural form, arrays/structs/maps as real JSON containers, binary as
+    * base64 (the ES `binary` field convention), temporal values as
+    * ISO-8601 instants (`strict_date_optional_time`-compatible).
     */
+  private def jsonValue(v: Any, dt: DataType): com.fasterxml.jackson.databind.JsonNode = {
+    val nodes = mapper.getNodeFactory
+    if (v == null) nodes.nullNode()
+    else dt match {
+      case BooleanType    => nodes.booleanNode(v.asInstanceOf[Boolean])
+      case ByteType       => nodes.numberNode(v.asInstanceOf[Byte].toInt)
+      case ShortType      => nodes.numberNode(v.asInstanceOf[Short].toInt)
+      case IntegerType    => nodes.numberNode(v.asInstanceOf[Int])
+      case LongType       => nodes.numberNode(v.asInstanceOf[Long])
+      case FloatType      => nodes.numberNode(v.asInstanceOf[Float])
+      case DoubleType     => nodes.numberNode(v.asInstanceOf[Double])
+      case _: DecimalType => nodes.numberNode(v.asInstanceOf[java.math.BigDecimal])
+      case BinaryType     => nodes.textNode(
+        java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+      case TimestampType  => nodes.textNode(
+        v.asInstanceOf[java.sql.Timestamp].toInstant.toString)
+      case DateType       => nodes.textNode(v.toString)
+      case ArrayType(et, _) =>
+        val arr = nodes.arrayNode()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e => arr.add(jsonValue(e, et)))
+        arr
+      case MapType(_, vt, _) =>
+        val o = nodes.objectNode()
+        v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, mv) =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](
+            String.valueOf(k), jsonValue(mv, vt))
+          ()
+        }
+        o
+      case st: StructType =>
+        val o = nodes.objectNode()
+        val r = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](
+            f.name, jsonValue(if (r.isNullAt(i)) null else r.get(i), f.dataType))
+          ()
+        }
+        o
+      case _ => nodes.textNode(String.valueOf(v))
+    }
+  }
+
   private def sourceJson(row: Row, fields: Array[(String, Int, DataType)]): String = {
     val o: ObjectNode = mapper.createObjectNode()
     fields.foreach { case (name, i, dt) =>
-      if (row.isNullAt(i)) o.putNull(name)
-      else dt match {
-        case BooleanType             => o.put(name, row.getBoolean(i))
-        case ByteType                => o.put(name, row.getByte(i).toInt)
-        case ShortType               => o.put(name, row.getShort(i).toInt)
-        case IntegerType             => o.put(name, row.getInt(i))
-        case LongType                => o.put(name, row.getLong(i))
-        case FloatType               => o.put(name, row.getFloat(i))
-        case DoubleType              => o.put(name, row.getDouble(i))
-        case _: DecimalType          => o.put(name, row.getDecimal(i))
-        case _                       => o.put(name, String.valueOf(row.get(i)))
-      }
+      o.set[com.fasterxml.jackson.databind.JsonNode](
+        name, jsonValue(if (row.isNullAt(i)) null else row.get(i), dt))
+      ()
     }
     mapper.writeValueAsString(o)
   }
@@ -154,9 +188,15 @@ object ElasticsearchSink {
           java.net.URLEncoder.encode(tablename, "UTF-8")))
       .GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200) None
-    else Option(mapper.readTree(resp.body()).get("_source"))
-      .flatMap(s => Option(s.get("seq"))).map(_.asLong())
+    resp.statusCode() match {
+      case 200 => Option(mapper.readTree(resp.body()).get("_source"))
+        .flatMap(s => Option(s.get("seq"))).map(_.asLong())
+      case 404 => None
+      // a transient 5xx must NOT read as "no checkpoint" — that would
+      // silently restart ingestion from seq 0
+      case other => throw new java.io.IOException(
+        s"checkpoint GET returned HTTP $other: ${resp.body().take(300)}")
+    }
   }
 
   /** A `foreachBatch` function for Structured Streaming: bulk-upsert each
@@ -169,20 +209,9 @@ object ElasticsearchSink {
                            keyCol: String = "id",
                            deletedCol: Option[String] = None,
                            seqCol: Option[String] = None)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
-    val b = batch.cache()
-    try {
-      seqCol.foreach { c =>
-        val dt = b.schema(c).dataType
-        require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
-          s"seqCol '$c' is $dt; it must be an integral sequence number")
-      }
-      bulkUpsert(b, esUrl, index, keyCol, deletedCol)
-      seqCol.foreach { c =>
-        import org.apache.spark.sql.functions.{col, max}
-        val r = b.agg(max(col(c).cast(LongType))).collect()(0)
-        if (!r.isNullAt(0)) writeCheckpoint(esUrl, index, r.getLong(0))
-      }
-    } finally { b.unpersist(); () }
-  }
+      : (DataFrame, Long) => Unit =
+    CheckpointedUpsert.batchFn(
+      b => bulkUpsert(b, esUrl, index, keyCol, deletedCol),
+      seq => writeCheckpoint(esUrl, index, seq),
+      seqCol)
 }

@@ -109,11 +109,24 @@ object JdbcUpsertSink {
     // scope the lookup to the connection's current catalog/schema — a
     // same-named table in ANOTHER schema must not satisfy the check (it
     // would skip CREATE TABLE and then fail every insert). Some drivers
-    // don't support getSchema/getCatalog; null there means "unscoped",
+    // don't support getSchema/getCatalog (pre-JDBC-4.1 drivers raise
+    // AbstractMethodError, not SQLException); null means "unscoped",
     // the best that driver can do.
-    val catalog = try conn.getCatalog catch { case _: java.sql.SQLException => null }
-    val schema = try conn.getSchema catch { case _: java.sql.SQLException => null }
-    val rs = conn.getMetaData.getTables(catalog, schema, "%", Array("TABLE"))
+    val md = conn.getMetaData
+    val catalog = try conn.getCatalog catch {
+      case _: java.sql.SQLException | _: AbstractMethodError => null
+    }
+    val schemaRaw = try conn.getSchema catch {
+      case _: java.sql.SQLException | _: AbstractMethodError => null
+    }
+    // getTables' schemaPattern treats _ and % as wildcards; a literal
+    // schema name like app_data would otherwise also match appXdata,
+    // re-admitting the cross-schema false positive
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    val schema = Option(schemaRaw)
+      .map(_.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%"))
+      .orNull
+    val rs = md.getTables(catalog, schema, "%", Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next()) found =
@@ -223,23 +236,9 @@ object JdbcUpsertSink {
                            deletedCol: Option[String] = None,
                            seqCol: Option[String] = None,
                            connProps: Map[String, String] = Map.empty)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
-    val b = batch.cache()
-    try {
-      seqCol.foreach { c =>
-        val dt = b.schema(c).dataType
-        val integral = dt == LongType || dt == IntegerType ||
-          dt == ShortType || dt == ByteType
-        require(integral,
-          s"seqCol '$c' is $dt; it must be an integral sequence number " +
-            "(e.g. the source's seqNum column, not the string seq token)")
-      }
-      upsert(b, url, table, keyCol, deletedCol, connProps)
-      val seq = seqCol.map { c =>
-        import org.apache.spark.sql.functions.{col, max}
-        b.agg(max(col(c).cast(LongType))).collect()(0)
-      }.collect { case r if !r.isNullAt(0) => r.getLong(0) }
-      seq.foreach(writeCheckpoint(url, table, _, connProps))
-    } finally { b.unpersist(); () }
-  }
+      : (DataFrame, Long) => Unit =
+    CheckpointedUpsert.batchFn(
+      b => upsert(b, url, table, keyCol, deletedCol, connProps),
+      seq => writeCheckpoint(url, table, seq, connProps),
+      seqCol)
 }

@@ -76,20 +76,32 @@ final class ChangesSpooler(
   private def request(since: String, longpoll: Boolean): HttpRequest = {
     val b = HttpRequest.newBuilder(changesUri(since, longpoll))
     (selector match {
-      // CouchDB's _selector filter takes the selector in a POST body
+      // CouchDB's _selector filter takes the selector in a POST body. The
+      // user selector is wrapped in $or with {"_deleted": true} because
+      // the server evaluates it against the deleted-doc stub too — an
+      // unwrapped selector would silently drop every tombstone and
+      // deletes would never reach the warehouse. This is the server-side
+      // mirror of the reader-side rule "tombstones always pass the
+      // selector" (CouchChangesSource accept()).
       case Some(sel) => b.header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(s"""{"selector":$sel}"""))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"selector":{"$$or":[$sel,{"_deleted":true}]}}"""))
       case None => b.GET()
     }).build()
   }
 
   /** Next chunk index = max existing index + 1, so a restarted spooler
     * appends instead of overwriting (chunks are immutable once renamed).
+    * Stale `.tmp` staging files from a crashed previous run are removed —
+    * readers never see them (both source listings skip dot-files), and
+    * the next write of that index replaces them anyway.
     */
   private def nextChunkIndex(): Int = {
     val dir = new java.io.File(spoolDir)
     if (!dir.isDirectory) { dir.mkdirs(); 0 }
     else {
+      dir.listFiles().filter(f => f.getName.startsWith(".chunk-") &&
+        f.getName.endsWith(".tmp")).foreach(_.delete())
       val Chunk = "chunk-(\\d+)\\.json".r
       dir.listFiles().map(_.getName).collect { case Chunk(n) => n.toInt }
         .foldLeft(-1)(math.max) + 1
@@ -161,8 +173,13 @@ final class ChangesSpooler(
     while (more && !stopped) {
       val (n, lastSeq, pending) = fetchPage(seq, longpoll = false, idx)
       if (n > 0) idx += 1
+      // no-progress guard: an empty page that didn't advance the seq can
+      // never make progress on a retry — stop regardless of what the
+      // server claims is pending (guards against a buggy/filtered
+      // pending count turning this loop into a zero-delay hot spin)
+      more = (if (pending >= 0) pending > 0 else n >= batchSize) &&
+        !(n == 0 && lastSeq == seq)
       seq = lastSeq
-      more = if (pending >= 0) pending > 0 else n >= batchSize
       if (more && pauseMillis > 0) Thread.sleep(pauseMillis)
     }
     seq

@@ -38,10 +38,15 @@ final class CouchChangesMicroBatch(path: String, selector: Option[String],
                                    maxChunksPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // dot-files are excluded: a live spooler stages each chunk as a hidden
+  // .tmp before its atomic rename, and offsets here are POSITIONAL file
+  // counts over this sorted listing — one visible temp file would shift
+  // the offset→file mapping and both duplicate and skip chunks
   private def chunkFiles(): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
-      f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+      f.listFiles().filter(x => x.isFile && !x.getName.startsWith("."))
+        .map(_.getAbsolutePath).sorted.toSeq
     else if (f.isFile) Seq(f.getAbsolutePath)
     else Seq.empty
   }

@@ -119,8 +119,12 @@ final class ChangesScanBuilder(path: String, selector: Option[String],
 
     override def planInputPartitions(): Array[InputPartition] = {
       val f = new java.io.File(path)
+      // skip dot-files: a live spooler's staged .tmp chunks must never be
+      // read half-written (same rule as the streaming listing)
       val files: Seq[String] =
-        if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.isFile && !x.getName.startsWith("."))
+            .map(_.getAbsolutePath).sorted.toSeq
         else Seq(f.getAbsolutePath)
       files.map(p => ChangesPartition(p): InputPartition).toArray
     }

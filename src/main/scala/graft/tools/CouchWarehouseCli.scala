@@ -137,7 +137,17 @@ object CouchWarehouseCli {
       w.ingest(changes)
       println(s"tables: ${w.tableNames.mkString(", ")}")
       println(s"checkpoint seq: ${w.checkpoint}")
-      // output targets (reference databaseType=elasticsearch / sql)
+      // output targets (reference databaseType=elasticsearch / sql). A
+      // single-target override is only meaningful for a single table: in
+      // --split mode each per-type table has its own schema, and funneling
+      // them into one index/table would clash mid-export.
+      for (flag <- Seq("es-index", "jdbc-table")
+           if opts.contains(flag) && w.tableNames.size > 1) {
+        System.err.println(
+          s"--$flag cannot combine with --split (${w.tableNames.size} tables); " +
+            "per-table names are used — drop the flag")
+        sys.exit(2)
+      }
       opts.get("es-url").foreach { esUrl =>
         w.tableNames.foreach { tbl =>
           val index = opts.getOrElse("es-index", tbl)

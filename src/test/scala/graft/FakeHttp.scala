@@ -84,25 +84,37 @@ object FakeHttp {
           mapper.readTree(body).get("selector").toString))
       } else None
 
-      def page(): (Seq[JsonNode], Long) = {
+      // Real-CouchDB semantics: the selector is evaluated against the raw
+      // change doc — INCLUDING the {_id,_rev,_deleted:true} stub of a
+      // deletion (which a plain user selector does not match; the spooler
+      // must wrap with $or:{_deleted:true} to keep tombstones). The feed
+      // scans until `limit` MATCHES are found or the feed ends; last_seq
+      // is the last change SCANNED (not matched), so a non-matching tail
+      // still advances the client's since token, and pending counts the
+      // changes after last_seq.
+      def page(): (Seq[JsonNode], String, Long) = {
         val after = changes.asScala.toSeq.filter(c => seqNum(c.get("seq").asText) > seqNum(since))
-        val matching = after.filter { c =>
-          val deleted = Option(c.get("deleted")).exists(_.asBoolean(false))
-          deleted || selector.forall(s =>
-            Option(c.get("doc")).exists(d => graft.ops.Mango.evalDoc(s, d)))
+        def matches(c: JsonNode): Boolean = selector.forall(s =>
+          Option(c.get("doc")).exists(d => graft.ops.Mango.evalDoc(s, d)))
+        var scanned = 0
+        val hits = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+        while (scanned < after.size && hits.size < limit) {
+          val c = after(scanned); scanned += 1
+          if (matches(c)) hits += c
         }
-        (matching.take(limit), (after.size - math.min(matching.size, limit)).toLong)
+        val lastSeq =
+          if (scanned > 0) after(scanned - 1).get("seq").asText else since
+        (hits.toSeq, lastSeq, (after.size - scanned).toLong)
       }
 
-      var (results, pending) = page()
+      var (results, lastSeq, pending) = page()
       if (results.isEmpty && longpoll) {
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         while (results.isEmpty && System.nanoTime() < deadline) {
           lock.synchronized(lock.wait(50))
-          val pg = page(); results = pg._1; pending = pg._2
+          val pg = page(); results = pg._1; lastSeq = pg._2; pending = pg._3
         }
       }
-      val lastSeq = results.lastOption.map(_.get("seq").asText).getOrElse(since)
       // one result per line — the exact CouchDB wire shape ChangesReader scans
       val body = "{\"results\":[\n" + results.map(_.toString).mkString(",\n") +
         "\n],\n\"last_seq\":\"" + lastSeq + "\",\"pending\":" + pending + "}"

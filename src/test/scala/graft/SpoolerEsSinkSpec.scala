@@ -160,7 +160,9 @@ class SpoolerEsSinkSpec extends SparkSpec {
       assert(math.abs(src.get("age").asDouble - one.getDouble(2)) < 1e-9)
       // reference parity: _id/_rev never appear in the source body
       assert(!src.has("id") && !src.has("rev"))
-      assert(ElasticsearchSink.getCheckpoint(es.url, "couchwarehouse").contains(104L))
+      // checkpoint doc is keyed by TABLE name (reference
+      // writeCheckpoint(tablename, seq)), independent of the target index
+      assert(ElasticsearchSink.getCheckpoint(es.url, "sampledata").contains(104L))
     } finally es.stop()
   }
 
@@ -190,6 +192,22 @@ class SpoolerEsSinkSpec extends SparkSpec {
         ElasticsearchSink.foreachBatchUpserter(es.url, "t3", seqCol = Some("seq"))(badSeq, 0L)
       }
       assert(e.getMessage.contains("integral"))
+    } finally es.stop()
+  }
+
+  test("ES sink: arrays, structs, and timestamps serialize as real JSON, not toString") {
+    val es = new FakeHttp.FakeEs
+    try {
+      import spark.implicits._
+      val df = Seq(("v1", Seq(0.5f, 1.5f), ("nested", 7L),
+          java.sql.Timestamp.valueOf("2020-01-02 03:04:05")))
+        .toDF("id", "vec", "meta", "ts")
+      ElasticsearchSink.bulkUpsert(df, es.url, "typed")
+      val src = es.store.get("typed/v1")
+      assert(src.get("vec").isArray && src.get("vec").get(1).asDouble == 1.5)
+      assert(src.get("meta").isObject && src.get("meta").get("_2").asLong == 7L)
+      // ISO-8601 instant, not java.sql.Timestamp's space-separated form
+      assert(src.get("ts").asText.contains("T") && src.get("ts").asText.endsWith("Z"))
     } finally es.stop()
   }
 }

@@ -646,6 +646,38 @@ object TrainingQueries {
       .select(col("source"), col("n_docs"), col("n_distinct"),
         (col("n_docs") - col("n_distinct")).as("n_dups")))
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 8-gram with a benchmark/eval set (here: docs 0-4 as the stand-in
+    * benchmark) — the n-gram-overlap rule used to scrub eval contamination
+    * from training corpora (e.g. GPT-3 appendix C / PaLM-style 8-gram
+    * matching). Scale shape: the benchmark shingle set is tiny and
+    * BROADCAST; the corpus explodes to shingles map-side and semi-joins
+    * against it — the 100 TB side never shuffles on the shingle key, and
+    * the aggregation back to one row per contaminated doc is
+    * map-side-combinable. Exact integers.
+    */
+  private val qDecontam = Q("q_decontam",
+    Some(s"""WITH $toksCte,
+             sh AS (SELECT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                 l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] AS shingle
+               FROM toks, UNNEST(range(1, len(l) - 6)) AS t(i)
+               WHERE len(l) >= 8),
+             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+             corpus AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id >= 5)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM corpus JOIN bench USING (shingle)
+             GROUP BY doc_id"""),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = Dedup.shingles(docs, 8).distinct()
+      val bench = sh.where(col("doc_id") < 5).select("shingle").distinct()
+      sh.where(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+    })
+
   /** MinHash Jaccard ESTIMATION (vs the exact q_ngram_jaccard): the
     * estimated resemblance of a doc pair is the fraction of signature
     * slots that agree (Broder 1997) — here over adjacent-id pairs so the
@@ -718,7 +750,7 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qMinhashEst, qDedupEmbed, qDedupEmbedPairs,
+    qNgramJaccard, qMinhashEst, qDecontam, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qSampleHash, qSampleSplit, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,

@@ -582,21 +582,27 @@ object TrainingQueries {
     * to 4 small ints. The oracle mirrors the slice + cosine + argmax per
     * (vector, subspace) with the proven list_dot_product kernel.
     */
+  /** Shared PQ oracle CTEs: subvector slices, sub-codebook, per-(vector,
+    * subspace) nearest-code assignment (mirrors [[Ann.pqCodes]]).
+    */
+  private val pqCte =
+    """sub AS (SELECT vec_id, s,
+      |  list_transform(embedding[(s*16+1):(s*16+16)], x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM embeddings, UNNEST(range(0, 4)) AS t(s)),
+      |csub AS (SELECT vec_id AS centroid_id, s, sv AS cv FROM sub
+      |  WHERE vec_id < 8),
+      |scored AS (SELECT sub.vec_id, sub.s, centroid_id,
+      |  list_dot_product(sv, cv)
+      |    / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM sub JOIN csub ON sub.s = csub.s),
+      |best AS (SELECT vec_id, s, centroid_id FROM (
+      |  SELECT vec_id, s, centroid_id,
+      |    row_number() OVER (PARTITION BY vec_id, s
+      |      ORDER BY cos DESC, centroid_id) AS rn
+      |  FROM scored) WHERE rn = 1)""".stripMargin
+
   private val qAnnPq = Q("q_ann_pq",
-    Some("""WITH sub AS (SELECT vec_id, s,
-              list_transform(embedding[(s*16+1):(s*16+16)], x -> CAST(x AS DOUBLE)) AS sv
-              FROM embeddings, UNNEST(range(0, 4)) AS t(s)),
-            csub AS (SELECT vec_id AS centroid_id, s, sv AS cv FROM sub
-              WHERE vec_id < 8),
-            scored AS (SELECT sub.vec_id, sub.s, centroid_id,
-              list_dot_product(sv, cv)
-                / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))) AS cos
-              FROM sub JOIN csub ON sub.s = csub.s),
-            best AS (SELECT vec_id, s, centroid_id FROM (
-              SELECT vec_id, s, centroid_id,
-                row_number() OVER (PARTITION BY vec_id, s
-                  ORDER BY cos DESC, centroid_id) AS rn
-              FROM scored) WHERE rn = 1)
+    Some(s"""WITH $pqCte
             SELECT vec_id,
               max(CASE WHEN s = 0 THEN centroid_id END) AS code0,
               max(CASE WHEN s = 1 THEN centroid_id END) AS code1,
@@ -608,6 +614,34 @@ object TrainingQueries {
       Ann.pqCodes(vecs,
         vecs.where(col("vec_id") < 8)
           .select(col("vec_id").as("centroid_id"), col("embedding")))
+    })
+
+  /** PQ asymmetric-distance top-10 ([[Ann.pqAdcTopK]]): the query scores
+    * the CODED corpus through an m×k broadcast lookup table — the scan
+    * reads 4 small ints per vector, never the floats. The per-vector
+    * 4-term sum goes through exact decimal so it is order-independent.
+    */
+  private val qAnnPqSearch = Q("q_ann_pq_search",
+    Some(s"""WITH $pqCte,
+            codes AS (SELECT vec_id, s, centroid_id AS code FROM best),
+            q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+            lut AS (SELECT csub.s, centroid_id AS code,
+                list_dot_product(cv, qsv)
+                  / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qsv, qsv))) AS pcos
+              FROM csub JOIN q ON csub.s = q.s)
+            SELECT codes.vec_id,
+              CAST(SUM(CAST(pcos AS DECIMAL(20, 9))) AS DOUBLE) AS score
+            FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+            GROUP BY 1 ORDER BY score DESC, codes.vec_id LIMIT 10"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val codebook = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Ann.pqAdcTopK(
+        Ann.pqCodes(vecs, codebook),
+        codebook,
+        vecs.where(col("vec_id") === 0).select(col("embedding").as("qv")),
+        k = 10)
     })
 
   /** Tokenizer-vocabulary build: top-30 corpus terms with corpus and
@@ -752,7 +786,7 @@ object TrainingQueries {
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qAnnPq, qSampleHash, qSampleSplit, qPack,
+    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures)

@@ -185,17 +185,20 @@ object Ann {
     * wire, then one more partial-combinable pivot to `n` code rows.
     * No window sort anywhere.
     */
+  /** Explode `df` into one row per (key, subspace, subvector slice). */
+  private def pqSubspaces(df: DataFrame, keyCol: String, outKey: String,
+                          m: Int, subLen: Int, vecCol: String): DataFrame =
+    df.select(col(keyCol).as(outKey), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col(vecCol), s * subLen + 1, subLen).as("sv"))): _*))
+      .as("_x"))
+      .select(col(outKey), col("_x.s").as("s"), col("_x.sv").as("sv"))
+
   def pqCodes(vectors: DataFrame, codebook: DataFrame, m: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val subLen = dim / m
     require(m * subLen == dim, s"dim=$dim must divide into m=$m subspaces")
-    def subspaces(df: DataFrame, keyCol: String, outKey: String): DataFrame =
-      df.select(col(keyCol).as(outKey), explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"), slice(col(vecCol), s * subLen + 1, subLen).as("sv"))): _*))
-        .as("_x"))
-        .select(col(outKey), col("_x.s").as("s"), col("_x.sv").as("sv"))
-    val v = subspaces(vectors, idCol, idCol)
-    val c = subspaces(codebook, "centroid_id", "centroid_id")
+    val v = pqSubspaces(vectors, idCol, idCol, m, subLen, vecCol)
+    val c = pqSubspaces(codebook, "centroid_id", "centroid_id", m, subLen, vecCol)
       .withColumnRenamed("sv", "cv")
     v.join(broadcast(c), Seq("s"))
       .select(col(idCol), col("s"), col("centroid_id"),
@@ -209,6 +212,44 @@ object Ann {
         max(when(col("s") === 0, col("best.cid"))).as("code0"),
         (1 until m).map(s =>
           max(when(col("s") === s, col("best.cid"))).as(s"code$s")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search over a CODED corpus: the
+    * query is sliced per subspace and compared against the codebook once
+    * (an m×k lookup table — tiny, broadcast), then each compressed vector
+    * is scored by summing its codes' table entries — the query-time path
+    * that makes PQ useful: the scan touches only the m small ints per
+    * vector, never the original floats (Jégou TPAMI 2011, §IV.A; cosine
+    * per subspace here, summed — a monotone similarity surrogate).
+    *
+    * Scale shape: codes melt map-side, one broadcast join on (s, code),
+    * and the per-vector sum is an exact-decimal aggregate
+    * (order-independent, engine-reproducible) feeding TakeOrdered — the
+    * corpus never shuffles except the n×m → n partial-combinable sum.
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, query: DataFrame, k: Int,
+                m: Int = 4, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"dim=$dim must divide into m=$m subspaces")
+    val melted = codes.select(col(idCol), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), col(s"code$s").as("code"))): _*)).as("_x"))
+      .select(col(idCol), col("_x.s").as("s"), col("_x.code").as("code"))
+    val qsub = pqSubspaces(query.select(col("qv").as(vecCol)), vecCol, "_q",
+        m, subLen, vecCol)
+      .select(col("s"), col("sv").as("qsv"))
+    val lut = pqSubspaces(codebook, "centroid_id", "centroid_id", m, subLen, vecCol)
+      .join(qsub, Seq("s"))
+      .select(col("s"), col("centroid_id").as("code"),
+        graft.functions.CosineSimilarity(col("sv"), col("qsv")).as("pcos"))
+    melted.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col(idCol))
+      // decimal accumulation: the m-term double sum must not depend on
+      // partial-aggregation order (scale 9 is exact-safe for |cos| <= 1)
+      .agg(sum(col("pcos").cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+        .cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** The query vector's `nprobe` nearest centroids: `[centroid_id, qv]`. */

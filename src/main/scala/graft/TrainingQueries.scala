@@ -1,7 +1,7 @@
 package graft
 
 import graft.Queries.{Q, t}
-import graft.functions.{Similarity, TextAnalysis}
+import graft.functions.{ByteHistogram, Similarity, TextAnalysis}
 import graft.ops.{Ann, Dedup}
 import org.apache.spark.sql.functions._
 
@@ -763,9 +763,12 @@ object TrainingQueries {
   /** Byte-histogram media features, the exact-integer companion of
     * [[graft.ops.Multimodal.fakeDecode]] (same dims-bucketed accumulation;
     * fakeDecode's float features are `feature/255`): payload byte `i`
-    * accumulates into dim `i % 8`. Pure expression tree (explode + sum) —
-    * map-side, codegen'd, payload never shuffled; the oracle mirrors it
-    * byte-for-byte (the corpus is ASCII, so `unicode(char) == byte`).
+    * accumulates into dim `i % 8`. The whole per-document histogram is one
+    * fused [[graft.functions.ByteHistogram]] pass — no per-character
+    * explode, no aggregation shuffle; only 8 rows per doc leave the map
+    * side. The oracle keeps the per-character formulation (integer sums —
+    * order-free, so the two shapes are bit-identical; the corpus is
+    * ASCII, so `unicode(char) == byte`).
     */
   private val qMediaFeatures = Q("q_media_features",
     Some("""SELECT doc_id, CAST((i - 1) % 8 AS BIGINT) AS dim,
@@ -775,11 +778,9 @@ object TrainingQueries {
             GROUP BY 1, 2"""),
     (s, d) => t(s, d, "documents")
       .where(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), length(col("text"))),
-        i => ascii(col("text").substr(i, lit(1))))).as(Seq("pos", "b")))
-      .groupBy(col("doc_id"), (col("pos") % 8).cast("long").as("dim"))
-      .agg(sum(col("b")).as("feature")))
+      .select(col("doc_id"),
+        posexplode(ByteHistogram(col("text"), 8)).as(Seq("dim", "feature")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature")))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass dims-bucketed codepoint histogram: character at position
+  * `i` (1-based) accumulates its codepoint into dim `(i-1) % dims` — the
+  * fake-decode feature layout of [[graft.ops.Multimodal]] computed
+  * without materializing a per-character array.
+  *
+  * Replaces `posexplode(transform(sequence(1, length(text)), i ->
+  * ascii(substr(text, i, 1)))) … groupBy(doc, pos % dims) … sum` — one
+  * array allocation + explode + aggregate per character — with one fused
+  * loop per row, emitting `min(dims, length)` sums directly.
+  * Bit-identical output: same codepoint semantics as `ascii(substr(…))`
+  * (both operate on code points, so any UTF-8 input agrees, not just the
+  * ASCII corpus), same dims-with-no-characters omission for short texts
+  * (the array is truncated, so `posexplode` yields exactly the dims the
+  * exploded formulation produced). Integer sums — order-free, exact.
+  */
+case class ByteHistogram(child: Expression, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(dims >= 1, "dims must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_histogram expects a string column, got ${child.dataType.sql}")
+
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sums = new Array[Long](dims)
+    var i = 0  // UTF-16 char index
+    var cp = 0 // codepoint position
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      sums(cp % dims) += c
+      i += Character.charCount(c)
+      cp += 1
+    }
+    // dims beyond the text length never saw a character; the exploded
+    // formulation emits no row for them, so truncate rather than pad
+    new GenericArrayData(if (cp >= dims) sums else sums.take(cp))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+  def apply(text: Column, dims: Int = 8): Column =
+    GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(text), dims))
+}

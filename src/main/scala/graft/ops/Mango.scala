@@ -15,8 +15,9 @@ import scala.jdk.CollectionConverters._
   * CouchDB pushed it to the feed.
   *
   * Supported operators (the CouchDB Mango set): implicit equality,
-  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not $nor`,
-  * plus the array/type operators `$size $all $elemMatch $mod $type`.
+  * `$eq $ne $gt $gte $lt $lte $in $nin $exists $regex $and $or $not $nor
+  * $beginsWith`, plus the array/type/object operators
+  * `$size $all $elemMatch $allMatch $keyMapMatch $mod $type`.
   * Array-valued operators act on the warehouse's array storage form —
   * JSON-string columns (§1.2: arrays are stored stringified); `$elemMatch`
   * supports both scalar-element conditions (`{"$gt": 5}`) and
@@ -129,6 +130,7 @@ object Mango {
     case "$nin"    => !c.isin(v.elements().asScala.map(literalValue).toSeq: _*)
     case "$exists" => if (v.asBoolean) c.isNotNull else c.isNull
     case "$regex"  => c.rlike(v.asText)
+    case "$beginsWith" => c.startsWith(v.asText)
     case "$size"   => json_array_length(c) === lit(v.asInt)
     case "$mod" =>
       val (d, r) = (v.get(0).asLong, v.get(1).asLong)
@@ -139,31 +141,25 @@ object Mango {
       v.elements().asScala.map(e => array_contains(arr, e.asText))
         .reduceOption(_ && _).getOrElse(lit(true))
     case "$elemMatch" =>
-      // from_json to array<string> keeps object elements as their raw JSON
-      // text, so both element shapes compile over one parse
-      val arr = from_json(c, org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType))
-      if (scalarElemMatch(v))
-        // scalar-element conditions: {"$gt": 5} against each element
-        exists(arr, e =>
-          v.properties().asScala.map { f =>
-            // try_cast: non-numeric elements become NULL and fail the
-            // comparison instead of raising under ANSI mode
-            val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else (e: Column)
-            compileOp(cast, f.getKey, f.getValue)
-          }.reduceOption(_ && _).getOrElse(lit(true)))
-      else
-        // object-element conditions: the condition is a full sub-selector
-        // evaluated against each element object — ALL conditions must hold
-        // on the SAME element (CouchDB semantics, mirrored from the
-        // document-side evaluator below). Fields resolve via
-        // get_json_object on the element's JSON text; non-object elements
-        // never match (evalDoc's `e.isObject` guard — matters under
-        // negation, where a sub-$nor would otherwise select them).
-        exists(arr, e => e.startsWith("{") && compileObject(v, jsonResolver(e)))
+      // ANY element satisfies the condition
+      exists(jsonArray(c), elementPredicate(v))
+    case "$allMatch" =>
+      // EVERY element satisfies the condition (vacuously true on [], like
+      // CouchDB's lists:all; from_json yields NULL for a non-array, which
+      // nullSafe collapses to no-match)
+      forall(jsonArray(c), elementPredicate(v))
+    case "$keyMapMatch" =>
+      // ANY KEY of the object field satisfies the condition (keys are
+      // strings, so conditions compile in scalar position)
+      exists(json_object_keys(c), k =>
+        v.properties().asScala.map(f => compileOp(k, f.getKey, f.getValue))
+          .reduceOption(_ && _).getOrElse(lit(true)))
     case "$type" =>
       val t = v.asText
-      val tf = typeof(c)
+      // NOT functions.typeof: its 4.1.2 codegen emits the type name
+      // unquoted, failing Janino and dropping the predicate to interpreted
+      // mode (see graft.functions.SparkTypeOf)
+      val tf = graft.functions.SparkTypeOf(c)
       t match {
         case "string"  => tf === "string"
         case "boolean" => tf === "boolean"
@@ -176,6 +172,35 @@ object Mango {
     case "$not"    => !compileOp(c, v.fieldNames().asScala.next(), v.elements().asScala.next())
     case other     => throw MangoException(s"unsupported operator $other")
   }
+
+  /** Warehouse storage form: arrays are JSON-string columns (§1.2).
+    * from_json to array<string> keeps object elements as their raw JSON
+    * text, so both element shapes compile over one parse.
+    */
+  private def jsonArray(c: Column): Column =
+    from_json(c, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+
+  /** Per-element condition shared by `$elemMatch`/`$allMatch`.
+    *
+    * Scalar-element conditions (`{"$gt": 5}`) apply to the element value;
+    * `try_cast` turns non-numeric elements into NULL so they fail the
+    * comparison instead of raising under ANSI mode. Object-element
+    * conditions are a full sub-selector over the element — ALL conditions
+    * must hold on the SAME element (CouchDB semantics, mirrored from the
+    * document-side evaluator below); fields resolve via get_json_object on
+    * the element's JSON text, and non-object elements never match
+    * (evalDoc's `e.isObject` guard — matters under negation, where a
+    * sub-$nor would otherwise select them).
+    */
+  private def elementPredicate(v: JsonNode): Column => Column =
+    if (scalarElemMatch(v))
+      e => v.properties().asScala.map { f =>
+        val cast = if (sampleValue(f.getValue).isNumber) e.try_cast("double") else e
+        compileOp(cast, f.getKey, f.getValue)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    else
+      e => e.startsWith("{") && compileObject(v, jsonResolver(e))
 
   private def literal(v: JsonNode): Column = lit(literalValue(v))
 
@@ -236,6 +261,7 @@ object Mango {
     case "$in"  => v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
     case "$nin" => !v.elements().asScala.exists(e => cmp(fv.get, e).contains(0))
     case "$regex" => fv.get.isTextual && v.asText.r.findFirstIn(fv.get.asText).isDefined
+    case "$beginsWith" => fv.get.isTextual && fv.get.asText.startsWith(v.asText)
     case "$size" => fv.get.isArray && fv.get.size() == v.asInt
     case "$mod" =>
       fv.get.isNumber && fv.get.asLong % v.get(0).asLong == v.get(1).asLong
@@ -243,10 +269,13 @@ object Mango {
       fv.get.isArray && v.elements().asScala.forall(want =>
         fv.get.elements().asScala.exists(e => cmp(e, want).contains(0)))
     case "$elemMatch" =>
-      fv.get.isArray && fv.get.elements().asScala.exists { e =>
-        if (scalarElemMatch(v))
-          v.properties().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
-        else e.isObject && evalDoc(v, e)
+      fv.get.isArray && fv.get.elements().asScala.exists(evalElement(v, _))
+    case "$allMatch" =>
+      fv.get.isArray && fv.get.elements().asScala.forall(evalElement(v, _))
+    case "$keyMapMatch" =>
+      fv.get.isObject && fv.get.fieldNames().asScala.exists { k =>
+        val kn = mapper.getNodeFactory.textNode(k)
+        v.properties().asScala.forall(f => evalOp(Some(kn), f.getKey, f.getValue))
       }
     case "$type" =>
       val n = fv.get
@@ -261,6 +290,15 @@ object Mango {
       }
     case "$not" => !v.properties().asScala.forall(e => evalOp(fv, e.getKey, e.getValue))
     case other => throw MangoException(s"unsupported operator $other")
+  }
+
+  /** Per-element condition shared by document-side `$elemMatch`/`$allMatch`
+    * — same scalar/object branching as [[elementPredicate]].
+    */
+  private def evalElement(v: JsonNode, e: JsonNode): Boolean = {
+    if (scalarElemMatch(v))
+      v.properties().asScala.forall(f => evalOp(Some(e), f.getKey, f.getValue))
+    else e.isObject && evalDoc(v, e)
   }
 
   /** Same-type comparison; cross-type comparisons are undefined (None) and

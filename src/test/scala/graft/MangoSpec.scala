@@ -146,4 +146,67 @@ class MangoSpec extends SparkSpec {
     assert(docs.map(d => Mango.evalDoc(parsed, mapper2.readTree(d)))
       == Seq(true, false, false))
   }
+
+  test("$allMatch / $keyMapMatch / $beginsWith (CouchDB 2.3/3.x additions)") {
+    import graft.ops.Mango
+    import spark.implicits._
+    val cdf = Seq(
+      ("o1", """[{"qty":3},{"qty":7}]""", """{"primary":1}""", "alpha"),
+      ("o2", """[{"qty":3},{"qty":1}]""", """{"primary":1,"secondary":2}""", "beta"),
+      ("o3", """[]""", """{"backup":3}""", "alphabet"),
+      ("o4", """[5,6]""", "{}", "gamma")
+    ).toDF("id", "basket", "cameras", "name")
+    def cids(sel: String) =
+      cdf.where(Mango.compile(sel)).select("id").collect().map(_.getString(0)).sorted.toSeq
+
+    // $allMatch: EVERY element matches; vacuously true on []; o2's qty=1 fails
+    assert(cids("""{"basket":{"$allMatch":{"qty":{"$gte":2}}}}""") == Seq("o1", "o3"))
+    // scalar-element form over a plain number array
+    assert(cids("""{"basket":{"$allMatch":{"$gte":5}}}""") == Seq("o3", "o4"))
+    // $keyMapMatch: ANY key of the object matches the condition
+    assert(cids("""{"cameras":{"$keyMapMatch":{"$eq":"secondary"}}}""") == Seq("o2"))
+    assert(cids("""{"cameras":{"$keyMapMatch":{"$regex":"^(primary|backup)$"}}}""")
+      == Seq("o1", "o2", "o3"))
+    // $beginsWith: string prefix
+    assert(cids("""{"name":{"$beginsWith":"alpha"}}""") == Seq("o1", "o3"))
+
+    // document-side evaluator agrees on all three
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ev(sel: String, doc: String) =
+      Mango.evalDoc(Mango.parse(sel), m.readTree(doc))
+    assert(ev("""{"basket":{"$allMatch":{"qty":{"$gte":2}}}}""",
+      """{"basket":[{"qty":3},{"qty":7}]}"""))
+    assert(!ev("""{"basket":{"$allMatch":{"qty":{"$gte":2}}}}""",
+      """{"basket":[{"qty":3},{"qty":1}]}"""))
+    assert(ev("""{"basket":{"$allMatch":{"qty":{"$gte":2}}}}""", """{"basket":[]}"""))
+    assert(!ev("""{"basket":{"$allMatch":{"qty":{"$gte":2}}}}""", """{"basket":5}"""))
+    assert(ev("""{"cameras":{"$keyMapMatch":{"$eq":"secondary"}}}""",
+      """{"cameras":{"primary":1,"secondary":2}}"""))
+    assert(!ev("""{"cameras":{"$keyMapMatch":{"$eq":"secondary"}}}""",
+      """{"cameras":{"primary":1}}"""))
+    assert(!ev("""{"cameras":{"$keyMapMatch":{"$eq":"secondary"}}}""",
+      """{"cameras":"not-an-object"}"""))
+    assert(ev("""{"name":{"$beginsWith":"alpha"}}""", """{"name":"alphabet"}"""))
+    assert(!ev("""{"name":{"$beginsWith":"alpha"}}""", """{"name":"beta"}"""))
+    assert(!ev("""{"name":{"$beginsWith":"alpha"}}""", """{"name":42}"""))
+
+    // negation interplay: $not over $allMatch selects the failing doc only
+    assert(cids("""{"$not":{"basket":{"$allMatch":{"qty":{"$gte":2}}}}}""")
+      == Seq("o2", "o4"))
+  }
+
+  test("$type predicates survive CODEGEN_ONLY (functions.typeof 4.1.2 " +
+       "codegen emits the type name unquoted and always falls back)") {
+    import spark.implicits._
+    val tdf = Seq(("a", 10L, "x"), ("b", 20L, "[1,2]")).toDF("id", "n", "s")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      def tids(sel: String) =
+        tdf.where(graft.ops.Mango.compile(sel)).select("id")
+          .collect().map(_.getString(0)).sorted.toSeq
+      assert(tids("""{"n":{"$type":"number"}}""") == Seq("a", "b"))
+      assert(tids("""{"s":{"$type":"array"}}""") == Seq("b"))
+      assert(tids("""{"s":{"$type":"string"}}""") == Seq("a", "b"))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }

@@ -35,12 +35,18 @@ object Queries {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Order-insensitive exact sum of a double column: accumulate as decimal
-    * (exact), cast once to double. DuckDB mirror:
-    * `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+  /** Order-insensitive exact sum of a double column: accumulate the
+    * scale-4 fixed-point value exactly, cast once to double. DuckDB
+    * mirror: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+    *
+    * `round(x*10^4)` equals the mirror's DECIMAL(18,4) unscaled value for
+    * any input with <= 4 true decimal places (both HALF_UP; all warehouse
+    * money columns are 2dp), and [[graft.functions.Sum128]] keeps the
+    * accumulation in primitive longs — exact to 2^95, no per-row
+    * BigDecimal (a plain `sum(DECIMAL(18,4))` measures ~2x slower).
     */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+    graft.functions.Sum128(round(c * 10000).cast("long"), 4).cast("double")
 
   // ---------------------------------------------------------------- scans
 
@@ -858,26 +864,31 @@ object Queries {
               sqrt(n * sxx - sx * sx) / n AS stddev_pop_q
             FROM s"""),
     (s, d) => {
-      // product operands are (20,4) x (17,4): exact DECIMAL(37..38,8) in
-      // BOTH engines (DuckDB 1.0 does not widen a (18,4)x(18,4) multiply
-      // and overflows; Spark would cap a (19+,4) pair at precision 38 and
-      // silently round the scale).
+      // The oracle's product operands are (20,4) x (17,4): exact
+      // DECIMAL(37..38,8) in DuckDB (1.0 does not widen a (18,4)x(18,4)
+      // multiply and overflows). Spark-side, precision-38 sums would carry
+      // java BigDecimal per row (~3x the primitive cost — CorrProbe), so
+      // the five sums run as graft Sum128 over scale-4 fixed-point longs:
+      // qf = round(q*10^4) is exactly the oracle's DECIMAL(_,4) unscaled
+      // value for any input with <= 4 true decimal places (both HALF_UP),
+      // the products (<= ~5e14) stay in primitive long, and the 128-bit
+      // limb sum is exact to 2^95 — same DECIMAL(38,8) value as the
+      // oracle's hugeint sum, without a BigDecimal in the hot path.
       // The scale-8 sums exceed 2^53 unscaled, where DuckDB's direct
       // DECIMAL->DOUBLE cast (hugeint->double, then /1e8 — two roundings)
       // can land 1 ulp off Spark's correctly-rounded BigDecimal cast; the
       // oracle routes those casts through VARCHAR (strtod is correctly
       // rounded) so both engines agree bit-for-bit.
-      def dec(c: Column) = c.cast(DecimalType(18, 4))
-      def decL(c: Column) = c.cast(DecimalType(20, 4))
-      def decR(c: Column) = c.cast(DecimalType(17, 4))
-      val q = col("l_quantity"); val p = col("l_extendedprice")
+      import graft.functions.Sum128
+      val qf = round(col("l_quantity") * 10000).cast("long")
+      val pf = round(col("l_extendedprice") * 10000).cast("long")
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(dec(q)).cast("double").as("sx"),
-          sum(dec(p)).cast("double").as("sy"),
-          sum(decL(q) * decR(q)).cast("double").as("sxx"),
-          sum(decL(p) * decR(p)).cast("double").as("syy"),
-          sum(decL(q) * decR(p)).cast("double").as("sxy"))
+          Sum128(qf, 4).cast("double").as("sx"),
+          Sum128(pf, 4).cast("double").as("sy"),
+          Sum128(qf * qf, 8).cast("double").as("sxx"),
+          Sum128(pf * pf, 8).cast("double").as("syy"),
+          Sum128(qf * pf, 8).cast("double").as("sxy"))
         .select(col("l_returnflag"), col("n"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -782,6 +782,77 @@ object TrainingQueries {
         posexplode(ByteHistogram(col("text"), 8)).as(Seq("dim", "feature")))
       .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature")))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * duplicate-word fraction and the share of word-bigram occurrences
+    * taken by the single most frequent bigram — the classic "is this page
+    * boilerplate/degenerate" filters. Tokenization is the engine-wide
+    * whitespace policy ([[graft.functions.TextAnalysis.tokens]]).
+    *
+    * Scale shape: the per-doc fractions are pure map-side array ops; the
+    * bigram mode needs one aggregation keyed by (doc_id, bigram) — the
+    * doc_id in the key keeps every group tiny and the shuffle fully
+    * spread, no matter how large the corpus.
+    */
+  private val qRepetition = Q("q_repetition",
+    Some(s"""WITH $toksCte,
+            d AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+            b AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+              FROM d, UNNEST(range(1, len(l))) AS t(i)),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+            bm AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc,
+              CAST(sum(c) AS BIGINT) AS nbg FROM bc GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(len(l) - len(list_distinct(l)) AS DOUBLE)
+                / CAST(len(l) AS DOUBLE) AS dup_word_frac,
+              CAST(maxc AS DOUBLE) / CAST(nbg AS DOUBLE) AS top_bigram_frac
+            FROM d JOIN bm ON d.doc_id = bm.doc_id"""),
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
+        .where(size(col("l")) >= 2)
+      val bigramMode = base
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("l")) - 1),
+          i => concat(element_at(col("l"), i), lit(" "),
+            element_at(col("l"), i + 1)))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("nbg"))
+      base.join(bigramMode, "doc_id")
+        .select(col("doc_id"),
+          ((size(col("l")) - size(array_distinct(col("l")))).cast("double") /
+            size(col("l")).cast("double")).as("dup_word_frac"),
+          (col("maxc").cast("double") / col("nbg").cast("double"))
+            .as("top_bigram_frac"))
+    })
+
+  /** Per-source document quota (the "per-domain cap" of crawl curation):
+    * keep at most 50 docs per source, selected by md5(doc_id) order — a
+    * deterministic uniform sample. Exact top-K per key WITHOUT a
+    * single-task-per-source sort: stage 1 ranks within (source, salt) so
+    * no window partition exceeds ~1/16 of a source, stage 2 re-ranks the
+    * <= 16*50 survivors per source. Any global top-50 row is also top-50
+    * in its salt bucket, so the two-stage result is identical to the
+    * oracle's single window — this is the skew-safe shape that holds when
+    * one domain is 10% of a 100 TB crawl.
+    */
+  private val qSourceQuota = Q("q_source_quota",
+    Some("""WITH r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rn <= 50"""),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(col("doc_id").cast("string"))
+      val salted = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(16)))
+        .orderBy(key, col("doc_id"))
+      val perSource = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn1", row_number().over(salted)).where(col("rn1") <= 50)
+        .withColumn("rn", row_number().over(perSource)).where(col("rn") <= 50)
+        .select(col("doc_id"), col("source"))
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
@@ -790,5 +861,5 @@ object TrainingQueries {
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
-    qEmbedCentroid, qMediaFeatures)
+    qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)
 }

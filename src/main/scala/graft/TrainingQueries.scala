@@ -788,10 +788,11 @@ object TrainingQueries {
     * boilerplate/degenerate" filters. Tokenization is the engine-wide
     * whitespace policy ([[graft.functions.TextAnalysis.tokens]]).
     *
-    * Scale shape: the per-doc fractions are pure map-side array ops; the
-    * bigram mode needs one aggregation keyed by (doc_id, bigram) — the
-    * doc_id in the key keeps every group tiny and the shuffle fully
-    * spread, no matter how large the corpus.
+    * Scale shape: all four statistics are per-document, so ONE fused
+    * [[graft.functions.RepetitionStats]] pass computes them map-side —
+    * no bigram explode, no shuffle, no join; only 4 longs per doc flow
+    * on. The oracle keeps the exploded (doc_id, bigram) aggregation
+    * (exact integers — the two shapes are bit-identical).
     */
   private val qRepetition = Q("q_repetition",
     Some(s"""WITH $toksCte,
@@ -806,24 +807,15 @@ object TrainingQueries {
                 / CAST(len(l) AS DOUBLE) AS dup_word_frac,
               CAST(maxc AS DOUBLE) / CAST(nbg AS DOUBLE) AS top_bigram_frac
             FROM d JOIN bm ON d.doc_id = bm.doc_id"""),
-    (s, d) => {
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("l"))
-        .where(size(col("l")) >= 2)
-      val bigramMode = base
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("l")) - 1),
-          i => concat(element_at(col("l"), i), lit(" "),
-            element_at(col("l"), i + 1)))).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("nbg"))
-      base.join(bigramMode, "doc_id")
-        .select(col("doc_id"),
-          ((size(col("l")) - size(array_distinct(col("l")))).cast("double") /
-            size(col("l")).cast("double")).as("dup_word_frac"),
-          (col("maxc").cast("double") / col("nbg").cast("double"))
-            .as("top_bigram_frac"))
-    })
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats(TextAnalysis.tokens(col("text"))).as("r"))
+      .where(col("r.w") >= 2)
+      .select(col("doc_id"),
+        ((col("r.w") - col("r.d")).cast("double") / col("r.w").cast("double"))
+          .as("dup_word_frac"),
+        (col("r.maxc").cast("double") / col("r.nbg").cast("double"))
+          .as("top_bigram_frac")))
 
   /** Per-source document quota (the "per-domain cap" of crawl curation):
     * keep at most 50 docs per source, selected by md5(doc_id) order — a

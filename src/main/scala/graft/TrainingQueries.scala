@@ -704,10 +704,15 @@ object TrainingQueries {
              GROUP BY doc_id"""),
     (s, d) => {
       val docs = t(s, d, "documents")
-      val sh = Dedup.shingles(docs, 8).distinct()
+      val sh = Dedup.shingles(docs, 8)
       val bench = sh.where(col("doc_id") < 5).select("shingle").distinct()
+      // semi-join BEFORE the distinct: the broadcast filter is map-side,
+      // so only contaminated (doc_id, shingle) pairs — a vanishing
+      // fraction of the corpus — ever reach the distinct's shuffle.
+      // distinct-then-filter would shuffle every corpus shingle.
       sh.where(col("doc_id") >= 5)
         .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .distinct()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_overlap"))
     })

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * exploded formulation produced). Integer sums — order-free, exact.
   */
 case class ByteHistogram(child: Expression, dims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(dims >= 1, "dims must be positive")
 
@@ -37,8 +37,28 @@ case class ByteHistogram(child: Expression, dims: Int)
 
   override def prettyName: String = "byte_histogram"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    ByteHistogram.compute(input.asInstanceOf[UTF8String], dims)
+
+  // real codegen (static-helper call) so the surrounding projection stays
+  // inside whole-stage codegen — CodegenFallback would break the stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ByteHistogram.compute($c, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+  def apply(text: Column, dims: Int = 8): Column =
+    GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(text), dims))
+
+  /** The fused histogram loop — called from both eval and generated code
+    * (the Scala object compiles to a static forwarder).
+    */
+  def compute(input: UTF8String, dims: Int): ArrayData = {
+    val s = input.toString
     val sums = new Array[Long](dims)
     var i = 0  // UTF-16 char index
     var cp = 0 // codepoint position
@@ -52,12 +72,4 @@ case class ByteHistogram(child: Expression, dims: Int)
     // formulation emits no row for them, so truncate rather than pad
     new GenericArrayData(if (cp >= dims) sums else sums.take(cp))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
-    copy(child = newChild)
-}
-
-object ByteHistogram {
-  def apply(text: Column, dims: Int = 8): Column =
-    GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(text), dims))
 }

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,12 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the exploded form (same tokenization, same digests, same
   * lexicographic mins), so the DuckDB oracles are unchanged.
   *
-  * CodegenFallback: the body is digest-library work that whole-stage
-  * codegen cannot improve; the expression still composes inside projected
-  * plans.
+  * Codegen emits a static-helper call (the digest work itself cannot be
+  * improved by codegen, but a real doGenCode keeps the surrounding
+  * projection inside whole-stage codegen, which CodegenFallback would
+  * break out of).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes >= 1 && numHashes <= 4, "1..4 x 32-bit slices of one md5")
 
@@ -42,8 +43,28 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
 
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], numHashes, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.MinHashSignature.compute(
+      |  $c, $numHashes, $shingleSize);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** The fused signature loop — called from both eval and generated code.
+    * Returns null when the document has fewer than `shingleSize` tokens.
+    */
+  def compute(input: UTF8String, numHashes: Int, shingleSize: Int): ArrayData = {
+    val text = input.toString
     val toks = Tokenize.tokens(text)
     if (toks.length < shingleSize) return null
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -55,7 +76,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
       while (j < shingleSize) { sb.append(' ').append(toks(i + j)); j += 1 }
       md.reset()
       val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = MinHashSignature.toHex(digest)
+      val hex = toHex(digest)
       var h = 0
       while (h < numHashes) {
         val slice = hex.substring(h * 8, h * 8 + 8)
@@ -66,13 +87,6 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     }
     new GenericArrayData(mins.map(UTF8String.fromString(_)))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
-}
-
-object MinHashSignature {
-  private val hexDigits = "0123456789abcdef".toCharArray
 
   private[functions] def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * no document's statistics ever depend on another's.
   */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("w", LongType, nullable = false),
@@ -43,8 +43,27 @@ case class RepetitionStats(child: Expression)
 
   override def prettyName: String = "repetition_stats"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[ArrayData])
+
+  // real codegen (static-helper call) keeps the projection inside
+  // whole-stage codegen — CodegenFallback would break the stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(tokens: Column): Column =
+    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(tokens)))
+
+  /** The fused statistics loop — called from both eval and generated code
+    * (the Scala object compiles to a static forwarder).
+    */
+  def compute(arr: ArrayData): InternalRow = {
     val w = arr.numElements()
     val distinct = new java.util.HashSet[UTF8String](Math.max(16, w * 2))
     var maxc = 0L
@@ -73,12 +92,4 @@ case class RepetitionStats(child: Expression)
     new GenericInternalRow(Array[Any](
       w.toLong, distinct.size.toLong, maxc, Math.max(0, w - 1).toLong))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
-    copy(child = newChild)
-}
-
-object RepetitionStats {
-  def apply(tokens: Column): Column =
-    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(tokens)))
 }

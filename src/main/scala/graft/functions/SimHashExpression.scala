@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * For `bits <= 32` output is bit-identical to previous rounds.
   */
 case class SimHashSignature(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(bits >= 1 && bits <= 64, "bit votes derive from two md5s: max 64 hex nibbles")
 
@@ -32,8 +32,26 @@ case class SimHashSignature(child: Expression, bits: Int)
 
   override def prettyName: String = "simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    SimHashSignature.compute(input.asInstanceOf[UTF8String], bits)
+
+  // real codegen (static-helper call) keeps the projection inside
+  // whole-stage codegen — CodegenFallback would break the stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashSignature.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  def apply(text: Column, bits: Int = 16): Column =
+    GraftSqlBridge.column(SimHashSignature(GraftSqlBridge.expression(text), bits))
+
+  /** The fused vote loop — called from both eval and generated code. */
+  def compute(input: UTF8String, bits: Int): Long = {
+    val text = input.toString
     val toks = Tokenize.tokens(text)
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -63,12 +81,4 @@ case class SimHashSignature(child: Expression, bits: Int)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
-    copy(child = newChild)
-}
-
-object SimHashSignature {
-  def apply(text: Column, bits: Int = 16): Column =
-    GraftSqlBridge.column(SimHashSignature(GraftSqlBridge.expression(text), bits))
 }

@@ -68,6 +68,15 @@ class ByteHistogramSpec extends SparkSpec {
     assert(fused.count() > 0)
   }
 
+  test("generated code compiles (CODEGEN_ONLY, no fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq("abc").toDF("text")
+        .select(ByteHistogram($"text", 8)).collect()(0).getSeq[Long](0)
+      assert(got == Seq(97L, 98L, 99L))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("rejects non-string input at analysis time") {
     val err = intercept[Exception] {
       Seq(1).toDF("n").select(ByteHistogram($"n", 8)).collect()

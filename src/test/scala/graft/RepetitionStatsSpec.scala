@@ -59,6 +59,12 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(fused.count() > 0)
   }
 
+  test("generated code compiles (CODEGEN_ONLY, no fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(stats("x x x x")("x x x x") == (4L, 1L, 3L, 3L))
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("rejects non-array input") {
     val err = intercept[Exception] {
       Seq("x").toDF("t").select(RepetitionStats($"t")).collect()

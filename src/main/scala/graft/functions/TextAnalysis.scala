@@ -96,4 +96,45 @@ object TextAnalysis {
     array_min(transform(
       sequence(lit(0), greatest(floor((length(text) - 8) / 4).cast("int"), lit(0))),
       i => md5(text.substr(i * 4 + 1, lit(8)))))
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** The PII patterns a training-corpus scrub redacts before release:
+    * emails, international-ish phone numbers, IPv4 addresses, and 13-16
+    * digit card-shaped numbers. Conservative (digit-run based) on purpose:
+    * a corpus scrub prefers false positives over leaked identifiers.
+    * Plain Java-regex alternations — codegen'd `regexp_replace`/
+    * `regexp_count`, no UDF.
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d(?:[ -]?\\d){12,15}\\b" -> "<CARD>",
+    "\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  /** Text with every PII match replaced by its `<TYPE>` tag. Order
+    * matters: emails first (their local parts contain digit runs), then
+    * card-shaped runs (longer than phones), then phones, then IPs.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of PII matches by type: struct<emails, cards, phones, ips> —
+    * the audit metric a scrub job reports. Counted on the progressively
+    * redacted text so overlapping families (card/phone digit runs) are
+    * not double-counted, mirroring [[redactPii]]'s precedence.
+    */
+  def piiCounts(text: Column): Column = {
+    val stages = PiiPatterns.scanLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+    val counts = PiiPatterns.zip(stages.init).map { case ((re, _), stage) =>
+      regexp_count(stage, lit(re)).cast("long")
+    }
+    struct(
+      counts(0).as("emails"), counts(1).as("cards"),
+      counts(2).as("phones"), counts(3).as("ips"))
+  }
 }

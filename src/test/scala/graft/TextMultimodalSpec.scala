@@ -100,4 +100,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(resized(3L) == ((32, 4, 8)))          // image: truncated + w/h set
     assert(resized(4L) == ((100, null, null)))   // audio: fully untouched
   }
+
+  test("PII scrub: redaction tags + per-type counts, precedence-safe") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@example.co.uk or jo@ex.org today"),
+      (2L, "card 4111 1111 1111 1111 expires soon"),
+      (3L, "call +1 (555) 123-4567 from 10.0.0.1"),
+      (4L, "clean text, digits 42 and version 1.2.3 stay")
+    ).toDF("id", "text")
+    val out = docs.select($"id",
+        TextAnalysis.redactPii($"text").as("red"),
+        TextAnalysis.piiCounts($"text").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getStruct(2).toSeq))).toMap
+
+    assert(out(1L)._1 == "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(1L)._2 == Seq(2L, 0L, 0L, 0L))
+    // the 16-digit run must be CARD, not four PHONEs
+    assert(out(2L)._1 == "card <CARD> expires soon")
+    assert(out(2L)._2 == Seq(0L, 1L, 0L, 0L))
+    assert(out(3L)._1 == "call <PHONE> from <IP>")
+    assert(out(3L)._2 == Seq(0L, 0L, 1L, 1L))
+    // no false positives on small digits / dotted versions
+    assert(out(4L)._1 == "clean text, digits 42 and version 1.2.3 stay")
+    assert(out(4L)._2 == Seq(0L, 0L, 0L, 0L))
+  }
 }

@@ -41,7 +41,11 @@ class MangoPropertySpec extends SparkSpec {
     Gen.oneOf(true, false).map(b => s""""verified":{"$$eq":$b}"""),
     Gen.oneOf(true, false).map(b => s""""age":{"$$exists":$b}"""),
     Gen.someOf(Seq("red", "green")).map(vs =>
-      s""""colour":{"$$in":[${vs.map("\"" + _ + "\"").mkString(",")}]}"""))
+      s""""colour":{"$$in":[${vs.map("\"" + _ + "\"").mkString(",")}]}"""),
+    // $beginsWith over a value space with shared prefixes ("g"/"gr"/"b"
+    // hit, "x" misses, "" matches everything present)
+    Gen.oneOf("r", "g", "gr", "b", "x", "").map(p =>
+      s""""colour":{"$$beginsWith":"$p"}"""))
 
   private def selectorGen(depth: Int): Gen[String] =
     if (depth <= 0) fieldCondGen.map(c => s"{$c}")

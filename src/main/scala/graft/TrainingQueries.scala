@@ -157,7 +157,9 @@ object TrainingQueries {
     (s, d) => {
       val docs = t(s, d, "documents")
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Dedup.ngramJaccard(docs, pairs)
+      // adjacent-id pairs span the whole corpus: pair-scoping would prune
+      // nothing and only add a shuffle
+      Dedup.ngramJaccard(docs, pairs, scopeToPairs = false)
     })
 
   private val qDedupEmbed = Q("q_dedup_embed",

@@ -290,13 +290,26 @@ object Dedup {
     * shingle join, sizes via per-doc distinct counts.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   scopeToPairs: Boolean = true): DataFrame = {
+    // Shingle only the docs that actually appear in a candidate pair: in
+    // the real dedup flow `pairs` comes from LSH blocking and names a
+    // vanishing fraction of the corpus, so the semi-join prunes the
+    // shingle explode (the expensive part) before it happens. A caller
+    // whose pair set provably spans the corpus (e.g. the oracle query's
+    // adjacent-id pairs) passes scopeToPairs=false to skip the pure-
+    // overhead prune.
+    val scoped = if (!scopeToPairs) docs else {
+      val pairIds = pairs.select(col("id_a").as(idCol))
+        .union(pairs.select(col("id_b").as(idCol))).distinct()
+      docs.join(pairIds, Seq(idCol), "left_semi")
+    }
     // cached: the distinct shingle set feeds three consumers (two sides of
     // the intersection join + the size table) and is the expensive part.
     // Caller-managed lifetime (like minhashCandidates' signature cache):
     // release with df.sparkSession.catalog.clearCache() / sh unpersist when
     // the result has been materialized.
-    val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
+    val sh = shingles(scoped, shingleSize, idCol, textCol).distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle", "s"), Seq("id_a"))

@@ -95,6 +95,11 @@ class DedupAnnSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
     assert(!j.contains((1L, 4L))) // no shared shingles → no row
+
+    // pair-scoping (shingle only the paired docs) changes nothing but cost
+    val unscoped = Dedup.ngramJaccard(corpus, pairs, scopeToPairs = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(unscoped == j)
   }
 
   val vecs = Seq(

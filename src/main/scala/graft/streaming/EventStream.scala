@@ -38,14 +38,20 @@ object EventStream {
   }
 
   /** Tumbling 5-minute windows per event type with a 10-minute watermark:
-    * counts + exact-decimal value sums.
+    * counts + exact value sums. The sum is [[graft.functions.Sum128]]
+    * over scale-4 fixed point — same exact value as the decimal form the
+    * batch twin (q_window_tumbling) mirrors, but the streaming state per
+    * (window, type) group is two longs instead of a boxed decimal, and
+    * the custom DeclarativeAggregate demonstrably composes with
+    * watermarked streaming aggregation.
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+        graft.functions.Sum128(round(col("value") * 10000).cast("long"), 4)
+          .cast("double").as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 

@@ -83,4 +83,55 @@ class MangoPropertySpec extends SparkSpec {
       }
     })
   }
+
+  // ---------------------------------------------------------- array space
+
+  // warehouse storage form (§1.2): the document's JSON array lands in the
+  // DataFrame as ONE stringified column; the evaluator sees the parsed doc
+  private val elemGen: Gen[String] = Gen.oneOf("x", "y", "z")
+  private val arrayDocGen: Gen[(String, String)] = for {
+    id <- Gen.uuid.map(_.toString)
+    tags <- Gen.listOf(elemGen).map(_.take(4))
+    qtys <- Gen.listOf(Gen.choose(0, 9)).map(_.take(4))
+  } yield {
+    val items = qtys.map(q => s"""{"q":$q}""").mkString("[", ",", "]")
+    val tj = tags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    (s"""{"id":"$id","tags":$tj,"items":$items}""", id)
+  }
+
+  private val arrayCondGen: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 4).map(n => s""""tags":{"$$size":$n}"""),
+    Gen.someOf(Seq("x", "y")).map(vs =>
+      s""""tags":{"$$all":[${vs.map("\"" + _ + "\"").mkString(",")}]}"""),
+    elemGen.map(v => s""""tags":{"$$elemMatch":{"$$eq":"$v"}}"""),
+    elemGen.map(v => s""""tags":{"$$allMatch":{"$$eq":"$v"}}"""),
+    Gen.choose(0, 9).map(n => s""""items":{"$$elemMatch":{"q":{"$$gte":$n}}}"""),
+    Gen.choose(0, 9).map(n => s""""items":{"$$allMatch":{"q":{"$$gte":$n}}}"""),
+    Gen.choose(0, 9).map(n =>
+      s""""items":{"$$not":{"$$elemMatch":{"q":{"$$gt":$n}}}}"""))
+
+  test("Column compiler == document evaluator over stringified arrays " +
+       "($size/$all/$elemMatch/$allMatch, scalar and object elements)") {
+    import spark.implicits._
+    val gen = for {
+      docs <- Gen.listOfN(25, arrayDocGen)
+      cond <- arrayCondGen
+    } yield (docs, s"{$cond}")
+
+    check(80)(Prop.forAll(gen) { case (docs, sel) =>
+      // DataFrame side: arrays stored as JSON text (the flattener's form)
+      val rows = docs.map { case (doc, id) =>
+        val n = mapper.readTree(doc)
+        (id, n.get("tags").toString, n.get("items").toString)
+      }
+      val df = rows.toDF("id", "tags", "items")
+      val viaColumn = df.where(Mango.compile(sel))
+        .select("id").collect().map(_.getString(0)).toSet
+      val parsed = Mango.parse(sel)
+      val viaDoc = docs.filter { case (doc, _) =>
+        Mango.evalDoc(parsed, mapper.readTree(doc))
+      }.map(_._2).toSet
+      viaColumn == viaDoc
+    })
+  }
 }

@@ -840,17 +840,10 @@ object TrainingQueries {
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents)
             SELECT doc_id, source FROM r WHERE rn <= 50"""),
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val key = md5(col("doc_id").cast("string"))
-      val salted = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(16)))
-        .orderBy(key, col("doc_id"))
-      val perSource = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
-      t(s, d, "documents")
-        .withColumn("rn1", row_number().over(salted)).where(col("rn1") <= 50)
-        .withColumn("rn", row_number().over(perSource)).where(col("rn") <= 50)
-        .select(col("doc_id"), col("source"))
-    })
+    (s, d) => graft.ops.Sampling.topKPerKey(
+        t(s, d, "documents"), col("source"),
+        md5(col("doc_id").cast("string")), col("doc_id"), k = 50)
+      .select(col("doc_id"), col("source")))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,

@@ -69,4 +69,30 @@ object Sampling {
       (coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)) / budget)
         .cast("long"))
   }
+
+  /** Exact top-`k` rows per key by `(order, tiebreak)` WITHOUT a
+    * single-task-per-key sort: stage 1 ranks inside `(key, salt)` — no
+    * window partition exceeds ~1/`salts` of a key — and stage 2 re-ranks
+    * the ≤ `salts`·`k` survivors per key. Any global top-k row is also
+    * top-k in its salt bucket, so the result provably equals the naive
+    * single-window form; the spec checks it on a skewed corpus. This is
+    * the shape that holds when one key is 10% of a 100 TB dataset (e.g.
+    * per-domain quota sampling over a crawl).
+    *
+    * `tiebreak` must make `(order, tiebreak)` unique per key (e.g. a doc
+    * id) or top-k itself is ill-defined.
+    */
+  def topKPerKey(df: DataFrame, key: Column, order: Column, tiebreak: Column,
+                 k: Int, salts: Int = 16): DataFrame = {
+    require(k >= 1 && salts >= 1, "k and salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // pmod is non-negative for a positive modulus, so no abs() — which
+    // would raise on hash() == Int.MinValue under ANSI
+    val salt = pmod(hash(tiebreak), lit(salts))
+    val salted = Window.partitionBy(key, salt).orderBy(order, tiebreak)
+    val whole = Window.partitionBy(key).orderBy(order, tiebreak)
+    df.withColumn("_rn1", row_number().over(salted)).where(col("_rn1") <= k)
+      .withColumn("_rn", row_number().over(whole)).where(col("_rn") <= k)
+      .drop("_rn1", "_rn")
+  }
 }

@@ -43,4 +43,23 @@ class SamplingSpec extends SparkSpec {
     assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
       ("a", 4L) -> 2L, ("b", 1L) -> 0L, ("b", 2L) -> 1L))
   }
+
+  test("topKPerKey: salted two-stage equals single window on a skewed corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // hot key carries 90% of rows — the distribution that makes a naive
+    // per-key window a single straggler task
+    val rows = (0 until 9000).map(i => ("hot", i.toLong)) ++
+      (0 until 500).map(i => ("warm", i.toLong)) ++
+      Seq(("cold", 1L), ("cold", 2L))
+    val df = rows.toDF("key", "id")
+    val order = md5($"id".cast("string"))
+    val got = Sampling.topKPerKey(df, $"key", order, $"id", k = 7, salts = 8)
+      .select("key", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val naive = df
+      .withColumn("rn", row_number().over(Window.partitionBy($"key").orderBy(order, $"id")))
+      .where($"rn" <= 7).select("key", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.count(_._1 == "hot") == 7 && got.count(_._1 == "cold") == 2)
+  }
 }

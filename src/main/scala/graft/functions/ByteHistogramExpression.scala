@@ -17,11 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * ascii(substr(text, i, 1)))) … groupBy(doc, pos % dims) … sum` — one
   * array allocation + explode + aggregate per character — with one fused
   * loop per row, emitting `min(dims, length)` sums directly.
-  * Bit-identical output: same codepoint semantics as `ascii(substr(…))`
-  * (both operate on code points, so any UTF-8 input agrees, not just the
-  * ASCII corpus), same dims-with-no-characters omission for short texts
-  * (the array is truncated, so `posexplode` yields exactly the dims the
-  * exploded formulation produced). Integer sums — order-free, exact.
+  * Bit-identical to the exploded form for all BMP text (the spec checks
+  * ASCII, Latin-1, and CJK): both count code points there. OFF the BMP
+  * they intentionally diverge — `length`/`substr` count UTF-16 units, so
+  * the exploded form splits a surrogate pair into two garbage units,
+  * while this loop counts the real code point once (the more correct
+  * reading; the fixture corpus is ASCII either way). Same
+  * dims-with-no-characters omission for short texts (the array is
+  * truncated, so `posexplode` yields exactly the dims the exploded
+  * formulation produced). Integer sums — order-free, exact.
   */
 case class ByteHistogram(child: Expression, dims: Int)
     extends UnaryExpression {

@@ -11,7 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass repetition statistics over a token array:
   * `struct<w, d, maxc, nbg>` = (token count, distinct-token count, highest
-  * single-bigram occurrence count, total bigram occurrences = w-1).
+  * single-bigram occurrence count, total bigram occurrences — w-1 for a
+  * null-free array; null elements break the bigram chain and count
+  * toward neither).
   *
   * The relational formulation of the Gopher repetition filters explodes
   * one row per bigram and aggregates twice on (doc_id, bigram) — a
@@ -67,6 +69,7 @@ object RepetitionStats {
     val w = arr.numElements()
     val distinct = new java.util.HashSet[UTF8String](Math.max(16, w * 2))
     var maxc = 0L
+    var nbg = 0L // actual bigram count: w-1 minus chain breaks at nulls
     if (w > 0) {
       // token strings materialized once; bigram keys join on a space,
       // unambiguous because tokens never contain whitespace
@@ -82,6 +85,7 @@ object RepetitionStats {
           if (prev != null) {
             val c = counts.computeIfAbsent(prev + " " + s, _ => new Array[Long](1))
             c(0) += 1
+            nbg += 1
             if (c(0) > maxc) maxc = c(0)
           }
           prev = s
@@ -89,7 +93,6 @@ object RepetitionStats {
         i += 1
       }
     }
-    new GenericInternalRow(Array[Any](
-      w.toLong, distinct.size.toLong, maxc, Math.max(0, w - 1).toLong))
+    new GenericInternalRow(Array[Any](w.toLong, distinct.size.toLong, maxc, nbg))
   }
 }

@@ -109,12 +109,15 @@ object TextAnalysis {
   private val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d(?:[ -]?\\d){12,15}\\b" -> "<CARD>",
-    "\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>",
-    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+    // IP BEFORE phone: the phone alternation also matches dotted IPv4
+    // with wide octets (192.168.200.100 parses as country/area/number)
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>")
 
   /** Text with every PII match replaced by its `<TYPE>` tag. Order
     * matters: emails first (their local parts contain digit runs), then
-    * card-shaped runs (longer than phones), then phones, then IPs.
+    * card-shaped runs (longer than phones), then IPs (dotted quads also
+    * look like phones), then phones.
     */
   def redactPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (re, tag)) =>
@@ -123,18 +126,18 @@ object TextAnalysis {
 
   /** Count of PII matches by type: struct<emails, cards, phones, ips> —
     * the audit metric a scrub job reports. Counted on the progressively
-    * redacted text so overlapping families (card/phone digit runs) are
-    * not double-counted, mirroring [[redactPii]]'s precedence.
+    * redacted text so overlapping families (card/phone/IP digit runs)
+    * are not double-counted, mirroring [[redactPii]]'s precedence.
     */
   def piiCounts(text: Column): Column = {
     val stages = PiiPatterns.scanLeft(text) { case (c, (re, tag)) =>
       regexp_replace(c, re, tag)
     }
-    val counts = PiiPatterns.zip(stages.init).map { case ((re, _), stage) =>
-      regexp_count(stage, lit(re)).cast("long")
-    }
+    val byTag = PiiPatterns.zip(stages.init).map { case ((re, tag), stage) =>
+      tag -> regexp_count(stage, lit(re)).cast("long")
+    }.toMap
     struct(
-      counts(0).as("emails"), counts(1).as("cards"),
-      counts(2).as("phones"), counts(3).as("ips"))
+      byTag("<EMAIL>").as("emails"), byTag("<CARD>").as("cards"),
+      byTag("<PHONE>").as("phones"), byTag("<IP>").as("ips"))
   }
 }

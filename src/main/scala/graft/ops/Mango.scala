@@ -130,6 +130,11 @@ object Mango {
     case "$nin"    => !c.isin(v.elements().asScala.map(literalValue).toSeq: _*)
     case "$exists" => if (v.asBoolean) c.isNotNull else c.isNull
     case "$regex"  => c.rlike(v.asText)
+    // Known edge: CouchDB (and evalDoc below) only matches STRING values;
+    // in Column position over raw JSON the value arrives pre-stringified
+    // (get_json_object returns "42" for 42), so a non-string field whose
+    // text form starts with the prefix is leniently matched here. Typed
+    // string columns (the flattened warehouse form) agree exactly.
     case "$beginsWith" => c.startsWith(v.asText)
     case "$size"   => json_array_length(c) === lit(v.asInt)
     case "$mod" =>

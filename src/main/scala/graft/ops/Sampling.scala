@@ -89,10 +89,16 @@ object Sampling {
     // pmod is non-negative for a positive modulus, so no abs() — which
     // would raise on hash() == Int.MinValue under ANSI
     val salt = pmod(hash(tiebreak), lit(salts))
+    // internal rank names must not collide with (and silently drop) a
+    // caller's columns
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val rn1 = fresh("_graft_rn1"); val rn = fresh("_graft_rn")
     val salted = Window.partitionBy(key, salt).orderBy(order, tiebreak)
     val whole = Window.partitionBy(key).orderBy(order, tiebreak)
-    df.withColumn("_rn1", row_number().over(salted)).where(col("_rn1") <= k)
-      .withColumn("_rn", row_number().over(whole)).where(col("_rn") <= k)
-      .drop("_rn1", "_rn")
+    df.withColumn(rn1, row_number().over(salted)).where(col(rn1) <= k)
+      .withColumn(rn, row_number().over(whole)).where(col(rn) <= k)
+      .drop(rn1, rn)
   }
 }

@@ -45,11 +45,17 @@ object CorrProbe {
         .agg(sum(dL(q) * dR(q)), sum(dL(p) * dR(p)), sum(dL(q) * dR(p)))
         .write.mode("overwrite").format("noop").save()
     }
-    time("long_fixedpoint_sums") {
+    // expected to FAIL at sf0.1 under ANSI: Σ qf·pf ≈ 8e19 > Long.MaxValue
+    // — the overflow that makes plain SUM(BIGINT) unusable here and is
+    // exactly why Sum128 exists
+    try time("long_fixedpoint_sums") {
       val qf = round(q * 10000).cast("long"); val pf = round(p * 10000).cast("long")
       li.groupBy("l_returnflag")
         .agg(sum(qf * qf), sum(pf % 1000000 * pf), sum(qf * pf))
         .write.mode("overwrite").format("noop").save()
+    } catch {
+      case e: Exception =>
+        println(s"long_fixedpoint_sums OVERFLOWED as expected: ${e.getMessage.linesIterator.next()}")
     }
     spark.stop()
   }

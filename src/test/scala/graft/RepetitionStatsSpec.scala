@@ -59,6 +59,16 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(fused.count() > 0)
   }
 
+  test("null elements break the bigram chain and count toward nothing") {
+    val got = Seq(1).toDF("i")
+      .select(RepetitionStats(array(lit("a"), lit(null), lit("a"), lit("a"))).as("r"))
+      .select($"r.w", $"r.d", $"r.maxc", $"r.nbg").collect()(0)
+    // 4 slots, 1 distinct token, one real bigram "a a" (the null resets
+    // the chain) — nbg must be 1, not w-1=3
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((4L, 1L, 1L, 1L)))
+  }
+
   test("generated code compiles (CODEGEN_ONLY, no fallback)") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try assert(stats("x x x x")("x x x x") == (4L, 1L, 3L, 3L))

@@ -106,7 +106,8 @@ class TextMultimodalSpec extends SparkSpec {
       (1L, "mail me at jo.doe+x@example.co.uk or jo@ex.org today"),
       (2L, "card 4111 1111 1111 1111 expires soon"),
       (3L, "call +1 (555) 123-4567 from 10.0.0.1"),
-      (4L, "clean text, digits 42 and version 1.2.3 stay")
+      (4L, "clean text, digits 42 and version 1.2.3 stay"),
+      (5L, "host 192.168.200.100 responded")
     ).toDF("id", "text")
     val out = docs.select($"id",
         TextAnalysis.redactPii($"text").as("red"),
@@ -124,5 +125,8 @@ class TextMultimodalSpec extends SparkSpec {
     // no false positives on small digits / dotted versions
     assert(out(4L)._1 == "clean text, digits 42 and version 1.2.3 stay")
     assert(out(4L)._2 == Seq(0L, 0L, 0L, 0L))
+    // a wide-octet IPv4 also matches the phone alternation — IP must win
+    assert(out(5L)._1 == "host <IP> responded")
+    assert(out(5L)._2 == Seq(0L, 0L, 0L, 1L))
   }
 }

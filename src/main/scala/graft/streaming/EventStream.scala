@@ -66,6 +66,17 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: attach dimension attributes to each event
+    * by key. The static side is explicitly broadcast — per micro-batch
+    * Spark re-plans the join, the dimension ships to executors once per
+    * batch, and the unbounded stream side NEVER shuffles (the join shape
+    * a 100 TB/day event feed requires; a shuffle join on the stream side
+    * would re-partition every batch). Left join: events without a
+    * dimension row pass through with nulls, never dropped.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** One closed user session: `[start_ms, end_ms]` in epoch-millis. */
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 

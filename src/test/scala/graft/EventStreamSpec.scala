@@ -134,4 +134,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batchSessions)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-static enrichment: broadcast dim join, unmatched events kept") {
+    import spark.implicits._
+    val users = spark.read.parquet(s"$eventsDir/part-0.parquet")
+      .select($"user_id").distinct().limit(5)
+      .withColumn("tier", concat(lit("tier-"), $"user_id" % 3))
+    val dimIds = users.select("user_id").collect().map(_.getLong(0)).toSet
+
+    val q = EventStream.enrich(EventStream.readEvents(spark, eventsDir), users)
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)))).toSeq
+    val total = spark.read.parquet(s"$eventsDir/part-0.parquet").count()
+    assert(out.size == total.toInt) // left join: nothing dropped
+    out.foreach { case (uid, tier) =>
+      if (dimIds.contains(uid)) assert(tier.contains(s"tier-${uid % 3}"))
+      else assert(tier.isEmpty)
+    }
+    assert(out.exists(_._2.isDefined) && out.exists(_._2.isEmpty))
+  }
 }

@@ -239,10 +239,20 @@ object Queries {
       .agg(countDistinct(col("l_partkey")).as("dparts"),
         countDistinct(col("l_suppkey")).as("dsupps")))
 
-  /** Exact median via explicit middle-row selection (row_number + count
-    * windows) — engine-agnostic, unlike percentile_cont whose interpolation
-    * arithmetic differs; the 1-or-2 middle values average through an exact
-    * decimal sum.
+  /** Exact median via explicit middle-rank selection — engine-agnostic,
+    * unlike percentile_cont whose interpolation arithmetic differs; the
+    * 1-or-2 middle values average through an exact decimal sum.
+    *
+    * The oracle ranks rows directly; the Spark side selects the SAME
+    * middle values from a value HISTOGRAM: count per (type, value), then
+    * cumulative ranks over the per-type distinct values. The row shuffle
+    * keys on (type, value) — fully spread — and the rank window only
+    * sees the distinct-value set (cents-granular money data: thousands
+    * of rows per type, not millions), instead of one full-corpus sort
+    * task per type. Exact for any input; the histogram stays small
+    * whenever the value domain is bounded (for genuinely continuous
+    * unbounded domains it degrades to the sorted form's cardinality).
+    * A bucket can cover both middle ranks, hence the k-weighting.
     */
   private val qMedian = Q("q_median",
     Some("""WITH ranked AS (SELECT event_type, value,
@@ -255,16 +265,23 @@ object Queries {
             WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
             GROUP BY event_type"""),
     (s, d) => {
-      val w = Window.partitionBy("event_type")
-      val ranked = t(s, d, "events").select(
-        col("event_type"), col("value"),
-        row_number().over(w.orderBy(col("value"), col("event_id"))).as("rn"),
-        count(lit(1)).over(w).as("n"))
+      val hist = t(s, d, "events")
+        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val ranked = hist.select(col("event_type"), col("value"), col("c"),
+        (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
+        sum(col("c")).over(wv).as("hi"),
+        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+      val r1 = expr("(n + 1) div 2"); val r2 = expr("(n + 2) div 2")
+      def covers(r: Column) = r > col("lo") && r <= col("hi")
       ranked
-        .where(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+        .withColumn("k",
+          when(covers(r1), 1).otherwise(0) +
+            when(covers(r2) && r2 =!= r1, 1).otherwise(0))
+        .where(col("k") > 0)
         .groupBy("event_type")
-        .agg((sum(col("value").cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
-          .as("median"))
+        .agg((sum(col("value").cast(DecimalType(18, 4)) * col("k")).cast("double") /
+          sum(col("k"))).as("median"))
     })
 
   private val qRollup = Q("q_rollup",

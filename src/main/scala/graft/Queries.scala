@@ -284,6 +284,84 @@ object Queries {
           sum(col("k"))).as("median"))
     })
 
+  /** Exact per-group quantiles (discrete: value at rank ceil(p·n)) from
+    * the SAME value histogram as [[qMedian]] — the rank window sees only
+    * the distinct-value set, never one full-sort task per group, and all
+    * three quantiles come out of ONE pass. The rank rule is pinned
+    * explicitly (`(n·p + 99) div 100`) so both engines select the
+    * identical element — no reliance on engine-specific percentile
+    * interpolation.
+    */
+  private val qQuantiles = Q("q_quantiles",
+    Some("""WITH ranked AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM events)
+            SELECT event_type,
+              min(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+              min(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+              min(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END) AS p75
+            FROM ranked GROUP BY event_type"""),
+    (s, d) => {
+      val hist = t(s, d, "events")
+        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val ranked = hist.select(col("event_type"), col("value"), col("c"),
+        (sum(col("c")).over(wv) - col("c")).as("lo"), // bucket covers ranks lo+1..hi
+        sum(col("c")).over(wv).as("hi"),
+        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+      def q(p: Int) = {
+        val r = expr(s"(n * $p + 99) div 100")
+        min(when(r > col("lo") && r <= col("hi"), col("value")))
+      }
+      ranked.groupBy("event_type")
+        .agg(q(25).as("p25"), q(50).as("p50"), q(75).as("p75"))
+    })
+
+  /** SCD Type-2 dimension history: each CDC event becomes a versioned row
+    * with validity interval [valid_from, valid_to) — `valid_to` = the next
+    * version's start, NULL while current. The standard warehouse shape for
+    * the reference's changes feed (every upsert of a doc id opens a new
+    * version and closes the previous one). One shuffle on the entity key;
+    * windows are per-entity, never global.
+    */
+  private val qScd2 = Q("q_scd2",
+    Some("""SELECT user_id, event_id, epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events"""),
+    (s, d) => {
+      // DuckDB timestamps are µs-precision, so its epoch_ns() is the
+      // parquet nanos truncated to µs — emit AND order by the same
+      // truncation (ties then break identically via event_id)
+      val tsUs = expr("(ts div 1000) * 1000")
+      val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        tsUs.as("valid_from"),
+        lead(tsUs, 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"),
+        lead(tsUs, 1).over(w).isNull.as("is_current"))
+    })
+
+  /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
+    * — the latest row per entity among events at-or-before it. This is
+    * [[graft.ops.Compact]]'s last-writer-wins window with the cutoff
+    * predicate pushed BELOW the shuffle: only pre-cutoff rows move.
+    */
+  private val qSnapshotAsof = Q("q_snapshot_asof",
+    Some("""WITH h AS (SELECT user_id, event_id, event_type, value,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE epoch_ns(ts) <= 1705276800000000000)
+            SELECT user_id, event_id, event_type, value FROM h WHERE rn = 1"""),
+    (s, d) => {
+      val cutoffNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events").where(col("ts") <= cutoffNs)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    })
+
   private val qRollup = Q("q_rollup",
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -953,6 +1031,7 @@ object Queries {
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
+    qQuantiles, qScd2, qSnapshotAsof,
     qCorr, qDistinctKmv, qTpchQ3,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qSubquery, qArray,

@@ -366,6 +366,26 @@ object TrainingQueries {
     (s, d) => graft.ops.Sampling.assignSplit(t(s, d, "documents"), "doc_id")
       .groupBy("split", "lang").agg(count(lit(1)).as("n")))
 
+  /** Systematic PPS sample ([[graft.ops.Sampling.systematicSample]]):
+    * ≈50 docs picked with probability proportional to length — the
+    * deterministic weighted-sampling design for token-budgeted corpus
+    * draws. The oracle runs the naive global-cumsum form of the SAME
+    * integer selection rule; the Spark side must select the identical
+    * set through its two-level (shard + offset) prefix sum.
+    */
+  private val qSampleWeighted = Q("q_sample_weighted",
+    Some("""WITH c AS (SELECT doc_id, n_chars,
+              sum(n_chars) OVER (ORDER BY doc_id) AS cum,
+              sum(n_chars) OVER () AS total
+              FROM documents)
+            SELECT doc_id, n_chars FROM c
+            WHERE cum // greatest(total // 50, 1)
+                > (cum - n_chars) // greatest(total // 50, 1)"""),
+    (s, d) => graft.ops.Sampling.systematicSample(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        orderCol = "doc_id", weightCol = "n_chars", k = 50)
+      .select("doc_id", "n_chars"))
+
   /** Sequential context-window packing ([[graft.ops.Sampling.packSequences]]):
     * per-lang shards, docs ordered by id, `bin = exclusive-prefix-tokens
     * // 512` — the streaming rule that fills fixed-size training contexts.
@@ -850,7 +870,8 @@ object TrainingQueries {
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit, qPack,
+    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
+    qSampleWeighted, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

@@ -70,6 +70,59 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Systematic probability-proportional-to-size sample (≈`k` rows): lay
+    * the rows out on a line ordered by `orderCol`, each covering an
+    * interval as long as its `weightCol`, and keep every row whose
+    * interval contains a multiple of `stride = total_weight / k` — the
+    * classic PPS systematic design, made deterministic (no `rand()`) and
+    * engine-exact (all arithmetic is integer, so an oracle running the
+    * same formula selects the identical set).
+    *
+    * Scale shape: the naive form is one GLOBAL running sum — a
+    * single-task window. Here the prefix sum is two-level: an in-shard
+    * window (one shuffle on `shard = orderCol div shardSize`) plus a
+    * shard-offset table of only `max(orderCol)/shardSize` rows — small
+    * enough for its own single-task window and a broadcast join back.
+    * `orderCol` must be a non-negative integer key (a dense row id keeps
+    * shards balanced); `weightCol` must be a non-negative integer.
+    */
+  def systematicSample(df: DataFrame, orderCol: String, weightCol: String,
+                       k: Int, shardSize: Long = 4096): DataFrame = {
+    require(k >= 1 && shardSize >= 1, "k and shardSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val sh = fresh("_graft_shard"); val cum = fresh("_graft_cum")
+    val off = fresh("_graft_off"); val tot = fresh("_graft_tot")
+    val st = fresh("_graft_shard_total")
+    val w = col(weightCol).cast("long")
+    val sharded = df.withColumn(sh,
+      expr(s"cast(`$orderCol` as bigint) div $shardSize"))
+    val inShard = Window.partitionBy(sh).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the offset windows are single-task by construction, but only over
+    // the tiny per-shard totals — never the data
+    val wOff = Window.orderBy(col(sh)).rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col(sh))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = sharded.groupBy(col(sh)).agg(sum(w).as(st))
+      .select(col(sh),
+        coalesce(sum(col(st)).over(wOff), lit(0L)).as(off),
+        sum(col(st)).over(wTot).as(tot))
+    val stride = fresh("_graft_stride")
+    sharded
+      .withColumn(cum, sum(w).over(inShard))
+      .join(broadcast(offsets), sh)
+      .withColumn(cum, col(off) + col(cum))
+      .withColumn(stride, greatest(expr(s"`$tot` div $k"), lit(1L)))
+      // integer `div` on both sides — bit-exact, so an oracle running the
+      // same formula selects the identical row set
+      .where(expr(s"(`$cum` div `$stride`) > " +
+        s"((`$cum` - cast(`$weightCol` as bigint)) div `$stride`)"))
+      .drop(sh, cum, off, tot, stride)
+  }
+
   /** Exact top-`k` rows per key by `(order, tiebreak)` WITHOUT a
     * single-task-per-key sort: stage 1 ranks inside `(key, salt)` — no
     * window partition exceeds ~1/`salts` of a key — and stage 2 re-ranks

@@ -77,6 +77,33 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (attribution): each purchase joins the
+    * clicks of the SAME user in the preceding `windowMinutes` of event
+    * time. Both sides carry watermarks and the join condition bounds
+    * `click_time` to `[purchase_time - window, purchase_time]`, which is
+    * what lets Spark evict buffered rows as the watermark advances —
+    * per-side state is bounded by rate × (window + watermark), never the
+    * stream's history. Inner join, one stateful shuffle per side on the
+    * equi-key (user_id); the interval predicate never becomes a
+    * cross-product because the equi-key partitions first.
+    */
+  def clickAttribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "10 minutes")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_time") <= col("purchase_time"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("value"), col("purchase_time"), col("click_time"))
+  }
+
   /** One closed user session: `[start_ms, end_ms]` in epoch-millis. */
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 

@@ -158,4 +158,35 @@ class EventStreamSpec extends SparkSpec {
     }
     assert(out.exists(_._2.isDefined) && out.exists(_._2.isEmpty))
   }
+
+  test("stream-stream interval join matches the batch join") {
+    val q = EventStream.clickAttribution(EventStream.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("attrib")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch twin of the same predicate
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_time") >= col("purchase_time") - expr("INTERVAL 30 MINUTES") &&
+          col("click_time") <= col("purchase_time"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -62,4 +62,27 @@ class SamplingSpec extends SparkSpec {
     assert(got == naive)
     assert(got.count(_._1 == "hot") == 7 && got.count(_._1 == "cold") == 2)
   }
+
+  test("systematicSample: sharded prefix sum equals the exact global rule") {
+    // uneven weights; shardSize 64 over ids 0..999 exercises 16 shards,
+    // so both the in-shard window and the offset join are on the path
+    val ws = (0L until 1000L).map(i => 1L + i * 37 % 100)
+    val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w")
+    val got = Sampling.systematicSample(docs, "doc_id", "w", k = 20, shardSize = 64)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: the selection rule evaluated exactly on the driver
+    val total = ws.sum; val stride = math.max(total / 20, 1)
+    val cums = ws.scanLeft(0L)(_ + _).tail
+    val expected = ws.indices
+      .filter(i => cums(i) / stride > (cums(i) - ws(i)) / stride)
+      .map(_.toLong).toSet
+    assert(got == expected)
+    // systematic PPS yields floor(total/stride) picks: ~k, one per stride
+    assert(got.size >= 20 && got.size <= 21)
+    // a row heavier than one stride is always selected
+    val giant = docs.withColumn("w", when($"doc_id" === 500L, lit(total)).otherwise($"w"))
+    val g = Sampling.systematicSample(giant, "doc_id", "w", k = 20, shardSize = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(g.contains(500L))
+  }
 }

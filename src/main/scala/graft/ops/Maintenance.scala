@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Warehouse maintenance operators: the housekeeping a long-lived
+  * parquet warehouse needs at scale, kept out of the query path.
+  *
+  * Small-file compaction: streaming ingestion and per-batch exports leave
+  * directories of many small parquet files; each file costs a task, a
+  * footer read, and an open at scan time, so a 100 TB warehouse that
+  * accretes micro-batch outputs degrades until files are re-binned. The
+  * reference never needs this (its warehouse is one SQLite file); any
+  * file-based warehouse does.
+  */
+object Maintenance {
+
+  /** Rewrite the parquet directory at `dir` into ≈`targetBytes` files:
+    * read, re-bin to `ceil(bytes/targetBytes)` partitions, write to a
+    * staging sibling, atomically swap. Readers never observe a partial
+    * directory (the swap is two renames), and a crash strands only the
+    * staging/retired dirs, which the next call clears. Returns the new
+    * file count.
+    *
+    * Round-robin repartition (not coalesce): coalesce(1..n) chains the
+    * upstream parallelism into the write tasks, so a big compaction would
+    * read with the same (tiny) parallelism it writes with; repartition
+    * keeps the read side wide. Column order and values are preserved;
+    * intra-file row order is not promised (parquet consumers must not
+    * rely on it — the warehouse's own readers never do).
+    */
+  def compactFiles(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"$dir is not a directory")
+    val staging = Paths.get(dir + ".compact_staging")
+    val retired = Paths.get(dir + ".compact_retired")
+    graft.streaming.StreamIngest.deleteRecursively(staging)
+    graft.streaming.StreamIngest.deleteRecursively(retired)
+
+    val bytes = parquetBytes(root)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(staging.toString)
+
+    Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
+    graft.streaming.StreamIngest.deleteRecursively(retired)
+    parquetFiles(root).size
+  }
+
+  private def parquetFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(root)
+    try {
+      val it = s.iterator()
+      val out = Seq.newBuilder[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          out += p
+      }
+      out.result()
+    } finally s.close()
+  }
+
+  private def parquetBytes(root: java.nio.file.Path): Long =
+    parquetFiles(root).map(Files.size).sum
+
+  /** Interleave the bits of `cols` (each first rank-normalized to `bits`
+    * unsigned bits by the caller) into one Z-order (Morton) key. Sorting
+    * or range-partitioning a table by this key before writing makes
+    * parquet row-group/file min-max stats selective on EVERY interleaved
+    * dimension at once — a predicate on any of them prunes — instead of
+    * only the leading column of a lexicographic sort. Pure expression
+    * tree, fully codegen'd, no UDF.
+    *
+    * `bits` ≤ 21 keeps `n × bits` ≤ 63 for up to 3 columns (the long
+    * never overflows); inputs outside `[0, 2^bits)` are clamped, so
+    * callers can feed raw small ints or precomputed ranks alike.
+    */
+  def zOrderKey(bits: Int, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty, "need at least one column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*cols must fit a long, got $bits x ${cols.size}")
+    val n = cols.size
+    val clamped = cols.map(c =>
+      greatest(lit(0L), least(c.cast("long"), lit((1L << bits) - 1))))
+    // bit b of column i lands at interleaved position b*n + i
+    (0 until bits).flatMap { b =>
+      clamped.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Rewrite `df` into `parts` files laid out along the Z-order curve of
+    * `dims` (range-partition + in-partition sort by the key): each output
+    * file covers a compact hyper-rectangle of the dim space, so its
+    * parquet min-max stats prune scans filtered on ANY dim.
+    */
+  def zOrderWrite(df: DataFrame, path: String, parts: Int, bits: Int,
+                  dims: String*): Unit = {
+    val key = zOrderKey(bits, dims.map(col): _*)
+    df.withColumn("_graft_z", key)
+      .repartitionByRange(parts, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -932,6 +932,28 @@ object Queries {
       .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")))
 
+  /** Sliding windows (1 h long, every 15 min) as the explode-of-starts
+    * rewrite: each event belongs to exactly size/step = 4 windows, so a
+    * map-side `explode(sequence(0,3))` replicates it into its windows and
+    * ONE aggregation finishes — the same plan Structured Streaming uses
+    * for sliding windows, here oracled batch-exactly. Timestamps are
+    * µs-truncated on both sides first (DuckDB timestamps are µs), so
+    * events a hair below a window boundary bucket identically.
+    */
+  private val qWindowSliding = Q("q_window_sliding",
+    Some("""SELECT ((epoch_ns(ts) // 900000000000) - i) * 900000000000 AS w_start,
+            event_type, count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM events, UNNEST(range(0, 4)) AS t(i)
+            GROUP BY 1, 2"""),
+    (s, d) => t(s, d, "events")
+      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+      .groupBy(
+        expr("(((ts div 1000) * 1000 div 900000000000) - i) * 900000000000")
+          .as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")))
+
   /** Correlation / covariance / stddev from exact decimal power sums: the
     * five sums Σx, Σy, Σx², Σy², Σxy accumulate as decimals (order-
     * independent, engine-exact), and the closed-form moment formulas run
@@ -1034,6 +1056,7 @@ object Queries {
     qQuantiles, qScd2, qSnapshotAsof,
     qCorr, qDistinctKmv, qTpchQ3,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
+    qWindowSliding,
     qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,

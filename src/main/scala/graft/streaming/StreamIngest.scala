@@ -39,11 +39,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 final class StreamIngest(
     spark: SparkSession,
     opts: WarehouseOptions,
-    warehouseDir: String) {
+    warehouseDir: String,
+    maintainAgg: Option[StreamIngest.AggSpec] = None) {
 
   private val stateDir = s"$warehouseDir/_state"
   private val checkpointFile = Paths.get(s"$warehouseDir/_checkpoints.json")
   private val schemaDir = Paths.get(s"$warehouseDir/_schemas")
+  private val aggDir = Paths.get(s"$warehouseDir/_agg")
 
   /** Frozen per-docType schemas, persisted as the donor document JSON so a
     * restarted stream keeps first-doc-wins semantics (§1.4).
@@ -108,18 +110,88 @@ final class StreamIngest(
       // re-created after deletion wins via its higher seq).
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("seqNum").desc)
-      val state = merged
+      val state0 = merged
         .where(!col("id").startsWith("_design"))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .drop("_rn")
-
-      writeBuckets(state)
+      // the maintained aggregate reads `state` too — cache so the LWW
+      // window runs once, and release before the bucket swap
+      val state = if (maintainAgg.isDefined) state0.cache() else state0
+      try {
+        // agg BEFORE state (see updateAgg's exactly-once argument)
+        maintainAgg.foreach(updateAgg(_, batch, touched, state, batchId))
+        writeBuckets(state)
+      } finally if (maintainAgg.isDefined) { state.unpersist(); () }
 
       publish()
       advanceCheckpoint(batch)
     } finally batch.unpersist()
   }
+
+  /** Incrementally maintain `count/sum by group` over the live docs
+    * ([[IncrementalAgg]]): delta = (batch ids' live rows AFTER the merge)
+    * minus (their live rows BEFORE it), applied to a one-row-per-group
+    * table — never a rescan of the state.
+    *
+    * Exactly-once across crash/replay, by ordering + marker:
+    * the agg directory (data + the batchId that built it) swaps in
+    * atomically BEFORE the state buckets do. A crash after the agg swap
+    * but before the state swap replays the batch: the marker says the
+    * delta is already applied, the skip is correct because pre-state is
+    * unchanged. A crash after both swaps replays into the marker skip +
+    * the idempotent LWW merge. Deltas are computed from state diffs (not
+    * raw batch rows), so even an unguarded re-apply of an absorbed batch
+    * is a zero delta.
+    */
+  private def updateAgg(spec: StreamIngest.AggSpec, batch: DataFrame,
+                        touched: Array[Int], state: DataFrame,
+                        batchId: Long): Unit = {
+    if (batchId <= appliedAggBatch()) return
+    val ids = batch.select("id").distinct()
+    // live (grp, value) rows of the batch's ids; docs without the group
+    // field are outside the aggregate (a null join key would never merge)
+    def rows(df: DataFrame): DataFrame =
+      df.where(!col("deleted") && !col("id").startsWith("_design"))
+        .join(ids, "id")
+        .select(get_json_object(col("doc"), spec.groupPath).as("grp"),
+          get_json_object(col("doc"), spec.valuePath).cast("double").as("value"))
+        .where(col("grp").isNotNull)
+    val pre = existingState() match {
+      case Some(st) => rows(
+        st.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*)))
+      case None => rows(state.limit(0))
+    }
+    val post = rows(state)
+    val current = if (Files.exists(aggDir.resolve("data")))
+      spark.read.parquet(aggDir.resolve("data").toString)
+    else IncrementalAgg.empty(pre, "grp")
+    val merged = IncrementalAgg.merge(current,
+      IncrementalAgg.delta(pre, post, "grp", "value"), "grp")
+    // stage data + marker together, swap as ONE directory rename
+    val staging = Paths.get(s"$warehouseDir/_agg_staging")
+    val retired = Paths.get(s"$warehouseDir/._agg.old")
+    deleteRecursively(staging)
+    deleteRecursively(retired)
+    merged.coalesce(1).write.parquet(staging.resolve("data").toString)
+    Files.writeString(staging.resolve("batchid"), batchId.toString)
+    if (Files.exists(aggDir))
+      Files.move(aggDir, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, aggDir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(retired)
+  }
+
+  private def appliedAggBatch(): Long = {
+    val f = aggDir.resolve("batchid")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+  }
+
+  /** The maintained aggregate as `(grp, n, total)`, when configured. */
+  def maintainedAgg: Option[DataFrame] =
+    if (Files.exists(aggDir.resolve("data")))
+      Some(IncrementalAgg.finish(
+        spark.read.parquet(aggDir.resolve("data").toString), "grp"))
+    else None
 
   /** Publish the merged (touched-bucket-only) state via a staging write +
     * per-bucket atomic renames, instead of dynamically overwriting the
@@ -179,6 +251,14 @@ final class StreamIngest(
       } finally listing.close()
     }
     deleteRecursively(Paths.get(s"$warehouseDir/_state_staging"))
+    // agg swap recovery: a retired agg whose replacement never landed is
+    // restored; leftover staging from an incomplete build is dropped
+    val aggRetired = Paths.get(s"$warehouseDir/._agg.old")
+    if (Files.exists(aggRetired)) {
+      if (Files.exists(aggDir)) deleteRecursively(aggRetired)
+      else Files.move(aggRetired, aggDir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(Paths.get(s"$warehouseDir/_agg_staging"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -252,6 +332,11 @@ final class StreamIngest(
 }
 
 object StreamIngest {
+  /** JSON paths (get_json_object syntax, e.g. `$.type` / `$.amount`)
+    * naming the doc fields the maintained aggregate groups and sums by.
+    */
+  final case class AggSpec(groupPath: String, valuePath: String)
+
   /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
   def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

@@ -125,6 +125,51 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM bdb").collect()(0).getLong(0) == 40L)
   }
 
+  test("maintained aggregate follows upserts, group moves, deletes; replay is a no-op") {
+    val wh = tempDir("agg-wh")
+    val spec = StreamIngest.AggSpec("$.type", "$.amount")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "adb"), wh,
+      maintainAgg = Some(spec))
+    val mk = (rows: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; rows.toDF("value") }, "value")
+
+    def agg(): Map[String, (Long, Double)] =
+      ingest.maintainedAgg.get.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    ingest.applyBatch(mk(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1","type":"x","amount":10.5}"""),
+      change(2, "b", """{"_id":"b","_rev":"1","type":"x","amount":2.25}"""),
+      change(3, "c", """{"_id":"c","_rev":"1","type":"y","amount":4.0}"""))), 0L)
+    assert(agg() == Map("x" -> (2L, 12.75), "y" -> (1L, 4.0)))
+
+    // update a's amount, MOVE b to group y, delete c (group y empties then refills)
+    val b2 = Seq(
+      change(4, "a", """{"_id":"a","_rev":"2","type":"x","amount":100.0}"""),
+      change(5, "b", """{"_id":"b","_rev":"2","type":"y","amount":2.25}"""),
+      deletion(6, "c"))
+    ingest.applyBatch(mk(b2), 1L)
+    assert(agg() == Map("x" -> (1L, 100.0), "y" -> (1L, 2.25)))
+
+    // crash-replay of the SAME batch id: the marker skips the delta
+    ingest.applyBatch(mk(b2), 1L)
+    assert(agg() == Map("x" -> (1L, 100.0), "y" -> (1L, 2.25)))
+
+    // and the maintained table equals a recompute over the live docs
+    ingest.publish()
+    val truth = spark.sql(
+      "SELECT type, COUNT(*) n, SUM(amount) total FROM adb GROUP BY type")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg() == truth)
+
+    // a restarted instance sees the same aggregate (directory state only)
+    val ingest2 = new StreamIngest(spark, WarehouseOptions(database = "adb"), wh,
+      maintainAgg = Some(spec))
+    val again = ingest2.maintainedAgg.get.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == truth)
+  }
+
   test("crash recovery: a retired-but-unreplaced bucket is restored on restart") {
     val wh = tempDir("recover-wh")
     val mk = (ls: Seq[String]) => ChangeFeed.fromLines(

@@ -932,13 +932,17 @@ object Queries {
       .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")))
 
-  /** Sliding windows (1 h long, every 15 min) as the explode-of-starts
-    * rewrite: each event belongs to exactly size/step = 4 windows, so a
-    * map-side `explode(sequence(0,3))` replicates it into its windows and
-    * ONE aggregation finishes — the same plan Structured Streaming uses
-    * for sliding windows, here oracled batch-exactly. Timestamps are
-    * µs-truncated on both sides first (DuckDB timestamps are µs), so
-    * events a hair below a window boundary bucket identically.
+  /** Sliding windows (1 h long, every 15 min), two-stage: stage 1
+    * pre-aggregates per 15-min STEP bucket (count + exact fixed-point
+    * sum), stage 2 explodes each bucket's partial into the size/step = 4
+    * windows covering it and re-aggregates. The naive rewrite explodes
+    * every raw event 4× BEFORE the shuffle; here the ×4 replication
+    * touches only the already-aggregated (bucket, type) set — thousands
+    * of rows at any corpus size — so the heavy shuffle moves each event
+    * once. Decimal partials keep the two-stage sum bit-equal to the
+    * one-stage oracle. Timestamps are µs-truncated on both sides first
+    * (DuckDB timestamps are µs), so events a hair below a window
+    * boundary bucket identically.
     */
   private val qWindowSliding = Q("q_window_sliding",
     Some("""SELECT ((epoch_ns(ts) // 900000000000) - i) * 900000000000 AS w_start,
@@ -947,12 +951,13 @@ object Queries {
             FROM events, UNNEST(range(0, 4)) AS t(i)
             GROUP BY 1, 2"""),
     (s, d) => t(s, d, "events")
-      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
-      .groupBy(
-        expr("(((ts div 1000) * 1000 div 900000000000) - i) * 900000000000")
-          .as("w_start"),
+      .groupBy(expr("(ts div 1000) * 1000 div 900000000000").as("bucket"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total")))
+      .agg(count(lit(1)).as("pn"),
+        graft.functions.Sum128(round(col("value") * 10000).cast("long"), 4).as("ps"))
+      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+      .groupBy(expr("(bucket - i) * 900000000000").as("w_start"), col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total")))
 
   /** Correlation / covariance / stddev from exact decimal power sums: the
     * five sums Σx, Σy, Σx², Σy², Σxy accumulate as decimals (order-

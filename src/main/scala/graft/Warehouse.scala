@@ -147,7 +147,7 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
     * off; only the format token differs.
     */
   def export(table: String, path: String, format: String = "parquet"): Unit = {
-    require(Set("parquet", "csv", "json")(format), s"unsupported export format $format")
+    require(Set("parquet", "csv", "json", "orc")(format), s"unsupported export format $format")
     val w = spark.table(table).write.mode("overwrite")
     (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
   }

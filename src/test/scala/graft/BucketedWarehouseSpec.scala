@@ -13,12 +13,15 @@ class BucketedWarehouseSpec extends SparkSpec {
     val dir = Files.createTempDirectory("wh-export")
     wh.export("exp_t", s"$dir/csv", "csv")
     wh.export("exp_t", s"$dir/json", "json")
+    wh.export("exp_t", s"$dir/orc", "orc")
     val csv = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/csv")
     val jsonl = spark.read.json(s"$dir/json")
-    assert(csv.count() == 50 && jsonl.count() == 50)
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(csv.count() == 50 && jsonl.count() == 50 && orc.count() == 50)
     assert(csv.columns.sorted.toSeq == Seq("id", "name", "v"))
     assert(jsonl.where(col("id") === 7).collect()(0).getAs[String]("name") == "n7")
+    assert(orc.where(col("id") === 7).collect()(0).getAs[String]("name") == "n7")
     intercept[IllegalArgumentException](wh.export("exp_t", s"$dir/x", "xml"))
   }
 

@@ -166,6 +166,45 @@ object Ann {
     centroids
   }
 
+  /** Build a persistent IVF index under `dir`: train centroids, assign
+    * the corpus, and write it PARTITIONED BY centroid_id (plus the tiny
+    * centroid table). The partitioned layout is the point: a search
+    * touches only its probed centroids' directories, so scan cost is
+    * ~nprobe/k of the corpus at any scale — train once, search many,
+    * across jobs.
+    */
+  def buildIvfIndex(vectors: DataFrame, dir: String, k: Int, iterations: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = trainCentroids(vectors, k, iterations, idCol, vecCol)
+    val assigned = assign(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/corpus")
+  }
+
+  /** Search a [[buildIvfIndex]] index: pick the query's `nprobe` nearest
+    * centroids (a k×dim driver-side computation on the tiny centroid
+    * table) and scan ONLY those partitions — the `isin` on the partition
+    * column prunes at file-listing time, which the spec asserts via
+    * `inputFiles`. Same ranking kernel as [[ivfTopK]].
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     query: DataFrame, k: Int, nprobe: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probeIds = assignQuery(query, centroids, nprobe)
+      .select("centroid_id").collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$dir/corpus")
+      .where(col("centroid_id").isin(probeIds.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Product quantization codes (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): the embedding
     * is split into `m` contiguous subvectors of `dim/m` dims, and each

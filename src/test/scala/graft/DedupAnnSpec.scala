@@ -243,4 +243,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(evenClusters.size == 1 && oddClusters.size == 1)
     assert(evenClusters != oddClusters)
   }
+
+  test("persistent IVF index: search prunes to probed partitions and ranks correctly") {
+    import org.apache.spark.sql.functions.col
+    val pts = (0 until 40).map { i =>
+      val noise = (i % 5) * 0.01f
+      if (i % 2 == 0) (i.toLong, Array(1f, noise, 0f, 0f))
+      else (i.toLong, Array(noise, 1f, 0f, 0f))
+    }
+    val vdf = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Ann.buildIvfIndex(vdf, dir, k = 2, iterations = 5)
+
+    val q = Seq(Tuple1(Array(1f, 0.02f, 0f, 0f))).toDF("qv")
+    val hits = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = 1)
+    val ids = hits.collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 5 && ids.forall(_ % 2 == 0)) // the +x cluster only
+
+    // pruning is real: the probe ids arrive as a LITERAL partition filter
+    // (listing-time pruning), one id at nprobe=1, both at nprobe=2
+    def probedPartitions(nprobe: Int): Int = {
+      val ex = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = nprobe)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(ex).map(_.group(1))
+      assert(pf.nonEmpty,
+        "no PartitionFilters in the scan:\n" +
+          ex.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+      // a 1-element probe set plans as an equality, wider sets as IN (...)
+      "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf.get)
+        .map(_.group(1).split(",").length)
+        .orElse("= -?\\d+".r.findFirstIn(pf.get).map(_ => 1))
+        .getOrElse(fail(s"no literal partition predicate in: ${pf.get}"))
+    }
+    assert(probedPartitions(1) == 1)
+    assert(probedPartitions(2) == 2)
+    // nprobe=2 scans both clusters and still ranks the +x cluster on top
+    val all = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = 2)
+    assert(all.collect().map(_.getLong(0)).toSeq == ids)
+  }
 }

@@ -355,9 +355,13 @@ object Queries {
             SELECT user_id, event_id, event_type, value FROM h WHERE rn = 1"""),
     (s, d) => {
       val cutoffNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+      // filter and order on the µs truncation the oracle's timestamps
+      // carry (same rule as qScd2), so boundary rows and same-µs ties
+      // resolve identically in both engines
+      val tsUs = expr("(ts div 1000) * 1000")
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      t(s, d, "events").where(col("ts") <= cutoffNs)
+        .orderBy(tsUs.desc, col("event_id").desc)
+      t(s, d, "events").where(tsUs <= cutoffNs)
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
     })

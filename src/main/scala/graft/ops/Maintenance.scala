@@ -19,9 +19,11 @@ object Maintenance {
   /** Rewrite the parquet directory at `dir` into ≈`targetBytes` files:
     * read, re-bin to `ceil(bytes/targetBytes)` partitions, write to a
     * staging sibling, atomically swap. Readers never observe a partial
-    * directory (the swap is two renames), and a crash strands only the
-    * staging/retired dirs, which the next call clears. Returns the new
-    * file count.
+    * directory (the swap is two renames); a crash before the swap strands
+    * only the staging dir (cleared on the next call), and a crash BETWEEN
+    * the two renames leaves the data in the retired dir, which the next
+    * call moves back before doing anything else. Returns the new file
+    * count.
     *
     * Round-robin repartition (not coalesce): coalesce(1..n) chains the
     * upstream parallelism into the write tasks, so a big compaction would
@@ -34,9 +36,14 @@ object Maintenance {
                    targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = Paths.get(dir)
-    require(Files.isDirectory(root), s"$dir is not a directory")
     val staging = Paths.get(dir + ".compact_staging")
     val retired = Paths.get(dir + ".compact_retired")
+    // crash recovery FIRST: a death between the two swap renames leaves
+    // the table dir absent and the data stranded in retired — restore it
+    // before anything else (mirrors StreamIngest.recoverState)
+    if (!Files.exists(root) && Files.isDirectory(retired))
+      Files.move(retired, root, StandardCopyOption.ATOMIC_MOVE)
+    require(Files.isDirectory(root), s"$dir is not a directory")
     graft.streaming.StreamIngest.deleteRecursively(staging)
     graft.streaming.StreamIngest.deleteRecursively(retired)
 
@@ -77,8 +84,10 @@ object Maintenance {
     * tree, fully codegen'd, no UDF.
     *
     * `bits` ≤ 21 keeps `n × bits` ≤ 63 for up to 3 columns (the long
-    * never overflows); inputs outside `[0, 2^bits)` are clamped, so
-    * callers can feed raw small ints or precomputed ranks alike.
+    * never overflows); inputs outside `[0, 2^bits)` are clamped, and a
+    * NULL places at the origin cell (least/greatest would otherwise skip
+    * it and silently send nulls to the curve's max corner), so callers
+    * can feed raw small ints or precomputed ranks alike.
     */
   def zOrderKey(bits: Int, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     require(cols.nonEmpty, "need at least one column")
@@ -86,7 +95,8 @@ object Maintenance {
       s"bits*cols must fit a long, got $bits x ${cols.size}")
     val n = cols.size
     val clamped = cols.map(c =>
-      greatest(lit(0L), least(c.cast("long"), lit((1L << bits) - 1))))
+      greatest(lit(0L), least(coalesce(c.cast("long"), lit(0L)),
+        lit((1L << bits) - 1))))
     // bit b of column i lands at interleaved position b*n + i
     (0 until bits).flatMap { b =>
       clamped.zipWithIndex.map { case (c, i) =>

@@ -22,6 +22,13 @@ object Sampling {
   private def hexBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 2)
 
+  /** An internal column name not colliding with (and silently dropping)
+    * any of `df`'s columns.
+    */
+  private def fresh(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Deterministic ≈`n`/256 sample: keeps rows whose bucket is below the
     * two-hex-digit `threshold` (e.g. "1a" → 26/256 ≈ 10.2%).
     */
@@ -90,12 +97,9 @@ object Sampling {
                        k: Int, shardSize: Long = 4096): DataFrame = {
     require(k >= 1 && shardSize >= 1, "k and shardSize must be positive")
     import org.apache.spark.sql.expressions.Window
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(n => !df.columns.contains(n)).get
-    val sh = fresh("_graft_shard"); val cum = fresh("_graft_cum")
-    val off = fresh("_graft_off"); val tot = fresh("_graft_tot")
-    val st = fresh("_graft_shard_total")
+    val sh = fresh(df, "_graft_shard"); val cum = fresh(df, "_graft_cum")
+    val off = fresh(df, "_graft_off"); val tot = fresh(df, "_graft_tot")
+    val st = fresh(df, "_graft_shard_total")
     val w = col(weightCol).cast("long")
     val sharded = df.withColumn(sh,
       expr(s"cast(`$orderCol` as bigint) div $shardSize"))
@@ -110,7 +114,7 @@ object Sampling {
       .select(col(sh),
         coalesce(sum(col(st)).over(wOff), lit(0L)).as(off),
         sum(col(st)).over(wTot).as(tot))
-    val stride = fresh("_graft_stride")
+    val stride = fresh(df, "_graft_stride")
     sharded
       .withColumn(cum, sum(w).over(inShard))
       .join(broadcast(offsets), sh)
@@ -142,12 +146,7 @@ object Sampling {
     // pmod is non-negative for a positive modulus, so no abs() — which
     // would raise on hash() == Int.MinValue under ANSI
     val salt = pmod(hash(tiebreak), lit(salts))
-    // internal rank names must not collide with (and silently drop) a
-    // caller's columns
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(n => !df.columns.contains(n)).get
-    val rn1 = fresh("_graft_rn1"); val rn = fresh("_graft_rn")
+    val rn1 = fresh(df, "_graft_rn1"); val rn = fresh(df, "_graft_rn")
     val salted = Window.partitionBy(key, salt).orderBy(order, tiebreak)
     val whole = Window.partitionBy(key).orderBy(order, tiebreak)
     df.withColumn(rn1, row_number().over(salted)).where(col(rn1) <= k)

@@ -27,6 +27,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact_retired")))
   }
 
+  test("compactFiles recovers a table stranded mid-swap by a crash") {
+    val dir = Files.createTempDirectory("compact-crash").resolve("t").toString
+    (1L to 100L).map(i => (i, i * 2)).toDF("id", "v").repartition(4).write.parquet(dir)
+    // simulate a death between the two swap renames: table dir moved to
+    // retired, replacement never landed
+    Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".compact_retired"))
+    val n = Maintenance.compactFiles(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("zOrderKey interleaves bits as a Morton code") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L), (2L, 1L))
       .toDF("x", "y")

@@ -739,6 +739,87 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_overlap"))
     })
 
+  /** End-to-end curation pipeline — the operators composed the way a
+    * corpus actually gets cleaned: exact-dedup losers out first, then a
+    * quality floor, then benchmark decontamination, with FIRST-FAILING
+    * reason attribution, reported per source. One fingerprint shuffle +
+    * one broadcast semi-join against the (tiny) contaminated-id set; the
+    * quality gate is pure map-side — composing the filters adds no new
+    * shuffle shape beyond the operators' own. Counts are integers, so
+    * the composition is engine-exact end to end.
+    */
+  private val qCurate = Q("q_curate",
+    Some(s"""WITH $toksCte,
+             sh8 AS (SELECT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                 l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] AS shingle
+               FROM toks, UNNEST(range(1, len(l) - 6)) AS t(i)
+               WHERE len(l) >= 8),
+             bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < 5),
+             contam AS (SELECT DISTINCT c.doc_id
+               FROM sh8 c JOIN bench USING (shingle) WHERE c.doc_id >= 5),
+             fp AS (SELECT doc_id, source,
+                 md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp,
+                 least(length(text) / 500.0, 1.0) *
+                   (1.0 - least(length(regexp_replace(text, '[a-z0-9 \t\n\f\r]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1) * 5, 1.0)) AS quality
+               FROM documents),
+             keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+             labeled AS (SELECT f.doc_id, f.source,
+                 CASE WHEN f.doc_id <> k.keep_id THEN 'dup'
+                      WHEN f.quality < 0.5 THEN 'quality'
+                      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                      ELSE 'kept' END AS status
+               FROM fp f JOIN keep k USING (fp)
+               LEFT JOIN contam c ON f.doc_id = c.doc_id
+               WHERE f.doc_id >= 5)
+             SELECT source, count(*) AS n_docs,
+               count(*) FILTER (WHERE status = 'dup') AS n_dup,
+               count(*) FILTER (WHERE status = 'quality') AS n_quality,
+               count(*) FILTER (WHERE status = 'contaminated') AS n_contam,
+               count(*) FILTER (WHERE status = 'kept') AS n_kept
+             FROM labeled GROUP BY source"""),
+    (s, d) => curate(t(s, d, "documents")))
+
+  /** The q_curate pipeline over any `(doc_id, source, text)` corpus: docs
+    * with id < `benchBelow` are the benchmark set; the rest are labeled
+    * dup / quality / contaminated / kept (first failing filter wins) and
+    * counted per source. Public so the spec can exercise the dup and
+    * contaminated branches on a planted corpus — the driver fixture has
+    * no exact dups or contaminated survivors.
+    */
+  def curate(docs: org.apache.spark.sql.DataFrame,
+             benchBelow: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingles(docs, 8)
+    val bench = sh.where(col("doc_id") < benchBelow).select("shingle").distinct()
+    val contam = sh.where(col("doc_id") >= benchBelow)
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    val len = length(col("text"))
+    val pr = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
+      .cast("double") / greatest(len, lit(1)).cast("double")
+    val fp = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      (least(len / lit(500.0), lit(1.0))
+        * (lit(1.0) - least(pr * 5, lit(1.0)))).as("quality"))
+    val keep = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val status = when(col("doc_id") =!= col("keep_id"), "dup")
+      .when(col("quality") < 0.5, "quality")
+      .when(col("contaminated"), "contaminated")
+      .otherwise("kept")
+    fp.join(keep, "fp")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .where(col("doc_id") >= benchBelow)
+      .withColumn("status", status)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("status") === "dup", 1)).as("n_dup"),
+        count(when(col("status") === "quality", 1)).as("n_quality"),
+        count(when(col("status") === "contaminated", 1)).as("n_contam"),
+        count(when(col("status") === "kept", 1)).as("n_kept"))
+  }
+
   /** MinHash Jaccard ESTIMATION (vs the exact q_ngram_jaccard): the
     * estimated resemblance of a doc pair is the fraction of signature
     * slots that agree (Broder 1997) — here over adjacent-id pairs so the
@@ -868,7 +949,7 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qMinhashEst, qDecontam, qDedupEmbed, qDedupEmbedPairs,
+    qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
     qSampleWeighted, qPack,

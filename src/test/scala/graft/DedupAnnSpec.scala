@@ -244,6 +244,27 @@ class DedupAnnSpec extends SparkSpec {
     assert(evenClusters != oddClusters)
   }
 
+  test("curate pipeline: dup, quality, contaminated, kept branches with first-fail precedence") {
+    import org.apache.spark.sql.functions.col
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") // ~8 chars/word
+    val benchRun = "alpha beta gamma delta epsilon zeta eta theta"
+    val longA = words("dupword", 40)      // ≥250 chars, quality ≥ 0.5
+    val rows = Seq(
+      (0L, "bench", s"$benchRun iota kappa lambda mu nu xi"), // benchmark doc
+      (10L, "s1", longA),                                // keeper of the dup pair
+      (11L, "s1", longA),                                // exact dup -> 'dup'
+      (12L, "s1", s"${words("fill", 16)} $benchRun ${words("tail", 16)}"), // contaminated
+      (13L, "s1", "tiny low quality text"),              // quality < 0.5
+      (14L, "s1", words("unique", 40))                   // kept
+    ).toDF("doc_id", "source", "text")
+    val got = TrainingQueries.curate(rows, benchBelow = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    //                        n_docs  n_dup  n_quality  n_contam  n_kept
+    assert(got == Map("s1" -> (5L,    1L,    1L,        1L,       2L)))
+  }
+
   test("persistent IVF index: search prunes to probed partitions and ranks correctly") {
     import org.apache.spark.sql.functions.col
     val pts = (0 until 40).map { i =>

@@ -386,6 +386,22 @@ object TrainingQueries {
         orderCol = "doc_id", weightCol = "n_chars", k = 50)
       .select("doc_id", "n_chars"))
 
+  /** Per-language mixture sampling ([[graft.ops.Sampling.mixtureSample]]):
+    * rebalance the corpus mix by keeping ~80% of en, ~25% of de, ~10% of
+    * the rest — per-group md5-threshold membership, deterministic and
+    * growth-stable like every sampler here.
+    */
+  private val qSampleMixture = Q("q_sample_mixture",
+    Some("""SELECT lang, count(*) AS n FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN 'cc'
+                   WHEN lang = 'de' THEN '40' ELSE '1a' END
+            GROUP BY lang"""),
+    (s, d) => graft.ops.Sampling.mixtureSample(
+        t(s, d, "documents"), keyCol = "doc_id", groupCol = "lang",
+        thresholds = Map("en" -> "cc", "de" -> "40"), default = "1a")
+      .groupBy("lang").agg(count(lit(1)).as("n")))
+
   /** Sequential context-window packing ([[graft.ops.Sampling.packSequences]]):
     * per-lang shards, docs ordered by id, `bin = exclusive-prefix-tokens
     * // 512` — the streaming rule that fills fixed-size training contexts.
@@ -952,7 +968,7 @@ object TrainingQueries {
     qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
-    qSampleWeighted, qPack,
+    qSampleWeighted, qSampleMixture, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

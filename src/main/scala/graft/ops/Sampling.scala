@@ -77,6 +77,24 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Per-group mixture sampling (domain mixing): each row keeps with a
+    * rate chosen by its `groupCol` value — e.g. keep 80% of `en` but 10%
+    * of everything else when rebalancing a crawl's language mix. Same
+    * deterministic md5-threshold membership as [[hashSample]] (pure
+    * map-side, reproducible, growth-stable), just with the threshold
+    * selected per group; `thresholds` maps group value → two-hex-digit
+    * cutoff, `default` applies to unlisted groups ("00" drops them).
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+                    thresholds: Map[String, String],
+                    default: String = "00"): DataFrame = {
+    (thresholds.values.toSeq :+ default).foreach(requireHex2("threshold", _))
+    val cutoff = thresholds.foldLeft(lit(default)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g, t).otherwise(acc)
+    }
+    df.where(hexBucket(col(keyCol)) < cutoff)
+  }
+
   /** Systematic probability-proportional-to-size sample (≈`k` rows): lay
     * the rows out on a line ordered by `orderCol`, each covering an
     * interval as long as its `weightCol`, and keep every row whose

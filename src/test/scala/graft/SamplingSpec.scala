@@ -63,6 +63,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.count(_._1 == "hot") == 7 && got.count(_._1 == "cold") == 2)
   }
 
+  test("mixtureSample keeps each group at its own rate, unlisted at the default") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val kept = Sampling.mixtureSample(df, "id", "g", Map("a" -> "cc"), default = "1a")
+      .select("id", "g").as[(Long, String)].collect()
+    val aRate = kept.count(_._2 == "a").toDouble / 1000
+    val bRate = kept.count(_._2 == "b").toDouble / 2000
+    assert(aRate > 0.72 && aRate < 0.88, s"~80% for group a, got $aRate")
+    assert(bRate > 0.06 && bRate < 0.15, s"~10% default, got $bRate")
+    // same membership function as hashSample: the default-rate rows are
+    // exactly hashSample's picks restricted to group b
+    val hs = Sampling.hashSample(df.where($"g" === "b"), "id", "1a")
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_._2 == "b").map(_._1).toSet == hs)
+  }
+
   test("systematicSample: sharded prefix sum equals the exact global rule") {
     // uneven weights; shardSize 64 over ids 0..999 exercises 16 shards,
     // so both the in-shard window and the offset join are on the path

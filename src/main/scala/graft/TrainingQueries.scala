@@ -806,19 +806,26 @@ object TrainingQueries {
     */
   def curate(docs: org.apache.spark.sql.DataFrame,
              benchBelow: Long = 5L): org.apache.spark.sql.DataFrame = {
-    val sh = Dedup.shingles(docs, 8)
+    val len = length(col("text"))
+    val pr = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
+      .cast("double") / greatest(len, lit(1)).cast("double")
+    val quality = least(len / lit(500.0), lit(1.0)) *
+      (lit(1.0) - least(pr * 5, lit(1.0)))
+    // first-fail precedence means contamination is only ever READ for
+    // docs that pass the quality gate — so the expensive 8-gram explode
+    // runs on benchmark docs + quality survivors only, not the corpus
+    // (at scale the quality gate drops a large fraction before the
+    // explode instead of after it)
+    val shWorthy = docs.where(col("doc_id") < benchBelow || quality >= 0.5)
+    val sh = Dedup.shingles(shWorthy, 8)
     val bench = sh.where(col("doc_id") < benchBelow).select("shingle").distinct()
     val contam = sh.where(col("doc_id") >= benchBelow)
       .join(broadcast(bench), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    val len = length(col("text"))
-    val pr = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
-      .cast("double") / greatest(len, lit(1)).cast("double")
     val fp = docs.select(col("doc_id"), col("source"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
-      (least(len / lit(500.0), lit(1.0))
-        * (lit(1.0) - least(pr * 5, lit(1.0)))).as("quality"))
+      quality.as("quality"))
     val keep = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
     val status = when(col("doc_id") =!= col("keep_id"), "dup")
       .when(col("quality") < 0.5, "quality")

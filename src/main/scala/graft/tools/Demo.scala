@@ -85,6 +85,24 @@ object Demo {
     println("ASOF_MATCHED=" + graft.ops.AsOfJoin.asOf(ev, ord,
       "user_id", "o_custkey", "ts", "ots", Seq("o_orderkey"), "o_orderkey").count())
 
+    // Flow 7 (round 5): curation pipeline, systematic PPS sample, and a
+    // persistent IVF index searched with partition pruning
+    val curated = graft.TrainingQueries.curate(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).collect()(0).getLong(0)
+    println("CURATE_KEPT=" + curated)
+    println("PPS_SAMPLE=" + graft.ops.Sampling
+      .systematicSample(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 25)
+      .count())
+    val ivfDir = java.nio.file.Files.createTempDirectory("demo-ivf").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.ops.Ann.buildIvfIndex(emb, ivfDir, k = 4, iterations = 3)
+    val q0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    println("IVF_INDEX_TOP1=" + graft.ops.Ann
+      .searchIvfIndex(spark, ivfDir, q0, k = 1, nprobe = 1)
+      .collect()(0).getLong(0))
+
     // Probes: bad selector and missing column fail cleanly
     try Warehouse.start(spark, s"$fixtures/samplechanges.txt",
       WarehouseOptions(database = "x", mangoSelector = Some("{bad")))

@@ -13,6 +13,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * accretes micro-batch outputs degrades until files are re-binned. The
   * reference never needs this (its warehouse is one SQLite file); any
   * file-based warehouse does.
+  *
+  * The atomic swaps here use local-filesystem renames (`java.nio`),
+  * matching the engine's warehouse layout ([[graft.streaming.StreamIngest]]
+  * does the same). An object-store deployment (S3/HDFS) would swap via the
+  * Hadoop `FileSystem` API instead — rename semantics, not the compaction
+  * logic, are the porting surface.
   */
 object Maintenance {
 

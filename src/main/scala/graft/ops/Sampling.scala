@@ -110,6 +110,12 @@ object Sampling {
     * enough for its own single-task window and a broadcast join back.
     * `orderCol` must be a non-negative integer key (a dense row id keeps
     * shards balanced); `weightCol` must be a non-negative integer.
+    *
+    * Sizing: the offset table must stay broadcastable, so pick
+    * `shardSize ≈ n / 10^5..10^6`. The 4096 default holds to ~10^9 rows
+    * (≈250k offsets); at 10^11+ rows raise it (e.g. 10^6 → 10^5
+    * offsets) — the in-shard window stays balanced as long as ids are
+    * dense.
     */
   def systematicSample(df: DataFrame, orderCol: String, weightCol: String,
                        k: Int, shardSize: Long = 4096): DataFrame = {

@@ -143,6 +143,10 @@ final class StreamIngest(
     * the idempotent LWW merge. Deltas are computed from state diffs (not
     * raw batch rows), so even an unguarded re-apply of an absorbed batch
     * is a zero delta.
+    *
+    * The maintained table is dashboard-shaped (one row per group, written
+    * `coalesce(1)`); for group cardinalities past ~10^7 rows, split the
+    * write across files and swap the directory the same way.
     */
   private def updateAgg(spec: StreamIngest.AggSpec, batch: DataFrame,
                         touched: Array[Int], state: DataFrame,

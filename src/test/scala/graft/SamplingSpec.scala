@@ -100,4 +100,27 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(g.contains(500L))
   }
+
+  test("systematicSample property: random weights/k/shardSize match the global rule") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 1000L)) // includes zero weights
+      k <- Gen.choose(1, 40)
+      shardSize <- Gen.oneOf(1L, 7L, 64L, 1000L)
+    } yield (ws, k, shardSize)
+    val prop = Prop.forAll(gen) { case (ws, k, shardSize) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w")
+      val got = Sampling.systematicSample(docs, "doc_id", "w", k, shardSize)
+        .select("doc_id").as[Long].collect().toSet
+      val total = ws.sum; val stride = math.max(total / k, 1)
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val expected = ws.indices
+        .filter(i => cums(i) / stride > (cums(i) - ws(i)) / stride)
+        .map(_.toLong).toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

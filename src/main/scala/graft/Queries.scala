@@ -48,6 +48,13 @@ object Queries {
   private def dsum(c: Column): Column =
     graft.functions.Sum128(round(c * 10000).cast("long"), 4).cast("double")
 
+  /** The events `ts` column truncated to microseconds. DuckDB timestamps
+    * are µs-precision, so any query that OUTPUTS, ORDERS BY, or FILTERS
+    * on `ts` must use this truncation or boundary rows and same-µs ties
+    * resolve differently across engines.
+    */
+  private def tsMicros: Column = expr("(ts div 1000) * 1000")
+
   // ---------------------------------------------------------------- scans
 
   private val qScan = Q("q_scan",
@@ -331,16 +338,12 @@ object Queries {
               lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
             FROM events"""),
     (s, d) => {
-      // DuckDB timestamps are µs-precision, so its epoch_ns() is the
-      // parquet nanos truncated to µs — emit AND order by the same
-      // truncation (ties then break identically via event_id)
-      val tsUs = expr("(ts div 1000) * 1000")
-      val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(tsMicros, col("event_id"))
       t(s, d, "events").select(col("user_id"), col("event_id"),
-        tsUs.as("valid_from"),
-        lead(tsUs, 1).over(w).as("valid_to"),
+        tsMicros.as("valid_from"),
+        lead(tsMicros, 1).over(w).as("valid_to"),
         row_number().over(w).cast("long").as("version"),
-        lead(tsUs, 1).over(w).isNull.as("is_current"))
+        lead(tsMicros, 1).over(w).isNull.as("is_current"))
     })
 
   /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
@@ -355,13 +358,9 @@ object Queries {
             SELECT user_id, event_id, event_type, value FROM h WHERE rn = 1"""),
     (s, d) => {
       val cutoffNs = 1705276800000000000L // 2024-01-15T00:00:00Z
-      // filter and order on the µs truncation the oracle's timestamps
-      // carry (same rule as qScd2), so boundary rows and same-µs ties
-      // resolve identically in both engines
-      val tsUs = expr("(ts div 1000) * 1000")
       val w = Window.partitionBy("user_id")
-        .orderBy(tsUs.desc, col("event_id").desc)
-      t(s, d, "events").where(tsUs <= cutoffNs)
+        .orderBy(tsMicros.desc, col("event_id").desc)
+      t(s, d, "events").where(tsMicros <= cutoffNs)
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
     })

@@ -197,7 +197,7 @@ object Ann {
     val probeIds = assignQuery(query, centroids, nprobe)
       .select("centroid_id").collect().map(_.getInt(0)).toSeq
     spark.read.parquet(s"$dir/corpus")
-      .where(col("centroid_id").isin(probeIds.map(Integer.valueOf): _*))
+      .where(col("centroid_id").isin(probeIds: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
         graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))

@@ -118,11 +118,11 @@ object Maintenance {
     */
   def zOrderWrite(df: DataFrame, path: String, parts: Int, bits: Int,
                   dims: String*): Unit = {
-    val key = zOrderKey(bits, dims.map(col): _*)
-    df.withColumn("_graft_z", key)
-      .repartitionByRange(parts, col("_graft_z"))
-      .sortWithinPartitions("_graft_z")
-      .drop("_graft_z")
+    val z = Sampling.fresh(df, "_graft_z") // never clobber a caller column
+    df.withColumn(z, zOrderKey(bits, dims.map(col): _*))
+      .repartitionByRange(parts, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
       .write.mode("overwrite").parquet(path)
   }
 }

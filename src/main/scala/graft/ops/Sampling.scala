@@ -25,7 +25,7 @@ object Sampling {
   /** An internal column name not colliding with (and silently dropping)
     * any of `df`'s columns.
     */
-  private def fresh(df: DataFrame, base: String): String =
+  private[ops] def fresh(df: DataFrame, base: String): String =
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
       .find(n => !df.columns.contains(n)).get
 

@@ -191,6 +191,47 @@ object Queries {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     })
 
+  /** As-of join with a tolerance bound (pandas merge_asof tolerance):
+    * each purchase takes the user's latest click at-or-before it, but
+    * only within 60 minutes — older matches null out. The bound is
+    * checked on the carried right timestamp AFTER the one-shuffle
+    * window, so the scale shape is identical to the unbounded as-of.
+    * Both sides run on µs-truncated timestamps ([[tsMicros]]) so the
+    * integer domains match the oracle exactly.
+    */
+  private val qJoinAsofTol = Q("q_join_asof_tol",
+    Some("""WITH c AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS click_id
+                FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, epoch_ns(ts) AS t
+                FROM events WHERE event_type = 'purchase'),
+            u AS (
+              SELECT user_id AS k, t, 0 AS pri, CAST(NULL AS BIGINT) AS event_id,
+                     click_id, t AS ct FROM c
+              UNION ALL
+              SELECT user_id AS k, t, 1 AS pri, event_id,
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM p),
+            f AS (SELECT k, t, pri, event_id,
+                last_value(click_id IGNORE NULLS) OVER w AS click_id,
+                last_value(ct IGNORE NULLS) OVER w AS ct
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, pri, click_id
+                ROWS UNBOUNDED PRECEDING))
+            SELECT event_id, k AS user_id,
+              CASE WHEN ct >= t - 3600000000000 THEN click_id END AS click_id
+            FROM f WHERE pri = 1"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsMicros.as("tus"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "user_id",
+          "tus", "tus", Seq("click_id"), tieBreak = "click_id",
+          joinType = "left", tolerance = Some(3600000000000L))
+        .select("event_id", "user_id", "click_id")
+    })
+
   private val qCount = Q("q_count",
     Some("SELECT count(*) AS n FROM lineitem"),
     (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
@@ -1058,7 +1099,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
-    qJoinFull, qJoinAsofLeft, qJoinRangeBinned,
+    qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof,

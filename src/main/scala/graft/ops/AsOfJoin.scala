@@ -41,22 +41,33 @@ object AsOfJoin {
     *                 greatest value wins
     * @param joinType "inner" (drop left rows with no prior right row) or
     *                 "left" (keep them with NULL carried columns)
+    * @param tolerance when set, a right row older than
+    *                  `leftTs - tolerance` does NOT match (pandas
+    *                  merge_asof tolerance) — the carried right timestamp
+    *                  is checked after the window, so the plan shape (one
+    *                  shuffle, no range cross-product) is unchanged
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String], tieBreak: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      tolerance: Option[Long] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"as-of join supports inner|left, got $joinType")
     val leftCols = left.columns.toSeq
+    // the right timestamp rides in the carried struct for the tolerance
+    // check; pick an internal field name no value column uses
+    val rts = Iterator.from(0).map(i => s"_graft_rts$i")
+      .find(n => !rightValueCols.contains(n)).get
     // the right row's carried columns travel as ONE struct so the window's
     // last() picks them atomically — carrying each column independently
     // with last(ignoreNulls) could stitch together values from DIFFERENT
     // right rows whenever a right value column is NULL
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightValueCols.map(c => right.schema(c)))
+      rightValueCols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField(rts, right.schema(rightTs).dataType))
 
     // leftTs/rightTs must already be in the same comparable unit (no cast
     // here — a silent timestamp→long cast would truncate to seconds)
@@ -68,17 +79,23 @@ object AsOfJoin {
     val rTagged = right.select(
       col(rightKey).as("_k") +: col(rightTs).as("_t") +: lit(0).as("_pri") +:
         (leftCols.map(c => lnull(c).as(c)) :+
-          struct(rightValueCols.map(col): _*).as("_r")): _*)
+          struct(rightValueCols.map(col) :+ col(rightTs).as(rts): _*).as("_r")): _*)
 
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_pri").asc,
         col("_r").getField(tieBreak).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lTagged.unionByName(rTagged)
-      .select(col("_pri") +: leftCols.map(col) :+
+      .select(col("_pri") +: col("_t") +: leftCols.map(col) :+
         last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
       .where(col("_pri") === 1)
-    val matched = if (joinType == "inner") joined.where(col("_rc").isNotNull) else joined
+    val bounded = tolerance match {
+      case Some(tol) => joined.withColumn("_rc",
+        when(col("_rc").getField(rts) >= col("_t") - tol, col("_rc")))
+      case None => joined
+    }
+    val matched =
+      if (joinType == "inner") bounded.where(col("_rc").isNotNull) else bounded
     matched.select(leftCols.map(col) ++
       rightValueCols.map(c => col("_rc").getField(c).as(c)): _*)
   }

@@ -84,4 +84,23 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == expected)
   }
+
+  test("tolerance: matches older than leftTs - tol null out (left) or drop (inner)") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "tts")
+    val quotes = Seq(("A", 95L, 9.5), ("A", 120L, 1.2), ("B", 49L, 4.9))
+      .toDF("sym", "qts", "px")
+    // tol=30: trade 1 sees quote@95 (gap 5, in), trade 2's latest is
+    // quote@120 (gap 80, OUT — and the older 95 must NOT be substituted:
+    // as-of picks the latest, tolerance then nulls it), trade 3 in (gap 1)
+    val left = AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px", joinType = "left", tolerance = Some(30L))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(left == Map(1L -> Some(9.5), 2L -> None, 3L -> Some(4.9)))
+    val inner = AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px", joinType = "inner", tolerance = Some(30L))
+      .select("trade_id").as[Long].collect().toSet
+    assert(inner == Set(1L, 3L))
+  }
 }

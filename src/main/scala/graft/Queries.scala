@@ -302,6 +302,32 @@ object Queries {
     * unbounded domains it degrades to the sorted form's cardinality).
     * A bucket can cover both middle ranks, hence the k-weighting.
     */
+  /** Exact median per `grpCol` from a value histogram: count per (group,
+    * value), cumulative ranks over the per-group distinct values, average
+    * the 1-or-2 middle-rank values through an exact decimal sum (a bucket
+    * can cover both middle ranks, hence the k-weighting). Shared by
+    * [[qMedian]] and the MAD pass of [[qMad]].
+    */
+  private def histMedian(df: DataFrame, grpCol: String, valCol: String,
+                         outCol: String): DataFrame = {
+    val hist = df.groupBy(grpCol, valCol).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(grpCol).orderBy(valCol)
+    val ranked = hist.select(col(grpCol), col(valCol), col("c"),
+      (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
+      sum(col("c")).over(wv).as("hi"),
+      sum(col("c")).over(Window.partitionBy(grpCol)).as("n"))
+    val r1 = expr("(n + 1) div 2"); val r2 = expr("(n + 2) div 2")
+    def covers(r: Column) = r > col("lo") && r <= col("hi")
+    ranked
+      .withColumn("k",
+        when(covers(r1), 1).otherwise(0) +
+          when(covers(r2) && r2 =!= r1, 1).otherwise(0))
+      .where(col("k") > 0)
+      .groupBy(grpCol)
+      .agg((sum(col(valCol).cast(DecimalType(18, 4)) * col("k")).cast("double") /
+        sum(col("k"))).as(outCol))
+  }
+
   private val qMedian = Q("q_median",
     Some("""WITH ranked AS (SELECT event_type, value,
               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -312,24 +338,43 @@ object Queries {
             FROM ranked
             WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
             GROUP BY event_type"""),
+    (s, d) => histMedian(t(s, d, "events"), "event_type", "value", "median"))
+
+  /** Median absolute deviation — the robust spread statistic — EXACT per
+    * group: median pass, broadcast the per-group medians back, deviation
+    * pass through the SAME histogram-rank machinery. Both passes rank
+    * only distinct values, never a full per-group sort task. Deviations
+    * are rounded to the decimal(18,4) grid in BOTH engines before
+    * ranking, so the selected middle elements agree bit-for-bit (the raw
+    * double `abs(value - median)` is identical IEEE arithmetic on both
+    * sides, and the shared HALF_UP rounding pins the comparison domain).
+    */
+  private val qMad = Q("q_mad",
+    Some("""WITH r1 AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM events),
+            med AS (SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS med
+              FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY event_type),
+            dev AS (SELECT e.event_type,
+              CAST(CAST(abs(e.value - m.med) AS DECIMAL(18,4)) AS DOUBLE) AS d,
+              e.event_id
+              FROM events e JOIN med m USING (event_type)),
+            r2 AS (SELECT event_type, d,
+              row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM dev)
+            SELECT event_type,
+              CAST(SUM(CAST(d AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mad
+            FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY event_type"""),
     (s, d) => {
-      val hist = t(s, d, "events")
-        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("value")
-      val ranked = hist.select(col("event_type"), col("value"), col("c"),
-        (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
-        sum(col("c")).over(wv).as("hi"),
-        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
-      val r1 = expr("(n + 1) div 2"); val r2 = expr("(n + 2) div 2")
-      def covers(r: Column) = r > col("lo") && r <= col("hi")
-      ranked
-        .withColumn("k",
-          when(covers(r1), 1).otherwise(0) +
-            when(covers(r2) && r2 =!= r1, 1).otherwise(0))
-        .where(col("k") > 0)
-        .groupBy("event_type")
-        .agg((sum(col("value").cast(DecimalType(18, 4)) * col("k")).cast("double") /
-          sum(col("k"))).as("median"))
+      val med = histMedian(t(s, d, "events"), "event_type", "value", "med")
+      val dev = t(s, d, "events").join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).cast(DecimalType(18, 4))
+            .cast("double").as("d"))
+      histMedian(dev, "event_type", "d", "mad")
     })
 
   /** Exact per-group quantiles (discrete: value at rank ceil(p·n)) from
@@ -1102,7 +1147,7 @@ object Queries {
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
-    qQuantiles, qScd2, qSnapshotAsof,
+    qQuantiles, qScd2, qSnapshotAsof, qMad,
     qCorr, qDistinctKmv, qTpchQ3,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,

@@ -386,6 +386,30 @@ object TrainingQueries {
         orderCol = "doc_id", weightCol = "n_chars", k = 50)
       .select("doc_id", "n_chars"))
 
+  /** Stratified systematic PPS
+    * ([[graft.ops.Sampling.systematicSamplePerGroup]]): an independent
+    * length-weighted draw of ≈20 docs per language — every stratum
+    * contributes ≈1/20 of its own character mass per pick, the
+    * token-budgeted way to draw equal-effort samples from unequal
+    * strata. Reported as per-language kept doc/char totals.
+    */
+  private val qSampleStratified = Q("q_sample_stratified",
+    Some("""WITH c AS (SELECT lang, doc_id, n_chars,
+              sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
+              sum(n_chars) OVER (PARTITION BY lang) AS total
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM c
+            WHERE cum // greatest(total // 20, 1)
+                > (cum - n_chars) // greatest(total // 20, 1)
+            GROUP BY lang"""),
+    (s, d) => graft.ops.Sampling.systematicSamplePerGroup(
+        t(s, d, "documents").select("lang", "doc_id", "n_chars"),
+        groupCol = "lang", orderCol = "doc_id", weightCol = "n_chars", k = 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_kept")))
+
   /** Per-language mixture sampling ([[graft.ops.Sampling.mixtureSample]]):
     * rebalance the corpus mix by keeping ~80% of en, ~25% of de, ~10% of
     * the rest — per-group md5-threshold membership, deterministic and
@@ -975,7 +999,7 @@ object TrainingQueries {
     qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
-    qSampleWeighted, qSampleMixture, qPack,
+    qSampleWeighted, qSampleMixture, qSampleStratified, qPack,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

@@ -118,30 +118,50 @@ object Sampling {
     * dense.
     */
   def systematicSample(df: DataFrame, orderCol: String, weightCol: String,
-                       k: Int, shardSize: Long = 4096): DataFrame = {
+                       k: Int, shardSize: Long = 4096): DataFrame =
+    systematicCore(df, Nil, orderCol, weightCol, k, shardSize)
+
+  /** [[systematicSample]] stratified by `groupCol`: an independent
+    * systematic PPS draw of ≈`k` rows WITHIN each group — the
+    * token-budgeted per-language/per-source corpus draw (every stratum
+    * gets its own stride `group_total / k`, so each contributes roughly
+    * equal total weight regardless of its size). Same two-level prefix
+    * sum; the windows partition by (group, shard) and the offset table
+    * grows only by the group count.
+    */
+  def systematicSamplePerGroup(df: DataFrame, groupCol: String,
+                               orderCol: String, weightCol: String,
+                               k: Int, shardSize: Long = 4096): DataFrame =
+    systematicCore(df, Seq(groupCol), orderCol, weightCol, k, shardSize)
+
+  private def systematicCore(df: DataFrame, groupCols: Seq[String],
+                             orderCol: String, weightCol: String,
+                             k: Int, shardSize: Long): DataFrame = {
     require(k >= 1 && shardSize >= 1, "k and shardSize must be positive")
     import org.apache.spark.sql.expressions.Window
     val sh = fresh(df, "_graft_shard"); val cum = fresh(df, "_graft_cum")
     val off = fresh(df, "_graft_off"); val tot = fresh(df, "_graft_tot")
     val st = fresh(df, "_graft_shard_total")
+    val g = groupCols.map(col)
     val w = col(weightCol).cast("long")
     val sharded = df.withColumn(sh,
       expr(s"cast(`$orderCol` as bigint) div $shardSize"))
-    val inShard = Window.partitionBy(sh).orderBy(col(orderCol))
+    val inShard = Window.partitionBy(g :+ col(sh): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the offset windows are single-task by construction, but only over
-    // the tiny per-shard totals — never the data
-    val wOff = Window.orderBy(col(sh)).rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy(col(sh))
+    // the offset windows are one-task-per-group by construction, but only
+    // over the tiny per-shard totals — never the data
+    val wOff = Window.partitionBy(g: _*).orderBy(col(sh))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(g: _*).orderBy(col(sh))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = sharded.groupBy(col(sh)).agg(sum(w).as(st))
-      .select(col(sh),
-        coalesce(sum(col(st)).over(wOff), lit(0L)).as(off),
-        sum(col(st)).over(wTot).as(tot))
+    val offsets = sharded.groupBy(g :+ col(sh): _*).agg(sum(w).as(st))
+      .select(g :+ col(sh) :+
+        coalesce(sum(col(st)).over(wOff), lit(0L)).as(off) :+
+        sum(col(st)).over(wTot).as(tot): _*)
     val stride = fresh(df, "_graft_stride")
     sharded
       .withColumn(cum, sum(w).over(inShard))
-      .join(broadcast(offsets), sh)
+      .join(broadcast(offsets), groupCols :+ sh)
       .withColumn(cum, col(off) + col(cum))
       .withColumn(stride, greatest(expr(s"`$tot` div $k"), lit(1L)))
       // integer `div` on both sides — bit-exact, so an oracle running the

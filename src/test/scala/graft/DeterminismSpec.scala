@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
 class DeterminismSpec extends SparkSpec {
 
   val sensitive = Seq("q_agg_group", "q_join_inner", "q_window_frame",
-    "q_ann_topk", "q_quality", "q_sessionize")
+    "q_ann_topk", "q_quality", "q_sessionize",
+    // round-5 float-bearing additions: double medians/deviations, the
+    // two-stage sliding sum, and the sharded PPS selection
+    "q_mad", "q_quantiles", "q_window_sliding", "q_sample_weighted")
 
   test("aggregates are bit-identical across shuffle partitionings") {
     val d = "/root/testdata/sf0.001"

@@ -101,6 +101,26 @@ class SamplingSpec extends SparkSpec {
     assert(g.contains(500L))
   }
 
+  test("systematicSamplePerGroup: an independent exact draw per stratum") {
+    def ws(salt: Long): Seq[Long] = (0L until 500L).map(i => 1L + (i * 31 + salt) % 50)
+    val rows = Seq("a" -> 7L, "b" -> 13L).flatMap { case (g, salt) =>
+      ws(salt).zipWithIndex.map { case (w, i) => (g, i.toLong, w) }
+    }
+    val got = Sampling.systematicSamplePerGroup(
+        rows.toDF("g", "doc_id", "w"), "g", "doc_id", "w", k = 10, shardSize = 64)
+      .select("g", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq("a" -> 7L, "b" -> 13L).foreach { case (g, salt) =>
+      val w = ws(salt)
+      val total = w.sum; val stride = math.max(total / 10, 1)
+      val cums = w.scanLeft(0L)(_ + _).tail
+      val expected = w.indices
+        .filter(i => cums(i) / stride > (cums(i) - w(i)) / stride)
+        .map(_.toLong).toSet
+      assert(got(g) == expected, s"stratum $g diverged")
+    }
+  }
+
   test("systematicSample property: random weights/k/shardSize match the global rule") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = for {

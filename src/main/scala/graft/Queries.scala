@@ -451,6 +451,40 @@ object Queries {
         .select("user_id", "event_id", "event_type", "value")
     })
 
+  /** Exact 10%-trimmed mean per group from the value histogram: ranks
+    * `[ceil(n/10)+1 .. n-ceil(n/10)]` survive, and each histogram bucket
+    * contributes `overlap(bucket ranks, kept ranks)` copies of its value
+    * to an exact decimal sum — partial buckets at the trim boundaries
+    * are weighted, not dropped. Same scale shape as [[histMedian]]: the
+    * rank window sees only distinct values.
+    */
+  private val qTrimmedMean = Q("q_trimmed_mean",
+    Some("""WITH ranked AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM events)
+            SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS trimmed_mean
+            FROM ranked
+            WHERE rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10
+            GROUP BY event_type"""),
+    (s, d) => {
+      val hist = t(s, d, "events")
+        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val ranked = hist.select(col("event_type"), col("value"), col("c"),
+        (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
+        sum(col("c")).over(wv).as("hi"),
+        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+      // kept rank range [r1+1 .. r2]; bucket keeps overlap with (lo, hi]
+      val r1 = expr("(n + 9) div 10"); val r2 = expr("n - (n + 9) div 10")
+      val k = least(col("hi"), r2) - greatest(col("lo"), r1)
+      ranked.withColumn("k", greatest(k, lit(0L)))
+        .where(col("k") > 0)
+        .groupBy("event_type")
+        .agg((sum(col("value").cast(DecimalType(18, 4)) * col("k")).cast("double") /
+          sum(col("k"))).as("trimmed_mean"))
+    })
+
   private val qRollup = Q("q_rollup",
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -1147,7 +1181,7 @@ object Queries {
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
-    qQuantiles, qScd2, qSnapshotAsof, qMad,
+    qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,
     qCorr, qDistinctKmv, qTpchQ3,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,

@@ -40,4 +40,21 @@ class MedianHistogramSpec extends SparkSpec {
     val m = medians(("two", 1L, 1.5), ("two", 2L, 2.5))
     assert(m("two") == 2.0)
   }
+
+  test("trimmed mean weights partial buckets at the trim boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("trim").toString
+    // n=10, trim = ceil(10/10)=1 each side → kept ranks 2..9. The value
+    // 1.0 fills ranks 1..3: its bucket must contribute k=2 (ranks 2,3),
+    // NOT 0 or 3. Kept sum = 1+1 + 2+3+4+5+6+7 = 29, /8
+    val rows = Seq.tabulate(10) { i =>
+      val v = if (i < 3) 1.0 else (i - 1).toDouble // 1,1,1,2,3,4,5,6,7,8
+      ("g", (i + 1).toLong, v)
+    }
+    rows.toDF("event_type", "event_id", "value")
+      .withColumn("ts", col("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_trimmed_mean")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("g") == 29.0 / 8)
+  }
 }

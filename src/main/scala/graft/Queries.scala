@@ -287,25 +287,17 @@ object Queries {
       .agg(countDistinct(col("l_partkey")).as("dparts"),
         countDistinct(col("l_suppkey")).as("dsupps")))
 
-  /** Exact median via explicit middle-rank selection — engine-agnostic,
-    * unlike percentile_cont whose interpolation arithmetic differs; the
-    * 1-or-2 middle values average through an exact decimal sum.
-    *
-    * The oracle ranks rows directly; the Spark side selects the SAME
-    * middle values from a value HISTOGRAM: count per (type, value), then
-    * cumulative ranks over the per-type distinct values. The row shuffle
-    * keys on (type, value) — fully spread — and the rank window only
-    * sees the distinct-value set (cents-granular money data: thousands
-    * of rows per type, not millions), instead of one full-corpus sort
-    * task per type. Exact for any input; the histogram stays small
-    * whenever the value domain is bounded (for genuinely continuous
-    * unbounded domains it degrades to the sorted form's cardinality).
-    * A bucket can cover both middle ranks, hence the k-weighting.
-    */
-  /** Exact median per `grpCol` from a value histogram: count per (group,
-    * value), cumulative ranks over the per-group distinct values, average
-    * the 1-or-2 middle-rank values through an exact decimal sum (a bucket
-    * can cover both middle ranks, hence the k-weighting). Shared by
+  /** Exact median per `grpCol` via explicit middle-rank selection —
+    * engine-agnostic, unlike percentile_cont whose interpolation
+    * arithmetic differs. The oracle ranks rows directly; this side
+    * selects the SAME 1-or-2 middle values from a value HISTOGRAM: count
+    * per (group, value), then cumulative ranks over the per-group
+    * distinct values, averaging the middles through an exact decimal
+    * sum. The row shuffle keys on (group, value) — fully spread — and
+    * the rank window only sees the distinct-value set instead of one
+    * full-corpus sort task per group; for genuinely continuous unbounded
+    * domains it degrades to the sorted form's cardinality. A bucket can
+    * cover both middle ranks, hence the k-weighting. Shared by
     * [[qMedian]] and the MAD pass of [[qMad]].
     */
   private def histMedian(df: DataFrame, grpCol: String, valCol: String,

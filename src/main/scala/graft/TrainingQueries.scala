@@ -830,11 +830,7 @@ object TrainingQueries {
     */
   def curate(docs: org.apache.spark.sql.DataFrame,
              benchBelow: Long = 5L): org.apache.spark.sql.DataFrame = {
-    val len = length(col("text"))
-    val pr = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
-      .cast("double") / greatest(len, lit(1)).cast("double")
-    val quality = least(len / lit(500.0), lit(1.0)) *
-      (lit(1.0) - least(pr * 5, lit(1.0)))
+    val quality = TextAnalysis.qualityScore(col("text"))
     // first-fail precedence means contamination is only ever READ for
     // docs that pass the quality gate — so the expensive 8-gram explode
     // runs on benchmark docs + quality survivors only, not the corpus

@@ -94,8 +94,8 @@ object Demo {
       .systematicSample(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 25)
       .count())
     val ivfDir = java.nio.file.Files.createTempDirectory("demo-ivf").toString
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    // the "emb" view registered in Flow 4 — one read, one path to keep in sync
+    val emb = spark.table("emb").select(col("vec_id"), col("embedding"))
     graft.ops.Ann.buildIvfIndex(emb, ivfDir, k = 4, iterations = 3)
     val q0 = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("qv"))

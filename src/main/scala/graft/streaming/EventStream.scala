@@ -83,11 +83,18 @@ object EventStream {
     * `click_time` to `[purchase_time - window, purchase_time]`, which is
     * what lets Spark evict buffered rows as the watermark advances —
     * per-side state is bounded by rate × (window + watermark), never the
-    * stream's history. Inner join, one stateful shuffle per side on the
-    * equi-key (user_id); the interval predicate never becomes a
-    * cross-product because the equi-key partitions first.
+    * stream's history. One stateful shuffle per side on the equi-key
+    * (user_id); the interval predicate never becomes a cross-product
+    * because the equi-key partitions first.
+    *
+    * `joinType` "inner" or "left_outer": outer emits an unattributed
+    * purchase (null click columns) once the watermark passes its join
+    * window — the interval bound is what makes an outer stream-stream
+    * join legal at all (Spark must know when a row can no longer match
+    * to finalize it and evict its state).
     */
-  def clickAttribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+  def clickAttribution(events: DataFrame, windowMinutes: Int = 30,
+                       joinType: String = "inner"): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("event_time").as("click_time"))
@@ -99,7 +106,8 @@ object EventStream {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("click_time") >= col("purchase_time") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("click_time") <= col("purchase_time"))
+        col("click_time") <= col("purchase_time"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("value"), col("purchase_time"), col("click_time"))
   }

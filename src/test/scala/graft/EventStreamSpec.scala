@@ -189,4 +189,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("left-outer stream-stream join emits unattributed purchases after the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events-louter").toString
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit = // (id, minute, user, type)
+      rows.map { case (id, m, u, t) => (id, m * 60000000000L, u, t, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // user 1: click@100 then purchase@110 (attributed, gap 10 ≤ 30)
+    // user 2: purchase@200 with no click (must STILL emit, click_id null)
+    write(Seq((1L, 100L, 1L, "click"), (2L, 110L, 1L, "purchase"),
+      (3L, 200L, 2L, "purchase")))
+    val q = EventStream.clickAttribution(
+        EventStream.readEvents(spark, dir), joinType = "left_outer")
+      .writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // drive BOTH side watermarks far past purchase@200's join window so
+    // the unmatched row finalizes: the join's watermark is the min of the
+    // two sides, and each side only advances on events that reach ITS
+    // filtered branch — a click alone leaves the purchase side behind.
+    // (purchase@1000 itself stays pending: the watermark never passes it.)
+    write(Seq((8L, 1000L, 8L, "purchase"), (9L, 1000L, 9L, "click")))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("louter")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out == Map(2L -> Some(1L), 3L -> None))
+  }
 }

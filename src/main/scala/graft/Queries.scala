@@ -232,6 +232,35 @@ object Queries {
         .select("event_id", "user_id", "click_id")
     })
 
+  /** Event-sequence interval join (batch twin of the streaming
+    * `clickAttribution`): every (purchase, click) pair of the same user
+    * with the click in the purchase's trailing 30 minutes. The equi-key
+    * (user_id) partitions FIRST — the interval predicate is a post-join
+    * filter inside the hash/merge join, never a cross-product.
+    */
+  private val qJoinInterval = Q("q_join_interval",
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 1800000000000
+                                     AND epoch_ns(p.ts)"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsMicros.as("tus"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tus").as("ctus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tus").as("ptus"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("ctus") >= col("ptus") - 1800000000000L &&
+            col("ctus") <= col("ptus"))
+        .select(col("purchase_id"), col("click_id"), purchases("user_id"))
+    })
+
   private val qCount = Q("q_count",
     Some("SELECT count(*) AS n FROM lineitem"),
     (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
@@ -1170,7 +1199,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
-    qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol,
+    qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,

@@ -824,14 +824,18 @@ object Queries {
             lang AS meta_lang, source AS meta_source
             FROM documents"""),
     (s, d) => {
-      val docs = t(s, d, "documents").orderBy("doc_id").select(
+      def wrap(df: DataFrame): DataFrame = df.select(
         to_json(struct(
           col("doc_id").cast("string").as("_id"),
           col("text"),
           struct(col("lang"), col("source")).as("meta"))).as("doc"))
-      val donor = docs.limit(1).collect()(0).getString(0)
+      // Schema donor comes from an orderBy+limit(1) (TakeOrderedAndProject,
+      // no global sort); the scored Flatten runs on the UNORDERED docs so
+      // the hot path carries no range exchange.
+      val donor =
+        wrap(t(s, d, "documents").orderBy("doc_id").limit(1)).collect()(0).getString(0)
       val schema = graft.model.SchemaDiscovery.discover(donor)
-      graft.ops.Flatten(docs, schema)
+      graft.ops.Flatten(wrap(t(s, d, "documents")), schema)
         .select(col("id"), col("text"),
           col("meta_lang"), col("meta_source"))
     })

@@ -139,7 +139,11 @@ object Ann {
     var centroids = vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("_seed_id"), col(vecCol).as("cv"))
       .withColumn("centroid_id",
-        (row_number().over(Window.orderBy(col("_seed_id"))) - 1).cast("int"))
+        // partitionBy(lit) keeps this k-row window off the single-partition
+        // warning path (WindowExec "No Partition Defined") without changing
+        // semantics — the seed set is k rows by construction.
+        (row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("_seed_id"))) - 1).cast("int"))
       .select(col("centroid_id"), col("cv"))
 
     (0 until iterations).foreach { _ =>
@@ -189,10 +193,18 @@ object Ann {
     * table) and scan ONLY those partitions — the `isin` on the partition
     * column prunes at file-listing time, which the spec asserts via
     * `inputFiles`. Same ranking kernel as [[ivfTopK]].
+    *
+    * Like [[bruteTopK]], `query` must be a 1-row DataFrame `[qv:
+    * array<float>]` — with multiple rows the probe set and the final
+    * `limit(k)` would mix queries into one meaningless top-k (enforced
+    * with a cheap `limit(2).count()` require up front).
     */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      query: DataFrame, k: Int, nprobe: Int = 1,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(query.limit(2).count() == 1,
+      "searchIvfIndex expects a 1-row query DataFrame [qv: array<float>]; " +
+        "multi-row queries would mix probe sets and top-k results")
     val centroids = spark.read.parquet(s"$dir/centroids")
     val probeIds = assignQuery(query, centroids, nprobe)
       .select("centroid_id").collect().map(_.getInt(0)).toSeq

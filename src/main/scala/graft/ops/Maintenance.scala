@@ -24,12 +24,16 @@ object Maintenance {
 
   /** Rewrite the parquet directory at `dir` into ≈`targetBytes` files:
     * read, re-bin to `ceil(bytes/targetBytes)` partitions, write to a
-    * staging sibling, atomically swap. Readers never observe a partial
-    * directory (the swap is two renames); a crash before the swap strands
-    * only the staging dir (cleared on the next call), and a crash BETWEEN
-    * the two renames leaves the data in the retired dir, which the next
-    * call moves back before doing anything else. Returns the new file
-    * count.
+    * staging sibling, atomically swap. Readers never observe a PARTIAL
+    * directory, but the swap is two renames, so a concurrent read that
+    * lists `dir` in the instant between them sees a MISSING directory and
+    * fails with path-not-found — on local-fs deployments schedule
+    * compaction when no readers are active (an object-store port would
+    * swap via a manifest instead). Crash recovery is complete: a crash
+    * before the swap strands only the staging dir (cleared on the next
+    * call), and a crash BETWEEN the two renames leaves the data in the
+    * retired dir, which the next call moves back before doing anything
+    * else. Returns the new file count.
     *
     * Round-robin repartition (not coalesce): coalesce(1..n) chains the
     * upstream parallelism into the write tasks, so a big compaction would

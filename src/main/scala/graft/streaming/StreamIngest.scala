@@ -53,6 +53,7 @@ final class StreamIngest(
   private val schemas = scala.collection.mutable.LinkedHashMap.empty[String, DocSchema]
   loadSchemas()
   recoverState()
+  bootstrapAggIfNeeded()
 
   def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
 
@@ -151,16 +152,28 @@ final class StreamIngest(
   private def updateAgg(spec: StreamIngest.AggSpec, batch: DataFrame,
                         touched: Array[Int], state: DataFrame,
                         batchId: Long): Unit = {
-    if (batchId <= appliedAggBatch()) return
+    val applied = appliedAggBatch()
+    if (batchId <= applied) {
+      // A crash between the agg swap and the state swap re-delivers exactly
+      // batchId == applied — that skip is the exactly-once path. A batchId
+      // further back can only mean the Spark streaming checkpoint was reset
+      // against an existing warehouse (batchIds restart at 0): skipping
+      // would silently freeze the aggregate while state keeps advancing, so
+      // fail loudly and point at the re-bootstrap path instead.
+      if (applied - batchId > StreamIngest.AggReplayMargin)
+        throw new IllegalStateException(
+          s"maintained-aggregate batchId went backwards: got $batchId but " +
+            s"$applied is already applied (more than the replay margin of " +
+            s"${StreamIngest.AggReplayMargin}). The streaming checkpoint was " +
+            "likely reset against an existing warehouse. Delete " +
+            s"$aggDir to re-bootstrap the aggregate from live state, or " +
+            "restore the original checkpointLocation.")
+      return
+    }
     val ids = batch.select("id").distinct()
     // live (grp, value) rows of the batch's ids; docs without the group
     // field are outside the aggregate (a null join key would never merge)
-    def rows(df: DataFrame): DataFrame =
-      df.where(!col("deleted") && !col("id").startsWith("_design"))
-        .join(ids, "id")
-        .select(get_json_object(col("doc"), spec.groupPath).as("grp"),
-          get_json_object(col("doc"), spec.valuePath).cast("double").as("value"))
-        .where(col("grp").isNotNull)
+    def rows(df: DataFrame): DataFrame = aggRows(spec, df.join(ids, "id"))
     val pre = existingState() match {
       case Some(st) => rows(
         st.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*)))
@@ -188,6 +201,33 @@ final class StreamIngest(
   private def appliedAggBatch(): Long = {
     val f = aggDir.resolve("batchid")
     if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+  }
+
+  /** The live `(grp, value)` rows a maintained aggregate is built from. */
+  private def aggRows(spec: StreamIngest.AggSpec, df: DataFrame): DataFrame =
+    df.where(!col("deleted") && !col("id").startsWith("_design"))
+      .select(get_json_object(col("doc"), spec.groupPath).as("grp"),
+        get_json_object(col("doc"), spec.valuePath).cast("double").as("value"))
+      .where(col("grp").isNotNull)
+
+  /** Enabling `maintainAgg` on a warehouse that ALREADY has state must not
+    * start the aggregate from empty — docs never touched by later batches
+    * would never be counted. One-off bootstrap: recompute the aggregate
+    * from the live state ([[IncrementalAgg.recompute]]) and land it with
+    * marker batchId -1, so every subsequent micro-batch applies on top.
+    * Runs once (aggDir existing skips it); the staging+atomic-move swap is
+    * the same crash-safe path [[updateAgg]] uses.
+    */
+  private def bootstrapAggIfNeeded(): Unit = maintainAgg.foreach { spec =>
+    if (!Files.exists(aggDir) && Files.exists(Paths.get(stateDir))) {
+      val agg = IncrementalAgg.recompute(
+        aggRows(spec, existingState().get), "grp", "value")
+      val staging = Paths.get(s"$warehouseDir/_agg_staging")
+      deleteRecursively(staging)
+      agg.coalesce(1).write.parquet(staging.resolve("data").toString)
+      Files.writeString(staging.resolve("batchid"), "-1")
+      Files.move(staging, aggDir, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** The maintained aggregate as `(grp, n, total)`, when configured. */
@@ -340,6 +380,12 @@ object StreamIngest {
     * naming the doc fields the maintained aggregate groups and sums by.
     */
   final case class AggSpec(groupPath: String, valuePath: String)
+
+  /** How far a replayed batchId may legitimately lag the applied marker:
+    * exactly one batch (the crash window between the agg swap and the
+    * state swap). Anything further back is a reset checkpoint.
+    */
+  val AggReplayMargin: Long = 1L
 
   /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
   def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -170,6 +170,53 @@ class StreamIngestSpec extends SparkSpec {
     assert(again == truth)
   }
 
+  test("enabling maintainAgg on an existing warehouse bootstraps from live state") {
+    val wh = tempDir("boot-wh")
+    val mk = (rows: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; rows.toDF("value") }, "value")
+    // build state WITHOUT a maintained aggregate
+    val plain = new StreamIngest(spark, WarehouseOptions(database = "bootdb"), wh)
+    plain.applyBatch(mk(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1","type":"x","amount":10.0}"""),
+      change(2, "b", """{"_id":"b","_rev":"1","type":"y","amount":3.0}"""),
+      change(3, "c", """{"_id":"c","_rev":"1","type":"x","amount":2.5}"""))), 0L)
+
+    // turning the aggregate on later must count a/b/c even though no
+    // future batch ever touches them
+    val spec = StreamIngest.AggSpec("$.type", "$.amount")
+    val agged = new StreamIngest(spark, WarehouseOptions(database = "bootdb"), wh,
+      maintainAgg = Some(spec))
+    def agg(i: StreamIngest): Map[String, (Long, Double)] =
+      i.maintainedAgg.get.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg(agged) == Map("x" -> (2L, 12.5), "y" -> (1L, 3.0)))
+
+    // and deltas apply on top of the bootstrap (batchIds restart at 0 —
+    // the bootstrap marker is -1, so batch 0 is not skipped)
+    agged.applyBatch(mk(Seq(
+      change(4, "d", """{"_id":"d","_rev":"1","type":"y","amount":1.0}"""))), 0L)
+    assert(agg(agged) == Map("x" -> (2L, 12.5), "y" -> (2L, 4.0)))
+  }
+
+  test("a batchId behind the applied marker by more than the replay margin fails loudly") {
+    val wh = tempDir("backwards-wh")
+    val mk = (rows: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; rows.toDF("value") }, "value")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "bwdb"), wh,
+      maintainAgg = Some(StreamIngest.AggSpec("$.type", "$.amount")))
+    ingest.applyBatch(mk(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1","type":"x","amount":1.0}"""))), 4L)
+    // replay of the marker batch itself: legitimate, a silent no-op
+    ingest.applyBatch(mk(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1","type":"x","amount":1.0}"""))), 4L)
+    // a reset checkpoint restarts batchIds at 0: must not silently freeze
+    val e = intercept[IllegalStateException] {
+      ingest.applyBatch(mk(Seq(
+        change(2, "b", """{"_id":"b","_rev":"1","type":"x","amount":1.0}"""))), 0L)
+    }
+    assert(e.getMessage.contains("batchId went backwards"))
+  }
+
   test("crash recovery: a retired-but-unreplaced bucket is restored on restart") {
     val wh = tempDir("recover-wh")
     val mk = (ls: Seq[String]) => ChangeFeed.fromLines(

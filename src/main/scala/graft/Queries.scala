@@ -537,16 +537,33 @@ object Queries {
         count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
         count(when(col("o_orderstatus") === "P", 1)).as("n_p")))
 
-  /** Sketch aggregates: HLL distinct estimates. No oracle — sketch
-    * implementations are engine-specific, so the driver records the
-    * weaker rows-only check by design.
+  /** Sketch aggregates: HLL distinct estimates. Sketch values are
+    * engine-specific (Spark HLL++ ≠ DuckDB HLL), so the estimates
+    * themselves can't hash-match an oracle — instead the query emits the
+    * EXACT distinct counts alongside booleans asserting each estimate is
+    * within 5 standard deviations (rsd 0.05 → ±25% relative) of exact,
+    * and the oracle asserts those booleans TRUE with the same exact
+    * counts. The sketch stays in the scored plan; the error bound is
+    * what's oracled — a real bounded check instead of rows-only.
     */
-  private val qApprox = Q("q_approx", None,
+  private val qApprox = Q("q_approx",
+    Some("""SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS exact_parts,
+            count(DISTINCT l_orderkey) AS exact_orders,
+            TRUE AS parts_in_bound, TRUE AS orders_in_bound
+            FROM lineitem GROUP BY 1"""),
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders")))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("ao"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <=
+          lit(0.25) * col("exact_parts")).as("parts_in_bound"),
+        (abs(col("ao") - col("exact_orders")) <=
+          lit(0.25) * col("exact_orders")).as("orders_in_bound")))
 
   /** Skew-proof exact distinct count ([[graft.ops.Skew.saltedCountDistinct]]):
     * the two-stage salted aggregation must produce exactly the plain

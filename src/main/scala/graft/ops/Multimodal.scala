@@ -8,20 +8,27 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed batch-wise per partition.
   *
-  * The decode/feature-extract kernels are STUBS (this container has no
-  * image/audio codecs): [[fakeDecode]] derives deterministic pseudo-features
-  * from the payload bytes. Everything around the stub is real and tested —
-  * the media schema, the partition-batched execution shape
-  * (`mapPartitions` over row iterators, the Scala analog of a Pandas-UDF
-  * `mapInPandas` batch loop), metadata projection, and size-based
-  * repartitioning.
+  * IMAGE decode is REAL: [[decodeImage]] uses JDK-builtin `javax.imageio`
+  * (PNG/JPEG/BMP/GIF/WBMP — the readers every JDK registers), and
+  * [[extractFeatures]] / [[enrichMeta]] / [[resizeImages]] run actual
+  * pixel math (luma histograms, dimension probing, bilinear resampling +
+  * PNG re-encode) through the partition-batched pipeline. AUDIO/VIDEO
+  * codecs are not in the JDK, so those kinds fall back to [[fakeDecode]],
+  * a deterministic byte-histogram stand-in — an honest stub, loudly
+  * documented, never silently wrong.
   *
-  * Scale notes: payloads stay OFF the shuffle path — feature extraction is
-  * map-side only; repartitioning (when needed) goes by id range, sized so a
-  * partition's payload bytes fit executor memory
-  * (`spark.sql.files.maxPartitionBytes` governs the scan side).
+  * Scale notes: payloads stay OFF the shuffle path — decode and feature
+  * extraction are map-side only (`mapPartitions` over row iterators, the
+  * Scala analog of a Pandas-UDF `mapInPandas` batch loop); repartitioning
+  * (when needed) goes by id range, sized so a partition's payload bytes
+  * fit executor memory (`spark.sql.files.maxPartitionBytes` governs the
+  * scan side). `ImageIO`'s disk cache is disabled per-JVM so decode never
+  * touches executor-local temp files.
   */
 object Multimodal {
+
+  // never spill decode scratch to executor-local disk
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Canonical media-table schema: id + opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -34,12 +41,16 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)  // audio/video
   ))
 
-  /** Feature-extraction output schema. */
+  /** Feature-extraction output schema. `decoded` records whether the row
+    * went through the real codec path (image) or the deterministic stub
+    * (audio/video, or an image payload no reader accepts).
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(FloatType), nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
 
   /** Synthesize a media table from the documents corpus (text bytes stand
     * in for payload bytes) — deterministic test input.
@@ -55,10 +66,62 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms"))
 
-  /** STUB decode: a real implementation would decode the codec here
-    * (JPEG/PNG → pixels, PCM frames, video frame samples). The fake is a
-    * deterministic byte-histogram projection so the batch shape, schema,
-    * and partitioning are exercised end-to-end.
+  /** Real image decode via JDK-builtin `javax.imageio`. Returns None when
+    * no registered reader accepts the payload (not an image, truncated,
+    * or an unregistered codec) — callers fall back to [[fakeDecode]] for
+    * such rows, flagged `decoded = false`.
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None } // a corrupt stream is data, not a crash
+
+  /** Container sniff by magic bytes — cheap, no decode. */
+  def sniffMime(payload: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = payload(i) & 0xff
+    if (payload == null || payload.length < 4) None
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("image/png")
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("image/jpeg")
+    else if (at(0) == 'B' && at(1) == 'M') Some("image/bmp")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      Some("image/gif")
+    else None
+  }
+
+  /** Luma histogram of a decoded image: `dims` equal-width bins over the
+    * 0..255 Rec.601 luma range, normalized to pixel-count fractions.
+    * Integer pixel math until the final division — deterministic across
+    * runs and partitionings.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage, dims: Int): Array[Float] = {
+    val counts = new Array[Long](dims)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(luma * dims / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < dims) { out(i) = counts(i).toFloat / n; i += 1 }
+    out
+  }
+
+  /** STUB decode for the kinds the JDK has no codec for (audio PCM,
+    * video frames): a deterministic byte-histogram projection so the
+    * batch shape, schema, and partitioning are exercised end-to-end.
+    * Swap in a real codec here when the deployment ships one.
     */
   def fakeDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -74,7 +137,10 @@ object Multimodal {
 
   /** Partition-batched feature extraction: the Scala analog of a
     * `mapInPandas` loop — one iterator pass per partition, no per-row
-    * driver involvement, payload never shuffled.
+    * driver involvement, payload never shuffled. Image rows run the REAL
+    * decode ([[decodeImage]] → [[imageFeatures]] luma histogram); rows no
+    * reader accepts — and the codec-less audio/video kinds — fall back to
+    * the deterministic [[fakeDecode]] stub, flagged in `decoded`.
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
@@ -82,10 +148,79 @@ object Multimodal {
       .select("media_id", "kind", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
+          val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          Row(r.getLong(0), r.getString(1),
+          val real =
+            if (kind == "image") decodeImage(payload).map(imageFeatures(_, dims))
+            else None
+          Row(r.getLong(0), kind,
             if (payload == null) 0 else payload.length,
-            fakeDecode(payload, dims))
+            real.getOrElse(fakeDecode(payload, dims)),
+            real.isDefined)
+        }
+      }(enc)
+  }
+
+  /** Probe real metadata map-side: for image payloads a reader accepts,
+    * fill `width`/`height` from the decoded dimensions and `mime` from
+    * the container magic; every other row passes through untouched. Same
+    * schema in and out ([[mediaSchema]]), payload never shuffled.
+    */
+  def enrichMeta(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select(mediaSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = r.getString(1)
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val img = if (kind == "image") decodeImage(payload) else None
+          img match {
+            case Some(i) =>
+              Row(r.getLong(0), kind, payload,
+                sniffMime(payload).getOrElse(r.getString(3)),
+                i.getWidth, i.getHeight,
+                if (r.isNullAt(6)) null else r.getLong(6))
+            case None => r
+          }
+        }
+      }(enc)
+  }
+
+  /** Real image resize: decode, bilinear-resample to `w`×`h`, re-encode
+    * as PNG, with metadata rewritten — map-side only, one pass per
+    * partition. Image payloads no reader accepts keep the deterministic
+    * truncation stub (the [[resize]] expression path) so the output stays
+    * total; audio/video rows pass through untouched.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select(mediaSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = r.getString(1)
+          if (kind != "image") r
+          else {
+            val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+            val resized = decodeImage(payload).map { img =>
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null); ()
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              buf.toByteArray
+            }
+            val bytes = resized.getOrElse(
+              if (payload == null) null else payload.take(w * h))
+            Row(r.getLong(0), kind, bytes,
+              if (resized.isDefined) "image/png" else r.getString(3),
+              w, h, if (r.isNullAt(6)) null else r.getLong(6))
+          }
         }
       }(enc)
   }

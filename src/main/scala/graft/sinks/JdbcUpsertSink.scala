@@ -13,12 +13,16 @@ import org.apache.spark.sql.types._
   * (`lib/sqlite.js:138-170`). Here the same contract is distributed:
   *
   *   - **Executor-parallel writes.** Each input partition opens its own
-  *     connection and commits ONE transaction of batched
-  *     `DELETE`-by-key + `INSERT` statements — the dialect-neutral upsert
-  *     (works on Derby/SQLite/PG/MySQL alike, no MERGE/ON CONFLICT
-  *     dialect fork). With the warehouse's compacted tables (one row per
-  *     id — [[graft.ops.Compact]]) the result is last-writer-wins,
-  *     exactly the reference's `INSERT OR REPLACE`.
+  *     connection and commits ONE transaction of batched statements. The
+  *     upsert statement is DIALECT-NATIVE where the target has one —
+  *     PostgreSQL `INSERT … ON CONFLICT (key) DO UPDATE` (reference
+  *     `lib/postgresql.js:91`), MySQL/MariaDB `REPLACE INTO`
+  *     (`lib/mysql.js:104`), SQLite `INSERT OR REPLACE`
+  *     (`lib/sqlite.js:82`) — one statement per row-batch instead of two.
+  *     Anything else (Derby, generic JDBC) falls back to the
+  *     dialect-neutral `DELETE`-by-key + `INSERT` pair. With the
+  *     warehouse's compacted tables (one row per id —
+  *     [[graft.ops.Compact]]) every form is last-writer-wins.
   *   - **Idempotent, so replay-safe.** Re-upserting the same rows is a
   *     no-op; a failed/repeated micro-batch (streaming `foreachBatch`
   *     replay after crash) converges to the same table — the distributed
@@ -71,6 +75,33 @@ object JdbcUpsertSink {
     case Ident() => name
     case other   => throw new IllegalArgumentException(
       s"unsafe SQL identifier '$other' (sanitize first — graft.ops.Split.sanitize)")
+  }
+
+  /** The upsert statement for `url`'s dialect, plus whether it is NATIVE
+    * (true → the statement alone replaces an existing row; false → the
+    * caller must pre-DELETE by key, the neutral two-statement form).
+    * Parameter order is always the column order of `cols`. Exposed for
+    * spec assertion of the generated SQL.
+    */
+  private[graft] def upsertStatement(url: String, table: String,
+                                     cols: Seq[String], keyCol: String): (String, Boolean) = {
+    val tbl = checkIdent(table)
+    val colList = cols.map(checkIdent).mkString(", ")
+    val marks = cols.map(_ => "?").mkString(", ")
+    val proto = url.toLowerCase(java.util.Locale.ROOT)
+    if (proto.startsWith("jdbc:postgresql:")) {
+      val nonKey = cols.filterNot(_ == keyCol).map(checkIdent)
+      val action =
+        if (nonKey.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " + nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      (s"INSERT INTO $tbl ($colList) VALUES ($marks) " +
+        s"ON CONFLICT (${checkIdent(keyCol)}) $action", true)
+    } else if (proto.startsWith("jdbc:mysql:") || proto.startsWith("jdbc:mariadb:"))
+      (s"REPLACE INTO $tbl ($colList) VALUES ($marks)", true)
+    else if (proto.startsWith("jdbc:sqlite:"))
+      (s"INSERT OR REPLACE INTO $tbl ($colList) VALUES ($marks)", true)
+    else
+      (s"INSERT INTO $tbl ($colList) VALUES ($marks)", false)
   }
 
   private def connect(url: String, props: Map[String, String]): java.sql.Connection = {
@@ -154,8 +185,7 @@ object JdbcUpsertSink {
     val colSqlType = dataSchema.fields.map(f => jdbcTypeCode(f.dataType))
     val tbl = checkIdent(table); val key = checkIdent(keyCol)
     val deleteSql = s"DELETE FROM $tbl WHERE $key = ?"
-    val insertSql = s"INSERT INTO $tbl (${cols.map(checkIdent).mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val (insertSql, nativeUpsert) = upsertStatement(url, table, cols.toSeq, keyCol)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = connect(url, connProps)
@@ -167,10 +197,13 @@ object JdbcUpsertSink {
             var pending = 0
             rows.foreach { r =>
               val isDelete = delIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))
-              // upsert = delete old row (if any) + insert fresh; a pure
-              // tombstone stops after the delete
-              del.setObject(1, r.get(keyIdx))
-              del.addBatch()
+              // native dialect: the insert statement replaces in place and
+              // only tombstones need a DELETE; neutral fallback: delete old
+              // row (if any) + insert fresh for every row
+              if (isDelete || !nativeUpsert) {
+                del.setObject(1, r.get(keyIdx))
+                del.addBatch()
+              }
               if (!isDelete) {
                 colIdx.zipWithIndex.foreach { case (ri, pi) =>
                   val v = r.get(ri)

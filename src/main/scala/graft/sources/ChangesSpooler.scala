@@ -52,10 +52,29 @@ final class ChangesSpooler(
     longpollTimeoutMillis: Long = 55000L,
     maxRetries: Int = 3,
     retryBackoffMillis: Long = 500L,
-    client: HttpClient = HttpClient.newHttpClient()) {
+    client: HttpClient = HttpClient.newHttpClient(),
+    onProgress: String => Unit = _ => ()) {
 
   private val mapper = new ObjectMapper()
   @volatile private var stopped = false
+
+  /** One progress line per spooled page — the reference's progress bar
+    * ("20% 27.7s", `index.js:82-86`, `README.md:40`) as a callback line:
+    * percentage from the server's `pending` count, elapsed, and a simple
+    * rate-based ETA. `pending` < 0 (CouchDB < 2.0 omits it) renders `?%`.
+    */
+  private def progressLine(total: Long, pending: Long, startNanos: Long,
+                           seq: String): String = {
+    val elapsed = (System.nanoTime() - startNanos) / 1e9
+    val pct =
+      if (pending >= 0 && total + pending > 0)
+        (100.0 * total / (total + pending)).round.toString + "%"
+      else "?%"
+    val eta =
+      if (pending > 0 && total > 0) f", eta ${elapsed * pending / total}%.1fs"
+      else ""
+    f"spooled $total changes ($pct, $elapsed%.1fs$eta) seq=${seq.take(24)}"
+  }
 
   /** Ask a running [[monitor]] loop to exit after its in-flight request —
     * the reference's `couchwarehouse.stop()` (`index.js:173-178`).
@@ -170,9 +189,14 @@ final class ChangesSpooler(
     var seq = since
     var idx = nextChunkIndex()
     var more = true
+    val t0 = System.nanoTime()
+    var total = 0L
     while (more && !stopped) {
       val (n, lastSeq, pending) = fetchPage(seq, longpoll = false, idx)
-      if (n > 0) idx += 1
+      if (n > 0) {
+        idx += 1; total += n
+        onProgress(progressLine(total, pending, t0, lastSeq))
+      }
       // no-progress guard: an empty page that didn't advance the seq can
       // never make progress on a retry — stop regardless of what the
       // server claims is pending (guards against a buggy/filtered
@@ -194,9 +218,14 @@ final class ChangesSpooler(
     var seq = since
     var idx = nextChunkIndex()
     var batches = 0
+    val t0 = System.nanoTime()
+    var total = 0L
     while (!stopped && batches < maxBatches) {
-      val (n, lastSeq, _) = fetchPage(seq, longpoll = true, idx)
-      if (n > 0) { idx += 1; batches += 1 }
+      val (n, lastSeq, pending) = fetchPage(seq, longpoll = true, idx)
+      if (n > 0) {
+        idx += 1; batches += 1; total += n
+        onProgress(progressLine(total, pending, t0, lastSeq))
+      }
       seq = lastSeq
       if (pauseMillis > 0) Thread.sleep(pauseMillis)
     }

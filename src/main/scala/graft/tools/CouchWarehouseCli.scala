@@ -28,11 +28,14 @@ import org.apache.spark.sql.SparkSession
   * natively instead of printing "now query your SQLite db". `--database`
   * falls back to `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin
   * .js:4-5`. `--reset` (reference `-r`) wipes the persistent
-  * warehouse/checkpoint dirs before a monitor run; `--drop-fields a,b` is
-  * the declarative stand-in for `--transform` (the reference's JS hook
-  * file, `bin/couchwarehouse.bin.js:12`) covering its README's
-  * delete-field example — arbitrary hooks remain available to library
-  * users via `WarehouseOptions.transform`.
+  * warehouse/checkpoint dirs before a monitor run. User transforms
+  * (reference `--transform`, a JS hook file loaded at
+  * `index.js:197-200`): `--transform <fully.qualified.ClassName>` loads a
+  * [[graft.ops.Transform.Hook]] (a Scala object or a class with a no-arg
+  * constructor) reflectively — the arbitrary-code analog of the JS module
+  * — and `--drop-fields a,b` stays as the declarative shorthand for the
+  * README's delete-field example. Both compose: the `--transform` hook
+  * runs first, then the field drop.
   */
 object CouchWarehouseCli {
 
@@ -44,12 +47,46 @@ object CouchWarehouseCli {
     */
   private[tools] def dropFieldsHook(fields: Seq[String]): graft.ops.Transform.Hook =
     graft.ops.Transform.jsonDocTransform { doc =>
-      mapper.readTree(doc) match {
+      if (doc == null) null // deleted changes carry no doc
+      else mapper.readTree(doc) match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode =>
           fields.foreach(o.remove); mapper.writeValueAsString(o)
         case _ => doc
       }
     }
+
+  /** Load a [[graft.ops.Transform.Hook]] by fully-qualified name — the
+    * analog of the reference loading a user's JS transform module
+    * (`index.js:197-200`). Accepts a Scala `object` (resolved via its
+    * `MODULE$` singleton, with or without the trailing `$`) or a class
+    * with a public no-arg constructor; either must implement
+    * `DataFrame => DataFrame`.
+    */
+  private[tools] def loadHook(className: String): graft.ops.Transform.Hook = {
+    val cls =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException => Class.forName(className + "$") }
+    // a Scala object compiles to a forwarder class plus a `$` module class
+    // holding the MODULE$ singleton — check both before trying a constructor
+    def module(c: Class[_]): Option[AnyRef] =
+      try Some(c.getField("MODULE$").get(null))
+      catch { case _: NoSuchFieldException => None }
+    val instance = module(cls)
+      .orElse {
+        try module(Class.forName(className + "$"))
+        catch { case _: ClassNotFoundException => None }
+      }
+      .getOrElse(cls.getDeclaredConstructor().newInstance())
+    instance match {
+      case h: Function1[_, _] =>
+        h.asInstanceOf[graft.ops.Transform.Hook]
+      case other =>
+        System.err.println(s"--transform class ${other.getClass.getName} does not " +
+          "implement graft.ops.Transform.Hook (DataFrame => DataFrame)")
+        sys.exit(2)
+        graft.ops.Transform.identity
+    }
+  }
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -79,7 +116,10 @@ object CouchWarehouseCli {
         val spoolDir = opts.getOrElse("spool-dir", s"/tmp/graft-spool-$database")
         val sp = new graft.sources.ChangesSpooler(u, database, spoolDir,
           selector = opts.get("query"),
-          pauseMillis = if (opts.contains("slow")) 500L else 0L)
+          pauseMillis = if (opts.contains("slow")) 500L else 0L,
+          // reference progress bar (index.js:82-86): one line per page
+          onProgress =
+            if (opts.contains("verbose")) line => println(line) else _ => ())
         val seq = sp.spool(opts.getOrElse("since", "0"))
         println(s"spooled to: $spoolDir (seq $seq)")
         spoolDir
@@ -106,9 +146,12 @@ object CouchWarehouseCli {
       database = database,
       split = opts.get("split"),
       mangoSelector = opts.get("query"),
-      transform = opts.get("drop-fields")
-        .map(fs => dropFieldsHook(fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
-        .getOrElse(graft.ops.Transform.identity))
+      transform = graft.ops.Transform.chain(
+        opts.get("transform").map(loadHook)
+          .getOrElse(graft.ops.Transform.identity),
+        opts.get("drop-fields")
+          .map(fs => dropFieldsHook(fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+          .getOrElse(graft.ops.Transform.identity)))
 
     if (opts.contains("monitor")) {
       // continuous mode (reference monitor loop): tail the feed directory

@@ -103,6 +103,25 @@ object Demo {
       .searchIvfIndex(spark, ivfDir, q0, k = 1, nprobe = 1)
       .collect()(0).getLong(0))
 
+    // Real image decode end-to-end: a planted in-memory PNG through the
+    // partition-batched pipeline (decode → luma features → meta probe)
+    {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      val media = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          1L, "image", buf.toByteArray, null, null, null, null)),
+        graft.ops.Multimodal.mediaSchema)
+      val f = graft.ops.Multimodal.extractFeatures(media, dims = 2).collect()(0)
+      val m = graft.ops.Multimodal.enrichMeta(media).collect()(0)
+      println(s"MEDIA_DECODED=${f.getBoolean(4)} dims=${m.getInt(4)}x${m.getInt(5)} " +
+        s"mime=${m.getString(3)} luma=${f.getSeq[Float](3).map(v => f"$v%.2f").mkString(",")}")
+    }
+
     // Probes: bad selector and missing column fail cleanly
     try Warehouse.start(spark, s"$fixtures/samplechanges.txt",
       WarehouseOptions(database = "x", mangoSelector = Some("{bad")))

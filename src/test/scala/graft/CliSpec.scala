@@ -22,9 +22,17 @@ class CliSpec extends SparkSpec {
     val spool = Files.createTempDirectory("cli-spool").toString
     try {
       spark // init the shared session first so the CLI reuses (and keeps) it
-      CouchWarehouseCli.main(Array(
-        "--url", couch.url, "--database", "sampledata",
-        "--spool-dir", spool, "--es-url", es.url))
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        CouchWarehouseCli.main(Array(
+          "--url", couch.url, "--database", "sampledata",
+          "--spool-dir", spool, "--es-url", es.url, "--verbose"))
+      }
+      spark.sparkContext.setLogLevel("ERROR") // undo the CLI's --verbose INFO
+      print(out.toString("UTF-8")) // pass the captured CLI output through
+      assert(out.toString("UTF-8").linesIterator.exists(
+        _.matches("""spooled \d+ changes \(.*\) seq=.*""")),
+        "verbose mode must print the reference-style spool progress line")
       assert(new java.io.File(spool).listFiles().nonEmpty, "spool dir has chunks")
       assert(es.store.asScala.count(_._1.startsWith("sampledata/")) == 99,
         "99 golden docs exported")
@@ -32,5 +40,23 @@ class CliSpec extends SparkSpec {
         .contains(104L))
       assert(!spark.sparkContext.isStopped, "embedded run must not stop the session")
     } finally { couch.stop(); es.stop() }
+  }
+
+  test("CLI: --transform loads a Hook reflectively and composes with --drop-fields") {
+    spark // reuse (and keep) the shared session
+    CouchWarehouseCli.main(Array(
+      "--feed", "/root/reference/test/samplechanges.txt",
+      "--database", "cli_tf",
+      "--transform", "graft.CliTestTransform",
+      "--drop-fields", "verified"))
+    val cols = spark.table("cli_tf").columns.toSet
+    assert(cols.contains("label"), "hook-added field must survive to the table")
+    assert(!cols.contains("description"), "--transform removed description")
+    assert(!cols.contains("verified"), "--drop-fields composes after the hook")
+    val label = spark.sql(
+      "SELECT label FROM cli_tf WHERE id = '001g6v3h2hrgcP45xCdc343JmY4X0qHA'")
+      .collect()(0).getString(0)
+    assert(label == "Garfield Jamieson (38)")
+    assert(spark.sql("SELECT COUNT(*) FROM cli_tf").collect()(0).getLong(0) == 99L)
   }
 }

@@ -93,4 +93,25 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       JdbcUpsertSink.upsert(df, derbyUrl("bad"), "t; DROP TABLE x", "id")
     }
   }
+
+  test("upsert statement is dialect-native for PG/MySQL/SQLite, neutral otherwise") {
+    val cols = Seq("id", "n", "s")
+    assert(JdbcUpsertSink.upsertStatement(
+      "jdbc:postgresql://h/db", "t", cols, "id") ==
+      (("INSERT INTO t (id, n, s) VALUES (?, ?, ?) " +
+        "ON CONFLICT (id) DO UPDATE SET n = EXCLUDED.n, s = EXCLUDED.s", true)))
+    // key-only table: nothing to update on conflict
+    assert(JdbcUpsertSink.upsertStatement(
+      "jdbc:postgresql://h/db", "t", Seq("id"), "id") ==
+      (("INSERT INTO t (id) VALUES (?) ON CONFLICT (id) DO NOTHING", true)))
+    assert(JdbcUpsertSink.upsertStatement("jdbc:mysql://h/db", "t", cols, "id") ==
+      (("REPLACE INTO t (id, n, s) VALUES (?, ?, ?)", true)))
+    assert(JdbcUpsertSink.upsertStatement("jdbc:mariadb://h/db", "t", cols, "id") ==
+      (("REPLACE INTO t (id, n, s) VALUES (?, ?, ?)", true)))
+    assert(JdbcUpsertSink.upsertStatement("jdbc:sqlite:/tmp/x.db", "t", cols, "id") ==
+      (("INSERT OR REPLACE INTO t (id, n, s) VALUES (?, ?, ?)", true)))
+    // Derby (and anything unrecognized) keeps the two-statement form
+    assert(JdbcUpsertSink.upsertStatement("jdbc:derby:memory:d", "t", cols, "id") ==
+      (("INSERT INTO t (id, n, s) VALUES (?, ?, ?)", false)))
+  }
 }

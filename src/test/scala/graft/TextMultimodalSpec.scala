@@ -76,6 +76,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.length == 4 && f.sum > 0)
   }
 
+  test("real image decode: a planted PNG flows through features, meta, resize") {
+    import java.awt.image.BufferedImage
+    // 4×4 PNG, left half black / right half white — known luma histogram
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "image", png, null, null, null, null),
+      // same bytes under kind=audio: no JDK codec → deterministic stub
+      org.apache.spark.sql.Row(2L, "audio", png, null, null, null, null),
+      // an image-kind payload no reader accepts → stub fallback
+      org.apache.spark.sql.Row(3L, "image", "not an image".getBytes("UTF-8"),
+        null, null, null, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+
+    val feats = Multimodal.extractFeatures(media, dims = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getBoolean(4), "planted PNG must take the real decode path")
+    assert(feats(1L).getSeq[Float](3) == Seq(0.5f, 0.5f)) // 8 black + 8 white px
+    assert(!feats(2L).getBoolean(4) && !feats(3L).getBoolean(4))
+
+    val meta = Multimodal.enrichMeta(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getInt(4) == 4 && meta(1L).getInt(5) == 4)
+    assert(meta(1L).getString(3) == "image/png")
+    assert(meta(3L).isNullAt(4), "undecodable payloads keep their null metadata")
+
+    val resized = Multimodal.resizeImages(media, 2, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val out = Multimodal.decodeImage(resized(1L).getAs[Array[Byte]](2))
+    assert(out.exists(i => i.getWidth == 2 && i.getHeight == 2),
+      "resized payload must re-decode at the target dimensions")
+    assert(resized(1L).getString(3) == "image/png")
+    assert(resized(3L).getAs[Array[Byte]](2).length == 4) // stub: w*h truncation
+    assert(resized(2L).getAs[Array[Byte]](2).sameElements(png)) // audio untouched
+  }
+
   test("fakeDecode is deterministic") {
     val p = "payload-bytes".getBytes("UTF-8")
     assert(Multimodal.fakeDecode(p, 8).toSeq == Multimodal.fakeDecode(p, 8).toSeq)

@@ -552,18 +552,27 @@ object Queries {
             count(DISTINCT l_orderkey) AS exact_orders,
             TRUE AS parts_in_bound, TRUE AS orders_in_bound
             FROM lineitem GROUP BY 1"""),
-    (s, d) => t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.05).as("ao"))
-      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-        (abs(col("ap") - col("exact_parts")) <=
-          lit(0.25) * col("exact_parts")).as("parts_in_bound"),
-        (abs(col("ao") - col("exact_orders")) <=
-          lit(0.25) * col("exact_orders")).as("orders_in_bound")))
+    (s, d) => {
+      // two exact distincts in ONE agg would trigger the distinct-rewrite
+      // Expand (3x row amplification before the shuffle); computing each as
+      // its own partial-distinct aggregation and broadcast-joining the
+      // 3-row results is the shape that survives a 100x scale-up
+      val li = t(s, d, "lineitem")
+      def exactDistinct(c: String, alias: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
+      li.groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("ao"))
+        .join(broadcast(exactDistinct("l_partkey", "exact_parts")), Seq("l_returnflag"))
+        .join(broadcast(exactDistinct("l_orderkey", "exact_orders")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            lit(0.25) * col("exact_parts")).as("parts_in_bound"),
+          (abs(col("ao") - col("exact_orders")) <=
+            lit(0.25) * col("exact_orders")).as("orders_in_bound"))
+    })
 
   /** Skew-proof exact distinct count ([[graft.ops.Skew.saltedCountDistinct]]):
     * the two-stage salted aggregation must produce exactly the plain

@@ -1,18 +1,106 @@
 package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-/** 10x scale probe: replicate sf0.1 inputs in-memory (ids re-keyed to stay
-  * unique) and compare runtimes vs 1x — checks the scored plans scale
-  * linearly with no cliffs. Experiment tool only; inputs stay synthetic
-  * replicas of the driver data.
+
+/** Scale probes (experiment tool only; inputs stay synthetic replicas of
+  * the driver data, written under /tmp):
+  *
+  *   - `linear`: replicate sf0.1 inputs 10× in-memory and compare runtimes
+  *     vs 1× — checks the scored plans scale linearly with no cliffs.
+  *   - `pairs` (default): the empirical check behind the "every pair stage
+  *     is bucket-local" claim. Materializes a 10× documents/embeddings
+  *     corpus to /tmp parquet with a PLANTED HOT BUCKET (1,000 identical
+  *     texts → one degenerate MinHash band + SimHash block; 1,000
+  *     identical vectors → one degenerate sign-LSH bucket), then runs the
+  *     scored pair-stage queries against it recording wall time AND max
+  *     single-task time. The hot bucket is the adversarial case: a
+  *     bucket-local design degrades to one fat task (visible in max-task),
+  *     never to an all-pairs job; the opt-in `maxBandPopulation` guard
+  *     ([[graft.ops.Dedup.minhashCandidates]]) is the escape hatch when a
+  *     real corpus plants one. Results → SCALE.md.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe [pairs|linear|all]"`
   */
 object ScaleProbe {
+
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("pairs")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode == "linear" || mode == "all") linearProbe(spark)
+    if (mode == "pairs" || mode == "all") pairsProbe(spark)
+    spark.stop()
+  }
+
+  /** Max single-task duration across every job run inside `body`. */
+  private final class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    val maxMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = t.taskInfo.duration
+      var cur = maxMillis.get()
+      while (d > cur && !maxMillis.compareAndSet(cur, d)) cur = maxMillis.get()
+    }
+  }
+
+  private def pairsProbe(spark: SparkSession): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft-scale"
+
+    // --- build the 10×+hot corpus (materialized so scans are realistic) ---
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    val hotText = ("the quick brown fox jumps over the lazy dog and keeps running " +
+      "through this long synthetic paragraph that exists only to plant one " +
+      "degenerate minhash band bucket and one simhash block bucket in the " +
+      "scale probe corpus so the pair stages see their adversarial case") // > 8-gram shingles
+    val hotDocs = spark.range(1000).select(
+      (col("id") + 900000000L).as("doc_id"),
+      lit(hotText).as("text"),
+      lit("en").as("lang"),
+      lit("hotsource").as("source"),
+      lit(hotText.length.toLong).as("n_chars"))
+    docs10.unionByName(hotDocs).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val emb10 = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    val hotVec = emb.orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val hotEmb = spark.range(1000).select(
+      (col("id") + 900000000L).as("vec_id"),
+      typedLit(hotVec).as("embedding"),
+      lit(0).as("label"))
+    emb10.unionByName(hotEmb).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // --- probe the scored pair-stage queries at 1× and 10×+hot ---
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    val names = Seq("q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
+      "q_dedup_embed_pairs", "q_dedup_clusters")
+    try {
+      for (name <- names; (label, dir) <- Seq("1x" -> src, "10x+hot" -> out)) {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+        listener.maxMillis.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val maxTask = listener.maxMillis.get() / 1e3
+        val rows = fn(spark, dir).count()
+        println(f"PAIRS $name%-24s $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs rows=$rows")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def linearProbe(spark: SparkSession): Unit = {
     val d = "/root/testdata/sf0.1"
     def rep(name: String, idCols: Seq[String], n: Int): DataFrame = {
       val base = spark.read.parquet(s"$d/$name.parquet")
@@ -65,6 +153,5 @@ object ScaleProbe {
       graft.ops.Dedup.clusters(graft.ops.Dedup.minhashCandidates(
         graft.ops.Dedup.minhash(docs10)))
     }
-    spark.stop()
   }
 }

@@ -116,6 +116,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(resized(2L).getAs[Array[Byte]](2).sameElements(png)) // audio untouched
   }
 
+  test("decode + mime sniff cover the JDK codec set: PNG, JPEG, BMP, GIF") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, 0x808080)
+    def encode(fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, buf), s"JDK must encode $fmt")
+      buf.toByteArray
+    }
+    for ((fmt, mime) <- Seq("png" -> "image/png", "jpg" -> "image/jpeg",
+                            "bmp" -> "image/bmp", "gif" -> "image/gif")) {
+      val bytes = encode(fmt)
+      assert(Multimodal.sniffMime(bytes).contains(mime), s"sniff $fmt")
+      val decoded = Multimodal.decodeImage(bytes)
+      assert(decoded.exists(i => i.getWidth == 5 && i.getHeight == 3), s"decode $fmt")
+    }
+    assert(Multimodal.sniffMime("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("fakeDecode is deterministic") {
     val p = "payload-bytes".getBytes("UTF-8")
     assert(Multimodal.fakeDecode(p, 8).toSeq == Multimodal.fakeDecode(p, 8).toSeq)

@@ -204,6 +204,44 @@ object TrainingQueries {
     (s, d) => Ann.lshCandidatePairs(t(s, d, "embeddings"), bits = 16)
       .where(col("cos") > 0.25))
 
+  /** SemDeDup-style semantic dedup ([[Dedup.semanticDedup]], Abbas et al.
+    * 2023): cluster-assign (8 fixed centroids, same convention as the IVF
+    * keys), intra-cluster cosine pairs only, drop the higher id of every
+    * pair above the threshold. Oracle mirrors the full pipeline — argmax
+    * assignment, bucketed self-join, anti-join — in SQL; the 0.25
+    * threshold keeps drops non-empty on this corpus (production ~0.95 per
+    * the paper).
+    */
+  private val qDedupSemantic = Q("q_dedup_semantic",
+    Some("""WITH cents AS (SELECT vec_id AS centroid_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id < 8),
+            allv AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings),
+            assigned AS (SELECT vec_id, ev, centroid_id FROM (
+              SELECT a.vec_id, a.ev, c.centroid_id,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  list_dot_product(a.ev, c.cv)
+                    / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  DESC, c.centroid_id) AS rn
+              FROM allv a CROSS JOIN cents c) WHERE rn = 1),
+            dropped AS (SELECT DISTINCT b.vec_id FROM assigned a
+              JOIN assigned b ON a.centroid_id = b.centroid_id
+                             AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))
+                >= 0.25)
+            SELECT v.vec_id, v.label FROM allv v
+            WHERE v.vec_id NOT IN (SELECT vec_id FROM dropped)"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val cents = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Dedup.semanticDedup(vecs, cents, threshold = 0.25)
+        .select(col("vec_id"), col("label"))
+    })
+
   // -------------------------------------------------- similarity search
 
   /** The `bits`-hyperplane sign-LSH bucket as oracle SQL (mirrors
@@ -993,6 +1031,7 @@ object TrainingQueries {
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
+    qDedupSemantic,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack,

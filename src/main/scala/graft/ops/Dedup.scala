@@ -324,4 +324,46 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
   }
+
+  /** SemDeDup-style semantic near-dup PAIRS (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv 2023): assign every vector to its nearest centroid
+    * ([[Ann.assign]] — centroids broadcast, the corpus never shuffles for
+    * assignment), then compute cosine only for INTRA-CLUSTER pairs — the
+    * paper's key move, making pairwise cost O(sum cluster²) instead of
+    * O(n²). Emits `(centroid_id, id_a, id_b, cos)` for pairs with
+    * `cos >= threshold`, `id_a < id_b`.
+    *
+    * Scale shape: the pair join shuffles both sides once on `centroid_id`
+    * and all pairwise work stays inside a cluster partition. Size k like
+    * the paper (k ≈ √n keeps expected cluster² work ≈ n^1.5 / k); a
+    * degenerate cluster degrades to one fat task, same story as the LSH
+    * band probe in SCALE.md.
+    */
+  def semanticPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Ann.assign(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("centroid_id"), col("id_a"), col("id_b"),
+        graft.functions.CosineSimilarity(col("_va"), col("_vb")).as("cos"))
+      .where(col("cos") >= lit(threshold))
+  }
+
+  /** Semantic dedup: drop every vector that has a [[semanticPairs]]
+    * neighbor of lower id (keep-lowest-id — the deterministic analog of
+    * SemDeDup's keep-farthest-from-centroid; swap the keep rule by
+    * re-ranking pairs before the anti-join). Returns the KEPT rows of
+    * `vectors`, schema unchanged.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dropped = semanticPairs(vectors, centroids, threshold, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -303,4 +303,31 @@ class DedupAnnSpec extends SparkSpec {
     val all = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = 2)
     assert(all.collect().map(_.getLong(0)).toSeq == ids)
   }
+
+  test("semantic dedup: intra-cluster near-dups drop, cross-cluster twins survive") {
+    import spark.implicits._
+    // two well-separated clusters (+x-ish, +y-ish): 11/12 are near-dups of
+    // 10 inside cluster 0; cluster 1 holds 20, the distant 21 (cos≈0.1),
+    // and 30 = 2×(unit y), which assigns to centroid 1 and must drop
+    // against 20 (cos = 1.0 despite the different magnitude).
+    val vecs = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(0.99f, 0.1f, 0f)),   // near-dup of 10 in cluster 0
+      (12L, Array(0.98f, -0.1f, 0f)),  // near-dup of 10 in cluster 0
+      (20L, Array(0f, 1f, 0f)),
+      (21L, Array(0f, 0.1f, 1f)),      // cluster 1 but far from 20 (cos≈0.1)
+      (30L, Array(0f, 2f, 0f))         // same direction as 20 → drops vs 20
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+      .toDF("centroid_id", "cv")
+
+    val pairs = Dedup.semanticPairs(vecs, cents, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pairwise work never crosses clusters: 10-vs-20 (cos 0) is not even scored
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 30L)))
+
+    val kept = Dedup.semanticDedup(vecs, cents, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 21L), "lowest id survives each near-dup set")
+  }
 }

@@ -242,6 +242,40 @@ object TrainingQueries {
         .select(col("vec_id"), col("label"))
     })
 
+  /** Repeated-substring span accounting ([[Dedup.duplicatedSpanStats]],
+    * Lee et al. ACL 2022 ExactSubstr, k-gram-anchored): per doc, the
+    * merged islands of 8-gram occurrences whose corpus-global first
+    * occurrence lies elsewhere. Oracle mirrors the whole pipeline —
+    * gram hashing, first-occurrence rank, gaps-and-islands — in SQL;
+    * exact integers end to end.
+    */
+  private val qDedupSpans = Q("q_dedup_spans",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            grams AS (SELECT doc_id, i - 1 AS start,
+                md5(list_aggregate(l[i:i+7], 'string_agg', ' ')) AS g
+              FROM toks, UNNEST(range(1, len(l) - 8 + 2)) AS t(i)),
+            occ AS (SELECT doc_id, start,
+                row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+              FROM grams),
+            sp AS (SELECT doc_id, start, start + 8 AS e FROM occ WHERE rn > 1),
+            m AS (SELECT doc_id, start, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+              FROM sp),
+            g2 AS (SELECT doc_id, start, e,
+                CASE WHEN runmax IS NULL OR start > runmax THEN 1 ELSE 0 END AS ni
+              FROM m),
+            g3 AS (SELECT doc_id, start, e,
+                SUM(ni) OVER (PARTITION BY doc_id ORDER BY start
+                  ROWS UNBOUNDED PRECEDING) AS island
+              FROM g2),
+            islands AS (SELECT doc_id, island, min(start) AS s, max(e) AS e2
+              FROM g3 GROUP BY 1, 2)
+            SELECT doc_id, count(*) AS n_spans,
+              CAST(sum(e2 - s) AS BIGINT) AS dup_tokens
+            FROM islands GROUP BY doc_id"""),
+    (s, d) => Dedup.duplicatedSpanStats(t(s, d, "documents"), k = 8))
+
   // -------------------------------------------------- similarity search
 
   /** The `bits`-hyperplane sign-LSH bucket as oracle SQL (mirrors
@@ -344,8 +378,7 @@ object TrainingQueries {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
     val query = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val assigned = Ann.assign(vecs, cents)
-      .select(col("vec_id"), col("centroid_id"))
-      .join(vecs, Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
     Ann.ivfTopK(assigned, cents, query, k = k, nprobe = nprobe)
   }
 
@@ -1031,7 +1064,7 @@ object TrainingQueries {
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
-    qDedupSemantic,
+    qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack,

@@ -39,20 +39,40 @@ object Ann {
       .limit(k)
 
   /** Assign every vector to its nearest centroid (argmax cosine; ties →
-    * lowest centroid id). Centroids are broadcast; the big side never
-    * shuffles.
+    * lowest centroid id). The centroid table is collected driver-side
+    * (k×dim by contract — the same tiny-table premise as
+    * [[searchIvfIndex]]'s probe step) and folded over as an array literal,
+    * so assignment is a SINGLE map-side pass: zero shuffle, zero row
+    * amplification. (The previous crossJoin + per-id rank window
+    * amplified to n×k rows and shuffled the corpus once per call — once
+    * per ITERATION inside [[trainCentroids]].)
+    *
+    * Output: every column of `vectors` plus `centroid_id` (the centroid
+    * table's id type) and `cos`. A null vector gets a null assignment.
     */
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("centroid_id"))
+    val rows = centroids.select(col("centroid_id"), col("cv")).collect()
+    require(rows.nonEmpty, "assign requires a non-empty centroid set")
+    val cidType = centroids.schema("centroid_id").dataType
+    val cents: Seq[(Long, Seq[Float])] = rows.toSeq
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(), r.getSeq[Float](1)))
+      .sortBy(_._1) // ascending ids + strict > below = ties break low
+    // fold over the k-element literal: real cosines are >= -1 (zero norms
+    // yield 0.0), so the -2.0 seed always loses to the first centroid
+    val best = aggregate(
+      typedLit(cents),
+      struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cs = graft.functions.CosineSimilarity(col(vecCol), c.getField("_2"))
+        when(cs > acc.getField("cos"),
+          struct(cs.as("cos"), c.getField("_1").as("cid"))).otherwise(acc)
+      })
     vectors
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid_id"),
-        graft.functions.CosineSimilarity(col(vecCol), col("cv")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"), col("cos"))
+      .withColumn("_best", when(col(vecCol).isNotNull, best))
+      .withColumn("centroid_id", col("_best").getField("cid").cast(cidType))
+      .withColumn("cos", col("_best").getField("cos"))
+      .drop("_best")
   }
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid
@@ -147,9 +167,9 @@ object Ann {
       .select(col("centroid_id"), col("cv"))
 
     (0 until iterations).foreach { _ =>
+      // assign keeps the vector column — no join-back needed
       val assigned = assign(vectors, centroids, idCol, vecCol)
-        .select(col(idCol), col("centroid_id"))
-        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol), col("centroid_id"), col(vecCol))
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
@@ -181,8 +201,7 @@ object Ann {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = trainCentroids(vectors, k, iterations, idCol, vecCol)
     val assigned = assign(vectors, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("centroid_id"), col(vecCol))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/corpus")

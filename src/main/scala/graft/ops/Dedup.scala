@@ -325,6 +325,86 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Marked duplicated k-gram occurrences — the anchor stage of
+    * repeated-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022: remove every repeated span,
+    * keeping one occurrence; this is the k-gram-anchored scalable form of
+    * their suffix-array ExactSubstr). Every token k-gram is hashed
+    * (md5 — engine-reproducible) and every occurrence EXCEPT the global
+    * first (lowest doc id, then lowest start) is marked as `(doc, start,
+    * end)` token spans, `end` exclusive.
+    *
+    * Scale shape: gram extraction is a pure expression tree (no UDF); the
+    * only corpus-sized shuffle keys on the gram hash for the global
+    * first-occurrence rank — fully spread (hash cardinality ≈ token
+    * count). Docs shorter than k tokens contribute nothing.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), split(col(textCol), " ").as("_l"))
+      .select(col(idCol), posexplode(
+        when(size(col("_l")) >= k,
+          transform(sequence(lit(0), size(col("_l")) - k),
+            i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
+          .otherwise(array())).as(Seq("start", "_g")))
+    val w = Window.partitionBy(col("_g")).orderBy(col(idCol), col("start"))
+    grams
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1) // every occurrence but the corpus-first
+      .select(col(idCol), col("start"), (col("start") + k).as("end"))
+  }
+
+  /** Merge a doc's marked spans into disjoint islands (classic
+    * gaps-and-islands over the start-ordered spans) and report per-doc
+    * accounting: island count and duplicated-token total. Windows
+    * partition by doc — one shuffle on doc id, no cross-doc state.
+    */
+  def duplicatedSpanStats(docs: DataFrame, k: Int = 8,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val islands = mergeIslands(duplicatedSpans(docs, k, idCol, textCol), idCol)
+    islands.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"))
+  }
+
+  /** Rebuild each doc's text with every duplicated island's tokens removed
+    * (the corpus-first occurrence of each gram survives, so shared content
+    * remains exactly once corpus-wide). Token membership is evaluated with
+    * a nested higher-order filter over the doc's island array — map-side
+    * after one islands-by-doc join; schema preserved.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, k: Int = 8,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val islands = mergeIslands(duplicatedSpans(docs, k, idCol, textCol), idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start"), col("end"))).as("_spans"))
+    docs.join(islands, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(split(col(textCol), " "),
+              (t, i) => !exists(col("_spans"),
+                sp => i >= sp.getField("start") && i < sp.getField("end"))),
+            " ")))
+      .drop("_spans")
+  }
+
+  /** Gaps-and-islands merge of `(idCol, start, end)` spans. */
+  private def mergeIslands(spans: DataFrame, idCol: String): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    spans
+      .withColumn("_runmax",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_runmax").isNull || col("start") > col("_runmax"), 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+      .drop("_island")
+  }
+
   /** SemDeDup-style semantic near-dup PAIRS (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",
     * arXiv 2023): assign every vector to its nearest centroid
@@ -343,8 +423,7 @@ object Dedup {
   def semanticPairs(vectors: DataFrame, centroids: DataFrame, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = Ann.assign(vectors, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("centroid_id"), col(vecCol))
     val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("_va"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, Seq("centroid_id"))

@@ -121,7 +121,7 @@ class DedupAnnSpec extends SparkSpec {
   test("IVF assign: centroid members assign to themselves") {
     val cents = vecs.where($"vec_id" < 2)
       .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
-    val a = Ann.assign(vecs, cents).collect()
+    val a = Ann.assign(vecs, cents).select("vec_id", "centroid_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a(0L) == 0L && a(1L) == 1L)
     assert(a(2L) == 0L) // near x-axis
@@ -235,7 +235,7 @@ class DedupAnnSpec extends SparkSpec {
     val vdf = pts.toDF("vec_id", "embedding")
     val cents = Ann.trainCentroids(vdf, k = 2, iterations = 5)
     assert(cents.count() == 2)
-    val assigned = Ann.assign(vdf, cents).collect()
+    val assigned = Ann.assign(vdf, cents).select("vec_id", "centroid_id").collect()
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     // all even ids together, all odd ids together
     val evenClusters = pts.filter(_._1 % 2 == 0).map(p => assigned(p._1)).toSet
@@ -302,6 +302,28 @@ class DedupAnnSpec extends SparkSpec {
     // nprobe=2 scans both clusters and still ranks the +x cluster on top
     val all = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = 2)
     assert(all.collect().map(_.getLong(0)).toSeq == ids)
+  }
+
+  test("repeated-substring spans: corpus-first survives, islands merge, strip rebuilds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x y z d e f"),     // corpus-first "x y z" (start 3) — kept
+      (2L, "q w e x y z r t"),       // one marked occurrence
+      (3L, "x y z x y z tail1 tail2"), // two adjacent occurrences → one island
+      (4L, "aa bb")                  // shorter than k → contributes nothing
+    ).toDF("doc_id", "text")
+
+    val stats = Dedup.duplicatedSpanStats(docs, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stats == Set((2L, 1L, 3L), (3L, 1L, 6L)),
+      "doc1 keeps the first occurrence; doc3's adjacent spans merge to one island")
+
+    val stripped = Dedup.stripDuplicatedSpans(docs, k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "a b c x y z d e f")
+    assert(stripped(2L) == "q w e r t")
+    assert(stripped(3L) == "tail1 tail2")
+    assert(stripped(4L) == "aa bb")
   }
 
   test("semantic dedup: intra-cluster near-dups drop, cross-cluster twins survive") {

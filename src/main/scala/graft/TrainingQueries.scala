@@ -517,6 +517,28 @@ object TrainingQueries {
         shardCol = "lang", orderCol = "doc_id", sizeCol = "n_tok", budget = 512L)
       .select("doc_id", "lang", "n_tok", "bin"))
 
+  /** Fixed-window document chunking with overlap
+    * ([[graft.ops.Sampling.chunkDocuments]]): 40-token chunks, 8 tokens of
+    * carried context (stride 32) — the sequence-prep step before packing.
+    * Pure map-side expression tree; the oracle mirrors the start-emission
+    * rule (`s = 0` or `s + overlap < n`) and list slicing in SQL.
+    */
+  private val qChunk = Q("q_chunk",
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            st AS (SELECT doc_id, l, s FROM toks,
+                UNNEST(range(0, greatest(len(l), 1), 32)) AS t(s)
+              WHERE (s = 0 AND len(l) > 0) OR s + 8 < len(l)),
+            num AS (SELECT doc_id, l, s,
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+                  AS chunk_id
+              FROM st)
+            SELECT doc_id, chunk_id,
+              list_aggregate(l[s+1:s+40], 'string_agg', ' ') AS chunk,
+              CAST(len(l[s+1:s+40]) AS INT) AS n_tokens
+            FROM num"""),
+    (s, d) => graft.ops.Sampling.chunkDocuments(
+      t(s, d, "documents"), maxTokens = 40, overlap = 8))
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -1067,7 +1089,7 @@ object TrainingQueries {
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
-    qSampleWeighted, qSampleMixture, qSampleStratified, qPack,
+    qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/BMP/GIF/WBMP — the readers every JDK registers), and
   * [[extractFeatures]] / [[enrichMeta]] / [[resizeImages]] run actual
   * pixel math (luma histograms, dimension probing, bilinear resampling +
-  * PNG re-encode) through the partition-batched pipeline. AUDIO/VIDEO
-  * codecs are not in the JDK, so those kinds fall back to [[fakeDecode]],
-  * a deterministic byte-histogram stand-in — an honest stub, loudly
+  * PNG re-encode) through the partition-batched pipeline. AUDIO decode is
+  * REAL for the JDK's `javax.sound.sampled` surface ([[decodeAudio]]:
+  * WAV/AIFF/AU containers, 8/16-bit PCM → amplitude histograms, frame
+  * counts, duration). VIDEO has no JDK codec, so that kind — and any
+  * payload no reader accepts — falls back to [[fakeDecode]], a
+  * deterministic byte-histogram stand-in: an honest stub, loudly
   * documented, never silently wrong.
   *
   * Scale notes: payloads stay OFF the shuffle path — decode and feature
@@ -80,6 +83,8 @@ object Multimodal {
   /** Container sniff by magic bytes — cheap, no decode. */
   def sniffMime(payload: Array[Byte]): Option[String] = {
     def at(i: Int): Int = payload(i) & 0xff
+    def ascii(i: Int, s: String): Boolean =
+      payload.length >= i + s.length && s.indices.forall(j => at(i + j) == s(j))
     if (payload == null || payload.length < 4) None
     else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
       Some("image/png")
@@ -87,7 +92,85 @@ object Multimodal {
     else if (at(0) == 'B' && at(1) == 'M') Some("image/bmp")
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
       Some("image/gif")
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(0, "FORM") && ascii(8, "AIFF")) Some("audio/aiff")
     else None
+  }
+
+  /** A decoded PCM audio clip: format metadata plus the signed sample
+    * values (channel-interleaved), parsed from the JDK-builtin
+    * `javax.sound.sampled` readers (WAV/AIFF/AU containers, PCM payload).
+    */
+  final case class PcmAudio(sampleRate: Float, channels: Int, bits: Int,
+                            frames: Long, samples: Array[Int]) {
+    def durationMs: Long = (frames * 1000.0 / sampleRate).toLong
+  }
+
+  /** Real audio decode via JDK-builtin `javax.sound.sampled`: WAV/AIFF/AU
+    * containers with 8- or 16-bit integer PCM. Returns None for anything
+    * a JDK reader rejects (not audio, truncated, or a compressed codec —
+    * MP3/AAC/Vorbis have no JDK decoder and stay on the [[fakeDecode]]
+    * stub path).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[PcmAudio] =
+    if (payload == null || payload.length == 0) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (f.getSampleSizeInBits == 8 || f.getSampleSizeInBits == 16)
+        if (!ok) None
+        else {
+          val raw = in.readAllBytes()
+          val bytesPer = f.getSampleSizeInBits / 8
+          val n = raw.length / bytesPer
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (bytesPer == 1) {
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  (raw(i) & 0xff) - 128
+                else raw(i).toInt
+              } else {
+                val b0 = raw(i * 2) & 0xff
+                val b1 = raw(i * 2 + 1) & 0xff
+                val v = if (f.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                val s = v.toShort.toInt
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  v - 32768
+                else s
+              }
+            i += 1
+          }
+          Some(PcmAudio(f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+            in.getFrameLength, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None } // corrupt/unsupported is data, not a crash
+
+  /** Amplitude histogram of a PCM clip: `dims` equal-width bins over the
+    * normalized magnitude range [0, 1], fractions of total samples.
+    * Integer math until the final division — deterministic.
+    */
+  def audioFeatures(a: PcmAudio, dims: Int): Array[Float] = {
+    val counts = new Array[Long](dims)
+    val full = if (a.bits == 8) 128 else 32768 // |min sample|
+    var i = 0
+    while (i < a.samples.length) {
+      val mag = math.min(math.abs(a.samples(i)), full - 1)
+      counts(mag * dims / full) += 1
+      i += 1
+    }
+    val out = new Array[Float](dims)
+    val n = math.max(a.samples.length, 1)
+    var d = 0
+    while (d < dims) { out(d) = counts(d).toFloat / n; d += 1 }
+    out
   }
 
   /** Luma histogram of a decoded image: `dims` equal-width bins over the
@@ -150,9 +233,11 @@ object Multimodal {
         rows.map { r =>
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          val real =
-            if (kind == "image") decodeImage(payload).map(imageFeatures(_, dims))
-            else None
+          val real = kind match {
+            case "image" => decodeImage(payload).map(imageFeatures(_, dims))
+            case "audio" => decodeAudio(payload).map(audioFeatures(_, dims))
+            case _       => None // video: no JDK codec — stub below
+          }
           Row(r.getLong(0), kind,
             if (payload == null) 0 else payload.length,
             real.getOrElse(fakeDecode(payload, dims)),
@@ -161,9 +246,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** Probe real metadata map-side: for image payloads a reader accepts,
-    * fill `width`/`height` from the decoded dimensions and `mime` from
-    * the container magic; every other row passes through untouched. Same
+  /** Probe real metadata map-side: image payloads a reader accepts get
+    * `width`/`height` from the decoded dimensions, audio payloads get
+    * `duration_ms` from the PCM frame count, and both get `mime` from the
+    * container magic; every other row passes through untouched. Same
     * schema in and out ([[mediaSchema]]), payload never shuffled.
     */
   def enrichMeta(media: DataFrame): DataFrame = {
@@ -173,14 +259,23 @@ object Multimodal {
         rows.map { r =>
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          val img = if (kind == "image") decodeImage(payload) else None
-          img match {
-            case Some(i) =>
-              Row(r.getLong(0), kind, payload,
-                sniffMime(payload).getOrElse(r.getString(3)),
-                i.getWidth, i.getHeight,
-                if (r.isNullAt(6)) null else r.getLong(6))
-            case None => r
+          val mime = () => sniffMime(payload).getOrElse(r.getString(3))
+          kind match {
+            case "image" => decodeImage(payload) match {
+              case Some(i) =>
+                Row(r.getLong(0), kind, payload, mime(), i.getWidth, i.getHeight,
+                  if (r.isNullAt(6)) null else r.getLong(6))
+              case None => r
+            }
+            case "audio" => decodeAudio(payload) match {
+              case Some(a) =>
+                Row(r.getLong(0), kind, payload, mime(),
+                  if (r.isNullAt(4)) null else r.getInt(4),
+                  if (r.isNullAt(5)) null else r.getInt(5),
+                  a.durationMs)
+              case None => r
+            }
+            case _ => r
           }
         }
       }(enc)

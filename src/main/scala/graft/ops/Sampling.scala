@@ -197,4 +197,36 @@ object Sampling {
       .withColumn(rn, row_number().over(whole)).where(col(rn) <= k)
       .drop(rn1, rn)
   }
+
+  /** Split each document into fixed-size training chunks of `maxTokens`
+    * tokens with `overlap` tokens of context carried between consecutive
+    * chunks (stride = maxTokens − overlap) — the standard sequence-prep
+    * step before packing. Chunk `i` covers tokens `[i·stride, i·stride +
+    * maxTokens)`; a start past the first is emitted only when it
+    * contributes tokens the previous chunk didn't cover, so no chunk is a
+    * suffix-duplicate of its predecessor.
+    *
+    * Map-side only: token slicing is a pure expression tree (sequence →
+    * filter → transform → posexplode) — no UDF, no shuffle; at 100 TB
+    * chunking is free relative to the scan.
+    *
+    * Output: `(idCol, chunk_id, chunk, n_tokens)`.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val l = split(col(textCol), " ")
+    val n = size(l)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => (s === 0 && n > 0) || (s + overlap) < n)
+    docs
+      .select(col(idCol), posexplode(
+        transform(starts, s => array_join(slice(l, s + 1, lit(maxTokens)), " ")))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")))
+  }
 }

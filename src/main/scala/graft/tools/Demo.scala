@@ -120,6 +120,30 @@ object Demo {
       val m = graft.ops.Multimodal.enrichMeta(media).collect()(0)
       println(s"MEDIA_DECODED=${f.getBoolean(4)} dims=${m.getInt(4)}x${m.getInt(5)} " +
         s"mime=${m.getString(3)} luma=${f.getSeq[Float](3).map(v => f"$v%.2f").mkString(",")}")
+
+      // and a planted 250 ms PCM WAV through the same pipeline
+      val rate = 8000
+      val frames = rate / 4
+      val raw = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val v: Short = if (i % 2 == 0) 16384 else -16384
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val afmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val abuf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), afmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, abuf)
+      val audio = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          2L, "audio", abuf.toByteArray, null, null, null, null)),
+        graft.ops.Multimodal.mediaSchema)
+      val af = graft.ops.Multimodal.extractFeatures(audio, dims = 2).collect()(0)
+      val am = graft.ops.Multimodal.enrichMeta(audio).collect()(0)
+      println(s"AUDIO_DECODED=${af.getBoolean(4)} duration=${am.getLong(6)}ms " +
+        s"mime=${am.getString(3)}")
     }
 
     // Probes: bad selector and missing column fail cleanly

@@ -143,4 +143,21 @@ class SamplingSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("chunkDocuments: overlap carry, no suffix-duplicate tail, short docs whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),      // exactly maxTokens → one chunk
+      (2L, "a b c d e f g"),    // one token past → tail chunk carries overlap
+      (3L, "x y z")             // short doc → single whole chunk
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Sampling.chunkDocuments(docs, maxTokens = 6, overlap = 2)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(got(1L) == Seq(("a b c d e f", 6)),
+      "a start whose tokens the previous chunk fully covered must not be emitted")
+    assert(got(2L) == Seq(("a b c d e f", 6), ("e f g", 3)),
+      "the tail chunk repeats the overlap tokens then adds the new one")
+    assert(got(3L) == Seq(("x y z", 3)))
+  }
 }

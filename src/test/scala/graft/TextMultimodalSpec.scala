@@ -116,6 +116,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(resized(2L).getAs[Array[Byte]](2).sameElements(png)) // audio untouched
   }
 
+  test("real audio decode: a planted PCM WAV yields duration, histogram, mime") {
+    import javax.sound.sampled._
+    // 1 second of 8 kHz mono 16-bit PCM: alternating loud/quiet halves —
+    // half the samples at |24576| (bin 1 of 2), half at |8192| (bin 0)
+    val rate = 8000
+    val raw = new Array[Byte](rate * 2)
+    for (i <- 0 until rate) {
+      val v: Short = if (i < rate / 2) 8192 else -24576
+      raw(2 * i) = (v & 0xff).toByte            // little-endian lo
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte // hi
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, rate.toLong),
+      AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    assert(Multimodal.sniffMime(wav).contains("audio/wav"))
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sampleRate == 8000f && a.channels == 1 && a.bits == 16)
+    assert(a.durationMs == 1000L)
+    assert(Multimodal.audioFeatures(a, 2).toSeq == Seq(0.5f, 0.5f))
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(7L, "audio", wav, null, null, null, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media, dims = 2).collect()(0)
+    assert(f.getBoolean(4), "planted WAV must take the real decode path")
+    assert(f.getSeq[Float](3) == Seq(0.5f, 0.5f))
+    val m = Multimodal.enrichMeta(media).collect()(0)
+    assert(m.getLong(6) == 1000L && m.getString(3) == "audio/wav")
+  }
+
   test("decode + mime sniff cover the JDK codec set: PNG, JPEG, BMP, GIF") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)

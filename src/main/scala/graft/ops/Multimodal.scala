@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * PNG re-encode) through the partition-batched pipeline. AUDIO decode is
   * REAL for the JDK's `javax.sound.sampled` surface ([[decodeAudio]]:
   * WAV/AIFF/AU containers, 8/16-bit PCM → amplitude histograms, frame
-  * counts, duration). VIDEO has no JDK codec, so that kind — and any
-  * payload no reader accepts — falls back to [[fakeDecode]], a
+  * counts, duration). VIDEO is REAL for Motion-JPEG AVI ([[decodeVideo]]:
+  * a RIFF container walk + per-frame `javax.imageio` JPEG decode —
+  * pooled luma histograms, frame dimensions, header-rate duration);
+  * compressed codecs (H.264 etc.) have no JDK decoder, so those payloads
+  * — and anything no reader accepts — fall back to [[fakeDecode]], a
   * deterministic byte-histogram stand-in: an honest stub, loudly
   * documented, never silently wrong.
   *
@@ -93,8 +96,59 @@ object Multimodal {
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
       Some("image/gif")
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio/wav")
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) Some("video/x-msvideo")
     else if (ascii(0, "FORM") && ascii(8, "AIFF")) Some("audio/aiff")
     else None
+  }
+
+  /** A parsed MJPEG AVI: the JPEG frame payloads plus the header's
+    * microseconds-per-frame (0 when the `avih` header is absent).
+    */
+  final case class MjpegVideo(frames: Seq[Array[Byte]], microSecPerFrame: Long) {
+    def durationMs: Long = frames.length.toLong * microSecPerFrame / 1000
+  }
+
+  /** Real video FRAME decode for Motion-JPEG AVI — the one video format a
+    * bare JVM can fully handle, because the container is a plain RIFF walk
+    * (public spec) and each frame is a JPEG that [[decodeImage]] reads.
+    * Compressed codecs (H.264 etc.) have no JDK decoder and stay on the
+    * [[fakeDecode]] stub path. Returns None when the payload is not a
+    * RIFF/AVI or contains no JPEG frame chunks.
+    *
+    * The walk: RIFF/LIST chunks are `fourcc + u32le size + body` (bodies
+    * pad to even); frame chunks are `##dc`/`##db` inside the `movi` list,
+    * kept only when they carry the JPEG magic; `avih`'s first field is
+    * dwMicroSecPerFrame. Malformed sizes stop the walk — truncated input
+    * yields the frames seen so far, never a crash.
+    */
+  def decodeVideo(payload: Array[Byte], maxFrames: Int = 64): Option[MjpegVideo] = {
+    if (payload == null || payload.length < 12) return None
+    def cc(o: Int): String = new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var micros = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end && frames.length < maxFrames) {
+        val id = cc(o)
+        val size = u32(o + 4)
+        if (size < 0 || o + 8 + size > end) return // malformed: stop
+        val body = o + 8
+        val len = size.toInt
+        if (id == "RIFF" || id == "LIST") walk(body + 4, body + len)
+        else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db") && len >= 3 &&
+          (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
+          frames += java.util.Arrays.copyOfRange(payload, body, body + len)
+        else if (id == "avih" && len >= 4) micros = u32(body)
+        o = body + len + (len & 1) // bodies pad to even
+      }
+    }
+    walk(12, payload.length)
+    if (frames.isEmpty) None else Some(MjpegVideo(frames.toSeq, micros))
   }
 
   /** A decoded PCM audio clip: format metadata plus the signed sample
@@ -179,6 +233,15 @@ object Multimodal {
     * runs and partitionings.
     */
   def imageFeatures(img: java.awt.image.BufferedImage, dims: Int): Array[Float] = {
+    val counts = lumaCounts(img, dims)
+    val n = img.getWidth.toLong * img.getHeight
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < dims) { out(i) = counts(i).toFloat / n; i += 1 }
+    out
+  }
+
+  private def lumaCounts(img: java.awt.image.BufferedImage, dims: Int): Array[Long] = {
     val counts = new Array[Long](dims)
     val w = img.getWidth
     val h = img.getHeight
@@ -194,11 +257,26 @@ object Multimodal {
       }
       y += 1
     }
-    val n = w.toLong * h
-    val out = new Array[Float](dims)
-    var i = 0
-    while (i < dims) { out(i) = counts(i).toFloat / n; i += 1 }
-    out
+    counts
+  }
+
+  /** Luma histogram pooled over every decodable frame of an MJPEG clip
+    * (counts accumulate across frames, normalized by total pixels). None
+    * when no frame decodes.
+    */
+  def videoFeatures(v: MjpegVideo, dims: Int): Option[Array[Float]] = {
+    val counts = new Array[Long](dims)
+    var pixels = 0L
+    v.frames.foreach { f =>
+      decodeImage(f).foreach { img =>
+        val c = lumaCounts(img, dims)
+        var i = 0
+        while (i < dims) { counts(i) += c(i); i += 1 }
+        pixels += img.getWidth.toLong * img.getHeight
+      }
+    }
+    if (pixels == 0) None
+    else Some(counts.map(c => (c.toDouble / pixels).toFloat))
   }
 
   /** STUB decode for the kinds the JDK has no codec for (audio PCM,
@@ -236,7 +314,8 @@ object Multimodal {
           val real = kind match {
             case "image" => decodeImage(payload).map(imageFeatures(_, dims))
             case "audio" => decodeAudio(payload).map(audioFeatures(_, dims))
-            case _       => None // video: no JDK codec — stub below
+            case "video" => decodeVideo(payload).flatMap(videoFeatures(_, dims))
+            case _       => None
           }
           Row(r.getLong(0), kind,
             if (payload == null) 0 else payload.length,
@@ -273,6 +352,16 @@ object Multimodal {
                   if (r.isNullAt(4)) null else r.getInt(4),
                   if (r.isNullAt(5)) null else r.getInt(5),
                   a.durationMs)
+              case None => r
+            }
+            case "video" => decodeVideo(payload) match {
+              case Some(v) =>
+                val dims = v.frames.view.flatMap(decodeImage).headOption
+                Row(r.getLong(0), kind, payload, mime(),
+                  dims.map(i => Integer.valueOf(i.getWidth)).orNull,
+                  dims.map(i => Integer.valueOf(i.getHeight)).orNull,
+                  if (v.microSecPerFrame > 0) java.lang.Long.valueOf(v.durationMs)
+                  else if (r.isNullAt(6)) null else r.getLong(6))
               case None => r
             }
             case _ => r

@@ -144,6 +144,32 @@ object Demo {
       val am = graft.ops.Multimodal.enrichMeta(audio).collect()(0)
       println(s"AUDIO_DECODED=${af.getBoolean(4)} duration=${am.getLong(6)}ms " +
         s"mime=${am.getString(3)}")
+
+      // and a 2-frame MJPEG AVI (RIFF walk + per-frame JPEG decode)
+      def u32le(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ u32le(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      def list(form: String, body: Array[Byte]): Array[Byte] =
+        "LIST".getBytes("US-ASCII") ++ u32le(4 + body.length) ++
+          form.getBytes("US-ASCII") ++ body
+      val jbuf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", jbuf)
+      val jpeg = jbuf.toByteArray
+      val vbody = list("hdrl", chunk("avih", u32le(40000L) ++ new Array[Byte](52))) ++
+        list("movi", chunk("00dc", jpeg) ++ chunk("00dc", jpeg))
+      val avi = "RIFF".getBytes("US-ASCII") ++ u32le(4 + vbody.length) ++
+        "AVI ".getBytes("US-ASCII") ++ vbody
+      val video = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          3L, "video", avi, null, null, null, null)),
+        graft.ops.Multimodal.mediaSchema)
+      val vf = graft.ops.Multimodal.extractFeatures(video, dims = 2).collect()(0)
+      val vm = graft.ops.Multimodal.enrichMeta(video).collect()(0)
+      println(s"VIDEO_DECODED=${vf.getBoolean(4)} frames=2 " +
+        s"dims=${vm.getInt(4)}x${vm.getInt(5)} duration=${vm.getLong(6)}ms " +
+        s"mime=${vm.getString(3)}")
     }
 
     // Probes: bad selector and missing column fail cleanly

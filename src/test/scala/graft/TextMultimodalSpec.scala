@@ -151,6 +151,48 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.getLong(6) == 1000L && m.getString(3) == "audio/wav")
   }
 
+  test("real video decode: a planted MJPEG AVI yields frames, pooled luma, duration") {
+    import java.awt.image.BufferedImage
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    // minimal RIFF writer (test-only): chunk = fourcc + u32le + body (+pad)
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(form: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ u32(4 + body.length) ++ form.getBytes("US-ASCII") ++ body
+    val hdrl = list("hdrl", chunk("avih", u32(40000L) ++ new Array[Byte](52))) // 25 fps
+    val movi = list("movi",
+      chunk("00dc", jpeg(0x000000)) ++ chunk("00dc", jpeg(0xffffff)))
+    val body = hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32(4 + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+
+    assert(Multimodal.sniffMime(avi).contains("video/x-msvideo"))
+    val v = Multimodal.decodeVideo(avi).get
+    assert(v.frames.length == 2 && v.durationMs == 80L)
+    assert(Multimodal.videoFeatures(v, 2).get.toSeq == Seq(0.5f, 0.5f),
+      "one black + one white 4x4 frame pool to an even luma split")
+    assert(Multimodal.decodeVideo("RIFFnope".getBytes("US-ASCII")).isEmpty)
+
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, "video", avi, null, null, null, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(media, dims = 2).collect()(0)
+    assert(f.getBoolean(4), "planted AVI must take the real decode path")
+    val m = Multimodal.enrichMeta(media).collect()(0)
+    assert(m.getInt(4) == 4 && m.getInt(5) == 4 && m.getLong(6) == 80L)
+    assert(m.getString(3) == "video/x-msvideo")
+  }
+
   test("decode + mime sniff cover the JDK codec set: PNG, JPEG, BMP, GIF") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)

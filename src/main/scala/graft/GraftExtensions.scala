@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHashSignature}
+import graft.functions.{BottomKDistinct, ByteHistogram, CosineSimilarity,
+  MinHashSignature, RepetitionStats, SimHashSignature, SparkTypeOf, Sum128}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,6 +41,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHashSignature].getCanonicalName, null, "simhash"),
       (children: Seq[Expression]) => SimHashSignature(children.head,
         bits = intArg(children, 1, 16))))
+    extensions.injectFunction((
+      new FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(
+        classOf[ByteHistogram].getCanonicalName, null, "byte_histogram"),
+      (children: Seq[Expression]) => ByteHistogram(children.head,
+        dims = intArg(children, 1, 8))))
+    extensions.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(
+        classOf[RepetitionStats].getCanonicalName, null, "repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStats(children.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("type_of"),
+      new ExpressionInfo(
+        classOf[SparkTypeOf].getCanonicalName, null, "type_of"),
+      (children: Seq[Expression]) => SparkTypeOf(children.head)))
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression, exactly as for built-in registry entries
+    extensions.injectFunction((
+      new FunctionIdentifier("bottom_k_distinct"),
+      new ExpressionInfo(
+        classOf[BottomKDistinct].getCanonicalName, null, "bottom_k_distinct"),
+      (children: Seq[Expression]) => BottomKDistinct(children.head,
+        k = intArg(children, 1, 64))))
+    extensions.injectFunction((
+      new FunctionIdentifier("sum128"),
+      new ExpressionInfo(
+        classOf[Sum128].getCanonicalName, null, "sum128"),
+      (children: Seq[Expression]) => Sum128(children.head,
+        scale = intArg(children, 1, 4))))
   }
 
   /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */

@@ -1053,6 +1053,49 @@ object Queries {
       .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
         "metric", "amount"))
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join. Plan
+    * discipline at scale: region→nation→supplier collapse into ONE
+    * explicitly-broadcast build side (small at ANY SF); orders and
+    * customer — the dimensions that grow with SF — carry no hint, so the
+    * size-based planner broadcasts them at test scale and switches to
+    * shuffle joins on the order/customer keys when stats exceed the
+    * threshold at 100×. The `c_nationkey = s_nationkey` "local supplier"
+    * predicate rides the customer join. Revenue uses the exact
+    * integer-cents pattern (q_agg_group).
+    */
+  private val qTpchQ5 = Q("q_tpch_q5",
+    Some("""SELECT n_name,
+            SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name"""),
+    (s, d) => {
+      val reg = t(s, d, "region").where(col("r_name") === "ASIA").select("r_regionkey")
+      val suppN = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate").cast("timestamp") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"))
+    })
+
   /** TPC-H Q3 shape (shipping-priority): selective dimension filter →
     * two-fact join on the order key → grouped revenue → top-10. The
     * headline multi-join: broadcast the filtered customer dimension,
@@ -1233,7 +1276,7 @@ object Queries {
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,
-    qCorr, qDistinctKmv, qTpchQ3,
+    qCorr, qDistinctKmv, qTpchQ3, qTpchQ5,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,

@@ -426,6 +426,43 @@ object Multimodal {
       when(col("kind") === "image", lit(h)).otherwise(col("height")).as("height"),
       col("duration_ms"))
 
+  /** Schema of [[sampleVideoFrames]]: one row per sampled decoded frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma", ArrayType(FloatType), nullable = true)))
+
+  /** REAL frame sampling for MJPEG-AVI payloads: every `every`-th frame
+    * of each video row decodes ([[decodeVideo]] + [[decodeImage]]) to
+    * `(media_id, frame_no, width, height, luma histogram)`. Rows whose
+    * payload is not a decodable MJPEG AVI produce no output — the
+    * byte-window [[sampleFrames]] stub remains the total fallback for
+    * opaque codecs. Map-side only; payloads never shuffle.
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 1, dims: Int = 4): DataFrame = {
+    require(every > 0, "every must be positive")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val frames =
+            if (r.getString(1) == "video")
+              decodeVideo(payload).map(_.frames).getOrElse(Seq.empty)
+            else Seq.empty
+          frames.iterator.zipWithIndex
+            .filter { case (_, i) => i % every == 0 }
+            .flatMap { case (f, i) =>
+              decodeImage(f).map(img =>
+                Row(r.getLong(0), i, img.getWidth, img.getHeight,
+                  imageFeatures(img, dims)))
+            }
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub for video-ish payloads: the `frame`-byte window
     * at every `stride`-th offset stands in for a frame grab (base64'd for
     * display); a real impl swaps the window slice for a codec frame

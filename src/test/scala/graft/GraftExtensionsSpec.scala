@@ -40,6 +40,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val mh = spark.sql("SELECT minhash_signature('a b c d e') AS m").collect()(0)
       assert(mh.getSeq[String](0).length == 4)
       assert(spark.sql("SELECT minhash_signature('a b') AS m").collect()(0).isNullAt(0))
+
+      // round-6 registrations: the remaining custom scalars and aggregates
+      val bh = spark.sql("SELECT byte_histogram('ab', 2) AS h").collect()(0)
+        .getSeq[Long](0)
+      assert(bh == Seq(97L, 98L)) // position-bucketed byte-value sums
+      val rs = spark.sql("SELECT repetition_stats(split('a a b', ' ')) AS r")
+        .collect()(0).getStruct(0)
+      assert(rs.getLong(0) == 3L, "token count")
+      assert(spark.sql("SELECT type_of(map('k', 1)) AS t").collect()(0)
+        .getString(0).startsWith("map"))
+      val bk = spark.sql(
+        "SELECT bottom_k_distinct(CAST(x AS BIGINT), 2) AS b FROM VALUES (5),(1),(9),(1) t(x)")
+        .collect()(0).getSeq[Long](0)
+      assert(bk == Seq(1L, 5L))
+      val s128 = spark.sql(
+        "SELECT sum128(CAST(x AS BIGINT), 0) AS s FROM VALUES (1),(2),(3) t(x)")
+        .collect()(0).getDecimal(0)
+      assert(s128.longValueExact() == 6L)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

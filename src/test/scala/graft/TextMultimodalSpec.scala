@@ -191,6 +191,13 @@ class TextMultimodalSpec extends SparkSpec {
     val m = Multimodal.enrichMeta(media).collect()(0)
     assert(m.getInt(4) == 4 && m.getInt(5) == 4 && m.getLong(6) == 80L)
     assert(m.getString(3) == "video/x-msvideo")
+
+    val sampled = Multimodal.sampleVideoFrames(media, every = 1, dims = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(sampled.length == 2)
+    assert(sampled(0).getSeq[Float](4).head > 0.9f, "frame 0 is black → low-luma bin")
+    assert(sampled(1).getSeq[Float](4).last > 0.9f, "frame 1 is white → high-luma bin")
+    assert(Multimodal.sampleVideoFrames(media, every = 2).count() == 1)
   }
 
   test("decode + mime sniff cover the JDK codec set: PNG, JPEG, BMP, GIF") {

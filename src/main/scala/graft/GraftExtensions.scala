@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{BottomKDistinct, ByteHistogram, CosineSimilarity,
-  MinHashSignature, RepetitionStats, SimHashSignature, SparkTypeOf, Sum128}
+  CountMinEstimate, CountMinSketchAgg, MinHashSignature, RepetitionStats,
+  SimHashSignature, SparkTypeOf, Sum128}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[Sum128].getCanonicalName, null, "sum128"),
       (children: Seq[Expression]) => Sum128(children.head,
         scale = intArg(children, 1, 4))))
+    extensions.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(
+        classOf[CountMinSketchAgg].getCanonicalName, null, "cms_sketch"),
+      (children: Seq[Expression]) => CountMinSketchAgg(children.head,
+        depth = intArg(children, 1, 4), width = intArg(children, 2, 2048))))
+    extensions.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(
+        classOf[CountMinEstimate].getCanonicalName, null, "cms_estimate"),
+      (children: Seq[Expression]) => CountMinEstimate(children(0), children(1))))
   }
 
   /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */

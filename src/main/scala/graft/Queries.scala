@@ -574,6 +574,36 @@ object Queries {
             lit(0.25) * col("exact_orders")).as("orders_in_bound"))
     })
 
+  /** Heavy hitters via a native count-min sketch
+    * ([[graft.functions.CountMinSketchAgg]], Cormode/Muthukrishnan 2005):
+    * the sketch aggregates in fixed `depth×width` state per partition (no
+    * per-key state, unlike an exact groupBy), and the probe checks the
+    * CMS guarantees against exact counts — never underestimates, and
+    * overestimates by at most `e/width · N` (checked with that literal
+    * bound; the failure probability `e^-depth` ≈ 2% per probe is made
+    * irrelevant by the fixed data + deterministic hashes, same pattern as
+    * q_approx). The oracle asserts the exact top-5 and both bounds TRUE.
+    */
+  private val qHeavyHitters = Q("q_heavy_hitters",
+    Some("""WITH top AS (SELECT l_partkey, count(*) AS n FROM lineitem
+              GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 5)
+            SELECT l_partkey, n, TRUE AS no_underestimate, TRUE AS within_eps
+            FROM top"""),
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"))
+      val sk = li.agg(
+        graft.functions.CountMinSketchAgg(col("l_partkey"), 4, 2048).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = graft.functions.CountMinEstimate(col("sk"), col("l_partkey"))
+      li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey")).limit(5)
+        .crossJoin(broadcast(sk))
+        .select(col("l_partkey"), col("n"),
+          (est >= col("n")).as("no_underestimate"),
+          ((est - col("n")) <=
+            ceil(lit(math.E) * col("n_total") / 2048)).as("within_eps"))
+    })
+
   /** Skew-proof exact distinct count ([[graft.ops.Skew.saltedCountDistinct]]):
     * the two-stage salted aggregation must produce exactly the plain
     * `count(DISTINCT …)` answer — the oracle is the unsalted SQL.
@@ -1276,7 +1306,7 @@ object Queries {
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,
-    qCorr, qDistinctKmv, qTpchQ3, qTpchQ5,
+    qCorr, qDistinctKmv, qHeavyHitters, qTpchQ3, qTpchQ5,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,

@@ -58,6 +58,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT sum128(CAST(x AS BIGINT), 0) AS s FROM VALUES (1),(2),(3) t(x)")
         .collect()(0).getDecimal(0)
       assert(s128.longValueExact() == 6L)
+      val cms = spark.sql(
+        """SELECT cms_estimate(cms_sketch(CAST(x AS BIGINT), 4, 64), CAST(7 AS BIGINT)) AS e
+           FROM VALUES (7),(7),(8) t(x)""").collect()(0).getLong(0)
+      assert(cms >= 2L && cms <= 3L)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -144,6 +144,28 @@ class SamplingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("chunkDocuments property: drop-overlap reconstruction equals the original") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      max <- Gen.choose(1, 30)
+      ov <- Gen.choose(0, max - 1)
+    } yield (n, max, ov)
+    val prop = Prop.forAll(gen) { case (n, max, ov) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.ops.Sampling
+        .chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), max, ov)
+        .orderBy("chunk_id").select("chunk").as[String].collect().toSeq
+      // every non-first chunk repeats exactly `ov` tokens of its
+      // predecessor; dropping them stitches the original text back
+      val rebuilt = (chunks.head.split(" ").toSeq ++
+        chunks.tail.flatMap(_.split(" ").toSeq.drop(ov))).mkString(" ")
+      rebuilt == text
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDocuments: overlap carry, no suffix-duplicate tail, short docs whole") {
     import spark.implicits._
     val docs = Seq(

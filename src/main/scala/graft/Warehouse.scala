@@ -138,6 +138,22 @@ final class Warehouse(spark: SparkSession, opts: WarehouseOptions) {
   /** The delegated-query surface, answered natively (A16). */
   def query(sql: String): DataFrame = spark.sql(sql)
 
+  /** The warehouse's OWN outbound change feed — the CouchDB `_changes`
+    * contract re-exposed so downstream consumers can sync incrementally
+    * from this warehouse exactly as it syncs from CouchDB: one row per id
+    * whose LATEST change has `seqNum > since` (last-writer-wins, design
+    * docs dropped), tombstones included so deletes propagate. Resume
+    * token = `max(seqNum)` of what you consumed ([[checkpoint]] for "all
+    * of it"). One shuffle on id, same shape as compaction.
+    */
+  def changesSince(since: Long): DataFrame = {
+    val all = allChanges.getOrElse(
+      throw new IllegalStateException("changesSince before any ingest"))
+    Compact.latestChanges(all)
+      .where(col("seqNum") > since)
+      .select("id", "seqNum", "deleted", "doc")
+  }
+
   /** Export a warehouse table for external consumers — the stand-in for
     * the reference's SQLite/PostgreSQL/MySQL/Elasticsearch targets
     * (`/root/reference/index.js:12-27`) in an environment with no

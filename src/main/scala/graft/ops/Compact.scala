@@ -44,6 +44,20 @@ object Compact {
       .drop("_rn")
   }
 
+  /** Latest change per id with TOMBSTONES RETAINED (design docs still
+    * dropped) — the CDC form of [[apply]]: consumers of an outbound
+    * change feed need the delete events, not just the survivors. Same
+    * single shuffle on id.
+    */
+  def latestChanges(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seqNum").desc)
+    changes
+      .where(!col("id").startsWith("_design"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Delete application as an explicit anti-join (reference A11) — used when
     * tombstones arrive separately from the base table (e.g. applying an
     * incremental batch to an existing warehouse table).

@@ -230,6 +230,20 @@ final class StreamIngest(
     }
   }
 
+  /** The warehouse's OWN outbound change feed from persisted state — the
+    * CouchDB `_changes` contract re-exposed for downstream incremental
+    * consumers: latest change per id with `seqNum > since`, tombstones
+    * included so deletes propagate (the state table already holds exactly
+    * that — this is a filter over the bucketed parquet, no shuffle).
+    * Resume token = `max(seqNum)` consumed ([[checkpoint]] for all).
+    */
+  def changesSince(since: Long): DataFrame =
+    existingState()
+      .getOrElse(throw new IllegalStateException(
+        "changesSince before any ingested state"))
+      .where(col("seqNum") > since)
+      .select("id", "seqNum", "deleted", "doc")
+
   /** The maintained aggregate as `(grp, n, total)`, when configured. */
   def maintainedAgg: Option[DataFrame] =
     if (Files.exists(aggDir.resolve("data")))

@@ -217,6 +217,25 @@ class StreamIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("batchId went backwards"))
   }
 
+  test("state-backed outbound change feed: tombstones included, resumable") {
+    val wh = tempDir("feed-wh")
+    val mk = (rows: Seq[String]) => ChangeFeed.fromLines(
+      { import spark.implicits._; rows.toDF("value") }, "value")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "feeddb"), wh)
+    ingest.applyBatch(mk(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1","v":1}"""),
+      change(2, "b", """{"_id":"b","_rev":"1","v":2}"""))), 0L)
+    ingest.applyBatch(mk(Seq(
+      deletion(3, "a"),
+      change(4, "b", """{"_id":"b","_rev":"2","v":20}"""))), 1L)
+    val all = ingest.changesSince(0L).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(all == Seq(("a", 3L, true), ("b", 4L, false)))
+    val tail = ingest.changesSince(3L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tail == Seq(("b", 4L)))
+  }
+
   test("crash recovery: a retired-but-unreplaced bucket is restored on restart") {
     val wh = tempDir("recover-wh")
     val mk = (ls: Seq[String]) => ChangeFeed.fromLines(

@@ -106,5 +106,15 @@ class WarehouseE2ESpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(rows == Seq(("b", 20.0), ("c", 3.0)))
     assert(w.checkpoint == 5L)
+
+    // outbound change feed: latest-per-id with tombstones, resumable by seq
+    val all = w.changesSince(0L).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(all == Seq(("a", 4L, true), ("b", 3L, false), ("c", 5L, false)),
+      "a delete must surface as a tombstone event, not disappear")
+    val tail = w.changesSince(3L).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tail == Seq(("a", 4L), ("c", 5L)),
+      "resuming past b's last change must not replay it")
   }
 }

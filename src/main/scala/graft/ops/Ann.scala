@@ -152,19 +152,20 @@ object Ann {
   def trainCentroids(vectors: DataFrame, k: Int, iterations: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
-    // Seed: the k lowest-id vectors, re-keyed 0..k-1 by ordering on the
-    // ORIGINAL id values (no lossy int cast — non-int-castable or
-    // overflowing ids would become NULL and make the re-key order
-    // nondeterministic).
-    var centroids = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("_seed_id"), col(vecCol).as("cv"))
-      .withColumn("centroid_id",
-        // partitionBy(lit) keeps this k-row window off the single-partition
-        // warning path (WindowExec "No Partition Defined") without changing
-        // semantics — the seed set is k rows by construction.
-        (row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("_seed_id"))) - 1).cast("int"))
-      .select(col("centroid_id"), col("cv"))
+    // Seed: the k lowest-id vectors (ordering on the ORIGINAL id values —
+    // no lossy int cast), re-keyed 0..k-1 DRIVER-SIDE: they are collected
+    // for the map-side assign fold anyway, and skipping the rank window
+    // keeps single-partition WindowExec out of the training plan entirely.
+    val seedRows = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).as("cv")).collect()
+    var centroids = spark.createDataFrame(
+      seedRows.toSeq.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(0))
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        vectors.schema(vecCol).copy(name = "cv"))))
 
     (0 until iterations).foreach { _ =>
       // assign keeps the vector column — no join-back needed

@@ -149,10 +149,15 @@ object Sampling {
     val inShard = Window.partitionBy(g :+ col(sh): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the offset windows are one-task-per-group by construction, but only
-    // over the tiny per-shard totals — never the data
-    val wOff = Window.partitionBy(g: _*).orderBy(col(sh))
+    // over the tiny per-shard totals — never the data. The ungrouped case
+    // still gets a (constant, but NON-FOLDABLE — pmod of a column) partition
+    // key: a plain literal is stripped by EliminateWindowPartitions and the
+    // intentional single-partition window would drown logs in WindowExec
+    // warnings.
+    val pg = if (g.isEmpty) Seq(pmod(col(sh), lit(1))) else g
+    val wOff = Window.partitionBy(pg: _*).orderBy(col(sh))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(g: _*).orderBy(col(sh))
+    val wTot = Window.partitionBy(pg: _*).orderBy(col(sh))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = sharded.groupBy(g :+ col(sh): _*).agg(sum(w).as(st))
       .select(g :+ col(sh) :+

@@ -81,10 +81,10 @@ object CouchWarehouseCli {
       case h: Function1[_, _] =>
         h.asInstanceOf[graft.ops.Transform.Hook]
       case other =>
-        System.err.println(s"--transform class ${other.getClass.getName} does not " +
-          "implement graft.ops.Transform.Hook (DataFrame => DataFrame)")
-        sys.exit(2)
-        graft.ops.Transform.identity
+        // throw (not exit): loadHook is also reachable from embedded runs
+        throw new IllegalArgumentException(
+          s"--transform class ${other.getClass.getName} does not implement " +
+            "graft.ops.Transform.Hook (DataFrame => DataFrame)")
     }
   }
 

@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q_filter", "q_join_inner", "q_agg_group", "q_topk",
                          "q_ann_topk", "q_dedup_minhash", "q_window_rownum",
-                         "q_join_asof", "q_ann_lsh", "q_skew_distinct", "q_pack")
+                         "q_join_asof", "q_ann_lsh", "q_skew_distinct", "q_pack",
+                         "q_dedup_semantic", "q_dedup_spans", "q_chunk",
+                         "q_heavy_hitters", "q_tpch_q5")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -84,7 +84,11 @@ object ScaleProbe {
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     val names = Seq("q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
-      "q_dedup_embed_pairs", "q_dedup_clusters")
+      "q_dedup_embed_pairs", "q_dedup_clusters",
+      // round-6 pair stages: intra-cluster cosine (hot sign/centroid
+      // bucket) and repeated-span ranking (every 8-gram of the planted
+      // text occurs 1000x — hot gram hashes)
+      "q_dedup_semantic", "q_dedup_spans")
     try {
       for (name <- names; (label, dir) <- Seq("1x" -> src, "10x+hot" -> out)) {
         val fn = graft.SparkEntry.queries(name)

@@ -58,5 +58,18 @@ class CliSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(label == "Garfield Jamieson (38)")
     assert(spark.sql("SELECT COUNT(*) FROM cli_tf").collect()(0).getLong(0) == 99L)
+
+    // a class that is not a Hook fails with a clear message, not an exit
+    val e = intercept[IllegalArgumentException] {
+      CouchWarehouseCli.main(Array(
+        "--feed", "/root/reference/test/samplechanges.txt",
+        "--database", "cli_bad", "--transform", "java.lang.StringBuilder"))
+    }
+    assert(e.getMessage.contains("does not implement"))
+    intercept[ClassNotFoundException] {
+      CouchWarehouseCli.main(Array(
+        "--feed", "/root/reference/test/samplechanges.txt",
+        "--database", "cli_bad", "--transform", "no.such.Hook"))
+    }
   }
 }

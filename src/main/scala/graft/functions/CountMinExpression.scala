@@ -174,4 +174,10 @@ object CountMin {
     }
     best
   }
+
+  /** Plain-array twin of [[estimate]] for driver-side sketch consumers
+    * (same `[depth, width, counters…]` layout).
+    */
+  def estimate(sketch: Array[Long], key: Long): Long =
+    estimate(new org.apache.spark.sql.catalyst.util.GenericArrayData(sketch), key)
 }

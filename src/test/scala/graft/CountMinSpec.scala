@@ -35,6 +35,58 @@ class CountMinSpec extends SparkSpec {
     assert(onePart.drop(2).sum == 90L * 4, "each value increments one counter per row")
   }
 
+  test("CMS property: estimates never fall below exact counts (random streams)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 25L)) // heavy collisions
+      d <- Gen.choose(1, 5)
+      w <- Gen.oneOf(4, 16, 64)
+    } yield (vs, d, w)
+    val prop = Prop.forAll(gen) { case (vs, d, w) =>
+      val sk = sketchOf(vs, depth = d, width = w)
+        .select(col("sk")).collect()(0).getSeq[Long](0).toArray
+      val exact = vs.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (k, n) =>
+        graft.functions.CountMin.estimate(sk, k) >= n
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("streaming sketch maintenance: exactly-once under replay, restart, reset") {
+    import graft.streaming.SketchMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("cms-maint").toString
+    val sm = new SketchMaintenance(dir, "k", depth = 4, width = 64)
+    assert(sm.estimate(7L) == 0L, "empty sketch estimates zero")
+
+    def batch(vs: Long*) = vs.toDF("k")
+    sm.applyBatch(batch(7L, 7L, 8L), 0L)
+    sm.applyBatch(batch(7L, 9L), 1L)
+    assert(sm.estimate(7L) >= 3L)
+    val before = sm.sketch().get.toSeq
+
+    // replayed batch: the merge is NOT idempotent, the marker must skip it
+    sm.applyBatch(batch(7L, 9L), 1L)
+    assert(sm.sketch().get.toSeq == before, "replay must not double-count")
+
+    // restart: a new instance reads the persisted sketch
+    val sm2 = new SketchMaintenance(dir, "k", depth = 4, width = 64)
+    assert(sm2.sketch().get.toSeq == before)
+    sm2.applyBatch(batch(7L), 2L)
+    assert(sm2.estimate(7L) >= 4L)
+
+    // reset checkpoint (batchId far behind the marker) fails loudly
+    val e = intercept[IllegalStateException] { sm2.applyBatch(batch(1L), 0L) }
+    assert(e.getMessage.contains("batchId went backwards"))
+
+    // mismatched dimensions are rejected, not silently merged
+    intercept[IllegalArgumentException] {
+      new SketchMaintenance(dir, "k", depth = 2, width = 32).sketch()
+    }
+  }
+
   test("nulls are ignored; an unseen key estimates only collision mass") {
     val df = Seq(Some(1L), None, Some(1L), None).toDF("v")
     val sk = df.agg(CountMinSketchAgg(col("v"), 4, 64).as("sk"))

@@ -82,7 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(
         classOf[CountMinEstimate].getCanonicalName, null, "cms_estimate"),
-      (children: Seq[Expression]) => CountMinEstimate(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"cms_estimate(sketch, key) takes 2 arguments, got ${children.length}")
+        CountMinEstimate(children(0), children(1))
+      }))
   }
 
   /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */

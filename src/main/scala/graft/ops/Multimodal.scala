@@ -48,8 +48,9 @@ object Multimodal {
   ))
 
   /** Feature-extraction output schema. `decoded` records whether the row
-    * went through the real codec path (image) or the deterministic stub
-    * (audio/video, or an image payload no reader accepts).
+    * went through a real codec path (image via `javax.imageio`, audio via
+    * `javax.sound.sampled`, MJPEG-AVI video via the RIFF walk) or the
+    * deterministic stub (compressed codecs / payloads no reader accepts).
     */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -101,11 +102,18 @@ object Multimodal {
     else None
   }
 
-  /** A parsed MJPEG AVI: the JPEG frame payloads plus the header's
-    * microseconds-per-frame (0 when the `avih` header is absent).
+  /** A parsed MJPEG AVI: the collected JPEG frame payloads (capped at the
+    * decoder's `maxFrames`), the header's microseconds-per-frame and
+    * total frame count (0 when the `avih` header is absent). Duration
+    * comes from the HEADER's frame count — not `frames.length`, which the
+    * cap may truncate — falling back to the collected count for
+    * header-less containers.
     */
-  final case class MjpegVideo(frames: Seq[Array[Byte]], microSecPerFrame: Long) {
-    def durationMs: Long = frames.length.toLong * microSecPerFrame / 1000
+  final case class MjpegVideo(frames: Seq[Array[Byte]], microSecPerFrame: Long,
+                              totalFrames: Long) {
+    def durationMs: Long =
+      (if (totalFrames > 0) totalFrames else frames.length.toLong) *
+        microSecPerFrame / 1000
   }
 
   /** Real video FRAME decode for Motion-JPEG AVI — the one video format a
@@ -117,9 +125,15 @@ object Multimodal {
     *
     * The walk: RIFF/LIST chunks are `fourcc + u32le size + body` (bodies
     * pad to even); frame chunks are `##dc`/`##db` inside the `movi` list,
-    * kept only when they carry the JPEG magic; `avih`'s first field is
-    * dwMicroSecPerFrame. Malformed sizes stop the walk — truncated input
-    * yields the frames seen so far, never a crash.
+    * kept only when they carry the JPEG magic; `avih` carries
+    * dwMicroSecPerFrame (offset 0) and dwTotalFrames (offset 16), read
+    * for [[MjpegVideo.durationMs]] so the `maxFrames` collection cap
+    * never distorts duration. Malformed sizes stop the walk — truncated
+    * input yields the frames seen so far, never a crash.
+    *
+    * `maxFrames` bounds the frame payloads held in memory at once
+    * (row-sized work in a partition); callers that need the full frame
+    * set of long clips must raise it explicitly.
     */
   def decodeVideo(payload: Array[Byte], maxFrames: Int = 64): Option[MjpegVideo] = {
     if (payload == null || payload.length < 12) return None
@@ -130,9 +144,10 @@ object Multimodal {
     if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var micros = 0L
+    var total = 0L
     def walk(start: Int, end: Int): Unit = {
       var o = start
-      while (o + 8 <= end && frames.length < maxFrames) {
+      while (o + 8 <= end) {
         val id = cc(o)
         val size = u32(o + 4)
         if (size < 0 || o + 8 + size > end) return // malformed: stop
@@ -141,14 +156,18 @@ object Multimodal {
         if (id == "RIFF" || id == "LIST") walk(body + 4, body + len)
         else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.substring(2) == "dc" || id.substring(2) == "db") && len >= 3 &&
-          (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8)
-          frames += java.util.Arrays.copyOfRange(payload, body, body + len)
-        else if (id == "avih" && len >= 4) micros = u32(body)
+          (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8) {
+          if (frames.length < maxFrames)
+            frames += java.util.Arrays.copyOfRange(payload, body, body + len)
+        } else if (id == "avih" && len >= 20) {
+          micros = u32(body)
+          total = u32(body + 16) // dwTotalFrames
+        }
         o = body + len + (len & 1) // bodies pad to even
       }
     }
     walk(12, payload.length)
-    if (frames.isEmpty) None else Some(MjpegVideo(frames.toSeq, micros))
+    if (frames.isEmpty) None else Some(MjpegVideo(frames.toSeq, micros, total))
   }
 
   /** A decoded PCM audio clip: format metadata plus the signed sample
@@ -260,9 +279,10 @@ object Multimodal {
     counts
   }
 
-  /** Luma histogram pooled over every decodable frame of an MJPEG clip
-    * (counts accumulate across frames, normalized by total pixels). None
-    * when no frame decodes.
+  /** Luma histogram pooled over the clip's COLLECTED frames — i.e. the
+    * first `maxFrames` passed to [[decodeVideo]] (counts accumulate
+    * across frames, normalized by total pixels). None when no frame
+    * decodes.
     */
   def videoFeatures(v: MjpegVideo, dims: Int): Option[Array[Float]] = {
     val counts = new Array[Long](dims)
@@ -279,10 +299,11 @@ object Multimodal {
     else Some(counts.map(c => (c.toDouble / pixels).toFloat))
   }
 
-  /** STUB decode for the kinds the JDK has no codec for (audio PCM,
-    * video frames): a deterministic byte-histogram projection so the
-    * batch shape, schema, and partitioning are exercised end-to-end.
-    * Swap in a real codec here when the deployment ships one.
+  /** STUB decode for payloads with no JDK codec (compressed audio like
+    * MP3/AAC, compressed video like H.264 — the real paths above cover
+    * PCM audio and MJPEG AVI): a deterministic byte-histogram projection
+    * so the batch shape, schema, and partitioning are exercised end to
+    * end. Swap in a real codec here when the deployment ships one.
     */
   def fakeDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -298,10 +319,12 @@ object Multimodal {
 
   /** Partition-batched feature extraction: the Scala analog of a
     * `mapInPandas` loop — one iterator pass per partition, no per-row
-    * driver involvement, payload never shuffled. Image rows run the REAL
-    * decode ([[decodeImage]] → [[imageFeatures]] luma histogram); rows no
-    * reader accepts — and the codec-less audio/video kinds — fall back to
-    * the deterministic [[fakeDecode]] stub, flagged in `decoded`.
+    * driver involvement, payload never shuffled. Every kind runs its REAL
+    * decode where a JDK codec exists — [[decodeImage]] luma histograms,
+    * [[decodeAudio]] amplitude histograms, [[decodeVideo]] pooled frame
+    * luma — and payloads no reader accepts (compressed codecs, corrupt
+    * bytes) fall back to the deterministic [[fakeDecode]] stub, flagged
+    * in `decoded`.
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
@@ -434,14 +457,17 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("luma", ArrayType(FloatType), nullable = true)))
 
-  /** REAL frame sampling for MJPEG-AVI payloads: every `every`-th frame
-    * of each video row decodes ([[decodeVideo]] + [[decodeImage]]) to
-    * `(media_id, frame_no, width, height, luma histogram)`. Rows whose
-    * payload is not a decodable MJPEG AVI produce no output — the
-    * byte-window [[sampleFrames]] stub remains the total fallback for
-    * opaque codecs. Map-side only; payloads never shuffle.
+  /** REAL frame sampling for MJPEG-AVI payloads: every `every`-th of the
+    * clip's first `maxFrames` frames decodes ([[decodeVideo]] +
+    * [[decodeImage]]) to `(media_id, frame_no, width, height, luma
+    * histogram)` — raise `maxFrames` explicitly for long clips; the
+    * default bounds per-row memory. Rows whose payload is not a decodable
+    * MJPEG AVI produce no output — the byte-window [[sampleFrames]] stub
+    * remains the total fallback for opaque codecs. Map-side only;
+    * payloads never shuffle.
     */
-  def sampleVideoFrames(media: DataFrame, every: Int = 1, dims: Int = 4): DataFrame = {
+  def sampleVideoFrames(media: DataFrame, every: Int = 1, dims: Int = 4,
+                        maxFrames: Int = 64): DataFrame = {
     require(every > 0, "every must be positive")
     val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
     media.select("media_id", "kind", "payload")
@@ -450,7 +476,7 @@ object Multimodal {
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val frames =
             if (r.getString(1) == "video")
-              decodeVideo(payload).map(_.frames).getOrElse(Seq.empty)
+              decodeVideo(payload, maxFrames).map(_.frames).getOrElse(Seq.empty)
             else Seq.empty
           frames.iterator.zipWithIndex
             .filter { case (_, i) => i % every == 0 }

@@ -166,6 +166,51 @@ object JdbcUpsertSink {
     } finally rs.close()
   }
 
+  /** True when `table` has a primary key or unique index on EXACTLY
+    * `keyCol` — the precondition for the dialect-native single-statement
+    * upsert. Without it, PG's ON CONFLICT errors on every batch and
+    * MySQL/SQLite's REPLACE degrades to plain INSERT (silent duplicate
+    * rows), so [[upsert]] checks this and falls back to the neutral
+    * DELETE+INSERT pair on pre-existing tables that lack the constraint.
+    */
+  private[graft] def hasUniqueKey(conn: java.sql.Connection, table: String,
+                                  keyCol: String): Boolean = {
+    val md = conn.getMetaData
+    // resolve the stored-case name (Derby uppercases, PG lowercases)
+    val stored = {
+      val rs = md.getTables(null, null, "%", Array("TABLE"))
+      try {
+        var name: String = null
+        while (name == null && rs.next()) {
+          val n = rs.getString("TABLE_NAME")
+          if (n.equalsIgnoreCase(table)) name = n
+        }
+        name
+      } finally rs.close()
+    }
+    if (stored == null) return false
+    def groups(rs: java.sql.ResultSet, groupCol: String,
+               colCol: String): Map[String, Set[String]] =
+      try {
+        val m = scala.collection.mutable.Map.empty[String, Set[String]]
+        while (rs.next()) {
+          val g = Option(rs.getString(groupCol)).getOrElse("")
+          Option(rs.getString(colCol)).foreach { c =>
+            m(g) = m.getOrElse(g, Set.empty) + c.toLowerCase(java.util.Locale.ROOT)
+          }
+        }
+        m.toMap
+      } finally rs.close()
+    val key = Set(keyCol.toLowerCase(java.util.Locale.ROOT))
+    val pk = groups(md.getPrimaryKeys(null, null, stored), "PK_NAME", "COLUMN_NAME")
+    pk.values.exists(_ == key) || {
+      val idx = groups(
+        md.getIndexInfo(null, null, stored, /*unique=*/ true, /*approx=*/ false),
+        "INDEX_NAME", "COLUMN_NAME")
+      idx.values.exists(_ == key)
+    }
+  }
+
   /** Upsert `df` into `table` keyed on `keyCol` (last-writer-wins given
     * one row per key, e.g. [[graft.ops.Compact]] output). When
     * `deletedCol` is set, rows with that column true are DELETEd instead
@@ -185,7 +230,18 @@ object JdbcUpsertSink {
     val colSqlType = dataSchema.fields.map(f => jdbcTypeCode(f.dataType))
     val tbl = checkIdent(table); val key = checkIdent(keyCol)
     val deleteSql = s"DELETE FROM $tbl WHERE $key = ?"
-    val (insertSql, nativeUpsert) = upsertStatement(url, table, cols.toSeq, keyCol)
+    val (dialectSql, dialectNative) = upsertStatement(url, table, cols.toSeq, keyCol)
+    // the native statement needs a unique constraint on the key; a
+    // pre-existing table without one gets the neutral two-statement form
+    // (ensureTable-created tables always carry the PK)
+    val nativeUpsert = dialectNative && {
+      val conn = connect(url, connProps)
+      try hasUniqueKey(conn, table, keyCol) finally conn.close()
+    }
+    val insertSql =
+      if (nativeUpsert || !dialectNative) dialectSql
+      else s"INSERT INTO $tbl (${cols.map(checkIdent).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = connect(url, connProps)

@@ -396,10 +396,13 @@ object StreamIngest {
   final case class AggSpec(groupPath: String, valuePath: String)
 
   /** How far a replayed batchId may legitimately lag the applied marker:
-    * exactly one batch (the crash window between the agg swap and the
-    * state swap). Anything further back is a reset checkpoint.
+    * zero — the only legitimate re-delivery is the marker batch itself
+    * (the crash window between the agg swap and the offset commit
+    * re-runs exactly `batchId == applied`; Spark never replays further
+    * back). Any batchId strictly below the marker is a reset checkpoint
+    * and must fail loudly, not silently drop its delta.
     */
-  val AggReplayMargin: Long = 1L
+  val AggReplayMargin: Long = 0L
 
   /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
   def deleteRecursively(p: java.nio.file.Path): Unit =

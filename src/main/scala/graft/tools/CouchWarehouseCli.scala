@@ -77,8 +77,20 @@ object CouchWarehouseCli {
         catch { case _: ClassNotFoundException => None }
       }
       .getOrElse(cls.getDeclaredConstructor().newInstance())
+    // `case h: Function1[_, _]` alone is erased (a String => String would
+    // pass and blow up mid-pipeline) — require a concrete apply method
+    // that accepts a Dataset, which scalac generates for any class whose
+    // static type is DataFrame => DataFrame
+    val takesDataFrame = instance.getClass.getMethods.exists { m =>
+      m.getName == "apply" && m.getParameterCount == 1 && {
+        val p = m.getParameterTypes()(0)
+        // exclude the erased apply(Object) bridge every Function1 carries
+        p != classOf[Object] &&
+          p.isAssignableFrom(classOf[org.apache.spark.sql.Dataset[_]])
+      }
+    }
     instance match {
-      case h: Function1[_, _] =>
+      case h: Function1[_, _] if takesDataFrame =>
         h.asInstanceOf[graft.ops.Transform.Hook]
       case other =>
         // throw (not exit): loadHook is also reachable from embedded runs

@@ -157,7 +157,8 @@ object Demo {
       val jbuf = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", jbuf)
       val jpeg = jbuf.toByteArray
-      val vbody = list("hdrl", chunk("avih", u32le(40000L) ++ new Array[Byte](52))) ++
+      val vbody = list("hdrl", chunk("avih",
+        u32le(40000L) ++ new Array[Byte](12) ++ u32le(2L) ++ new Array[Byte](36))) ++
         list("movi", chunk("00dc", jpeg) ++ chunk("00dc", jpeg))
       val avi = "RIFF".getBytes("US-ASCII") ++ u32le(4 + vbody.length) ++
         "AVI ".getBytes("US-ASCII") ++ vbody

@@ -90,13 +90,28 @@ object ScaleProbe {
       // text occurs 1000x — hot gram hashes)
       "q_dedup_semantic", "q_dedup_spans")
     try {
+      // the listener bus is asynchronous: task-end events can trail the
+      // job's return, so settle (quiesce) before resetting and reading
+      // the max — otherwise warm-up stragglers leak into the timed
+      // reading or the timed run's tail is missed
+      def settle(): Unit = {
+        var last = -1L
+        var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
       for (name <- names; (label, dir) <- Seq("1x" -> src, "10x+hot" -> out)) {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+        settle()
         listener.maxMillis.set(0)
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        settle()
         val maxTask = listener.maxMillis.get() / 1e3
         val rows = fn(spark, dir).count()
         println(f"PAIRS $name%-24s $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs rows=$rows")

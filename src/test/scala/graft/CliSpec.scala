@@ -66,6 +66,13 @@ class CliSpec extends SparkSpec {
         "--database", "cli_bad", "--transform", "java.lang.StringBuilder"))
     }
     assert(e.getMessage.contains("does not implement"))
+    // a Function1 of the WRONG element type is caught despite erasure
+    val e2 = intercept[IllegalArgumentException] {
+      CouchWarehouseCli.main(Array(
+        "--feed", "/root/reference/test/samplechanges.txt",
+        "--database", "cli_bad", "--transform", "graft.CliBadTransform"))
+    }
+    assert(e2.getMessage.contains("does not implement"))
     intercept[ClassNotFoundException] {
       CouchWarehouseCli.main(Array(
         "--feed", "/root/reference/test/samplechanges.txt",

@@ -7,6 +7,13 @@ import org.apache.spark.sql.DataFrame
   * `README.md:177-196`) as a reflectively-loadable
   * [[graft.ops.Transform.Hook]] Scala object.
   */
+/** Negative fixture: a Function1 of the WRONG type — loadHook must reject
+  * it up front instead of deferring to a mid-pipeline ClassCastException.
+  */
+object CliBadTransform extends (String => String) {
+  def apply(s: String): String = s
+}
+
 object CliTestTransform extends (DataFrame => DataFrame) {
 
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

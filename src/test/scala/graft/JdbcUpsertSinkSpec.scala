@@ -94,6 +94,27 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("hasUniqueKey: PK and unique-index keys qualify; bare tables do not") {
+    val url = derbyUrl("uniq")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE with_pk (id VARCHAR(32) NOT NULL, n BIGINT, PRIMARY KEY (id))")
+      st.executeUpdate("CREATE TABLE bare (id VARCHAR(32), n BIGINT)")
+      st.executeUpdate("CREATE TABLE with_uidx (id VARCHAR(32) NOT NULL, n BIGINT)")
+      st.executeUpdate("CREATE UNIQUE INDEX uidx ON with_uidx (id)")
+      st.executeUpdate("CREATE TABLE composite (a VARCHAR(32) NOT NULL, b VARCHAR(32) NOT NULL, PRIMARY KEY (a, b))")
+      st.close()
+      assert(JdbcUpsertSink.hasUniqueKey(conn, "with_pk", "id"))
+      assert(JdbcUpsertSink.hasUniqueKey(conn, "with_uidx", "id"))
+      assert(!JdbcUpsertSink.hasUniqueKey(conn, "bare", "id"),
+        "no constraint: native upsert would silently duplicate — must fall back")
+      assert(!JdbcUpsertSink.hasUniqueKey(conn, "composite", "a"),
+        "a composite key does not make a single column unique")
+      assert(!JdbcUpsertSink.hasUniqueKey(conn, "no_such_table", "id"))
+    } finally conn.close()
+  }
+
   test("upsert statement is dialect-native for PG/MySQL/SQLite, neutral otherwise") {
     val cols = Seq("id", "n", "s")
     assert(JdbcUpsertSink.upsertStatement(

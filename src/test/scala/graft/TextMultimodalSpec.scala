@@ -169,7 +169,9 @@ class TextMultimodalSpec extends SparkSpec {
         (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
     def list(form: String, body: Array[Byte]): Array[Byte] =
       "LIST".getBytes("US-ASCII") ++ u32(4 + body.length) ++ form.getBytes("US-ASCII") ++ body
-    val hdrl = list("hdrl", chunk("avih", u32(40000L) ++ new Array[Byte](52))) // 25 fps
+    // avih: dwMicroSecPerFrame @0 (25 fps), dwTotalFrames @16
+    val hdrl = list("hdrl", chunk("avih",
+      u32(40000L) ++ new Array[Byte](12) ++ u32(2L) ++ new Array[Byte](36)))
     val movi = list("movi",
       chunk("00dc", jpeg(0x000000)) ++ chunk("00dc", jpeg(0xffffff)))
     val body = hdrl ++ movi
@@ -178,7 +180,11 @@ class TextMultimodalSpec extends SparkSpec {
 
     assert(Multimodal.sniffMime(avi).contains("video/x-msvideo"))
     val v = Multimodal.decodeVideo(avi).get
-    assert(v.frames.length == 2 && v.durationMs == 80L)
+    assert(v.frames.length == 2 && v.totalFrames == 2L && v.durationMs == 80L)
+    // the frame-collection cap must not distort header-based duration
+    val capped = Multimodal.decodeVideo(avi, maxFrames = 1).get
+    assert(capped.frames.length == 1 && capped.durationMs == 80L,
+      "duration comes from dwTotalFrames, not the capped collection")
     assert(Multimodal.videoFeatures(v, 2).get.toSeq == Seq(0.5f, 0.5f),
       "one black + one white 4x4 frame pool to an even luma split")
     assert(Multimodal.decodeVideo("RIFFnope".getBytes("US-ASCII")).isEmpty)

@@ -539,6 +539,23 @@ object TrainingQueries {
     (s, d) => graft.ops.Sampling.chunkDocuments(
       t(s, d, "documents"), maxTokens = 40, overlap = 8))
 
+  /** Source-interleaved epoch ordering ([[graft.ops.Sampling.epochOrderKeys]]):
+    * deterministic shuffle-and-interleave keys for training order. The
+    * oracle replays the rank/total arithmetic in SQL; exact integers.
+    */
+  private val qEpochOrder = Q("q_epoch_order",
+    Some("""WITH r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+              count(*) OVER (PARTITION BY source) AS tot
+              FROM documents)
+            SELECT doc_id, source,
+              (2 * rn - 1) * 1000000000000 // (2 * tot) AS epoch_key
+            FROM r"""),
+    (s, d) => graft.ops.Sampling.epochOrderKeys(
+        t(s, d, "documents").select("doc_id", "source"), sourceCol = "source")
+      .select("doc_id", "source", "epoch_key"))
+
   // -------------------------------------------------------- text analysis
 
   private def occSql(hay: String, needle: String): String =
@@ -1090,6 +1107,7 @@ object TrainingQueries {
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
+    qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

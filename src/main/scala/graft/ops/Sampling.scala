@@ -203,6 +203,37 @@ object Sampling {
       .drop(rn1, rn)
   }
 
+  /** Deterministic source-interleaved epoch order: every doc gets a SORT
+    * KEY such that reading in key order (a) visits docs in a
+    * pseudo-random shuffle (rank within source by md5 of the id — same
+    * deterministic-hash idiom as [[hashSample]]) and (b) interleaves
+    * sources proportionally to their size — each source's docs sit at
+    * evenly-spaced key positions, so any contiguous slice of the epoch
+    * has ≈ the corpus's source mix. The key is the doc's fractional
+    * position within its source in exact fixed point:
+    * `(2·rank − 1) · 10^12 div (2 · source_total)` — integer arithmetic,
+    * engine-exact, collision-broken by (key, id).
+    *
+    * The op emits KEYS, not sorted rows: the write path range-partitions
+    * by `epoch_key` (a sort at write time is the one legitimate global
+    * sort in a training pipeline); keeping the sort out of this operator
+    * keeps every read-side plan shuffle-free — one window on source.
+    */
+  def epochOrderKeys(docs: DataFrame, sourceCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = fresh(docs, "_graft_rank"); val tot = fresh(docs, "_graft_total")
+    val bySource = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val totals = Window.partitionBy(col(sourceCol))
+    docs
+      .withColumn(rn, row_number().over(bySource).cast("long"))
+      .withColumn(tot, count(lit(1)).over(totals))
+      .withColumn("epoch_key",
+        expr(s"((2 * `$rn` - 1) * 1000000000000L) div (2 * `$tot`)"))
+      .drop(rn, tot)
+  }
+
   /** Split each document into fixed-size training chunks of `maxTokens`
     * tokens with `overlap` tokens of context carried between consecutive
     * chunks (stride = maxTokens − overlap) — the standard sequence-prep

@@ -144,6 +144,27 @@ class SamplingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("epochOrderKeys: key order interleaves sources proportionally") {
+    import spark.implicits._
+    val docs = ((1L to 8L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))
+      .toDF("doc_id", "source")
+    val ordered = graft.ops.Sampling.epochOrderKeys(docs, "source")
+      .orderBy("epoch_key", "doc_id")
+      .select("source").as[String].collect().toSeq
+    // sources occupy evenly spaced fractional positions, so each half of
+    // the epoch carries the corpus mix exactly (4 big : 1 small)
+    assert(ordered.take(5).count(_ == "big") == 4)
+    assert(ordered.drop(5).count(_ == "big") == 4)
+    // deterministic across runs (hash order, not physical order)
+    val again = graft.ops.Sampling.epochOrderKeys(docs.repartition(7), "source")
+      .orderBy("epoch_key", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    val first = graft.ops.Sampling.epochOrderKeys(docs, "source")
+      .orderBy("epoch_key", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again == first, "epoch order must not depend on partitioning")
+  }
+
   test("chunkDocuments property: drop-overlap reconstruction equals the original") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = for {

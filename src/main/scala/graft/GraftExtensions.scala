@@ -24,70 +24,82 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * (SURVEY §4's conclusion, held through round 1).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Uniform arity guard: every builder below indexes `children`, so a
+    * wrong argument count must surface as a clear message, never an
+    * IndexOutOfBoundsException from inside the registry.
+    */
+  private def arity(name: String, usage: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length < min || children.length > max)
+        throw new IllegalArgumentException(
+          s"$name($usage) takes ${if (min == max) s"$min" else s"$min to $max"} " +
+            s"argument(s), got ${children.length}")
+      build(children)
+    }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
         classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      arity("cosine_similarity", "a, b", 2, 2)(c => CosineSimilarity(c(0), c(1)))))
     extensions.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(
         classOf[MinHashSignature].getCanonicalName, null, "minhash_signature"),
-      (children: Seq[Expression]) => MinHashSignature(children.head,
-        numHashes = intArg(children, 1, 4), shingleSize = intArg(children, 2, 3))))
+      arity("minhash_signature", "text[, numHashes[, shingleSize]]", 1, 3)(c =>
+        MinHashSignature(c.head,
+          numHashes = intArg(c, 1, 4), shingleSize = intArg(c, 2, 3)))))
     extensions.injectFunction((
       new FunctionIdentifier("simhash"),
       new ExpressionInfo(
         classOf[SimHashSignature].getCanonicalName, null, "simhash"),
-      (children: Seq[Expression]) => SimHashSignature(children.head,
-        bits = intArg(children, 1, 16))))
+      arity("simhash", "text[, bits]", 1, 2)(c =>
+        SimHashSignature(c.head, bits = intArg(c, 1, 16)))))
     extensions.injectFunction((
       new FunctionIdentifier("byte_histogram"),
       new ExpressionInfo(
         classOf[ByteHistogram].getCanonicalName, null, "byte_histogram"),
-      (children: Seq[Expression]) => ByteHistogram(children.head,
-        dims = intArg(children, 1, 8))))
+      arity("byte_histogram", "text[, dims]", 1, 2)(c =>
+        ByteHistogram(c.head, dims = intArg(c, 1, 8)))))
     extensions.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(
         classOf[RepetitionStats].getCanonicalName, null, "repetition_stats"),
-      (children: Seq[Expression]) => RepetitionStats(children.head)))
+      arity("repetition_stats", "tokens", 1, 1)(c => RepetitionStats(c.head))))
     extensions.injectFunction((
       new FunctionIdentifier("type_of"),
       new ExpressionInfo(
         classOf[SparkTypeOf].getCanonicalName, null, "type_of"),
-      (children: Seq[Expression]) => SparkTypeOf(children.head)))
+      arity("type_of", "value", 1, 1)(c => SparkTypeOf(c.head))))
     // aggregates: the analyzer wraps a returned AggregateFunction in an
     // AggregateExpression, exactly as for built-in registry entries
     extensions.injectFunction((
       new FunctionIdentifier("bottom_k_distinct"),
       new ExpressionInfo(
         classOf[BottomKDistinct].getCanonicalName, null, "bottom_k_distinct"),
-      (children: Seq[Expression]) => BottomKDistinct(children.head,
-        k = intArg(children, 1, 64))))
+      arity("bottom_k_distinct", "value[, k]", 1, 2)(c =>
+        BottomKDistinct(c.head, k = intArg(c, 1, 64)))))
     extensions.injectFunction((
       new FunctionIdentifier("sum128"),
       new ExpressionInfo(
         classOf[Sum128].getCanonicalName, null, "sum128"),
-      (children: Seq[Expression]) => Sum128(children.head,
-        scale = intArg(children, 1, 4))))
+      arity("sum128", "value[, scale]", 1, 2)(c =>
+        Sum128(c.head, scale = intArg(c, 1, 4)))))
     extensions.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(
         classOf[CountMinSketchAgg].getCanonicalName, null, "cms_sketch"),
-      (children: Seq[Expression]) => CountMinSketchAgg(children.head,
-        depth = intArg(children, 1, 4), width = intArg(children, 2, 2048))))
+      arity("cms_sketch", "value[, depth[, width]]", 1, 3)(c =>
+        CountMinSketchAgg(c.head,
+          depth = intArg(c, 1, 4), width = intArg(c, 2, 2048)))))
     extensions.injectFunction((
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(
         classOf[CountMinEstimate].getCanonicalName, null, "cms_estimate"),
-      (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new IllegalArgumentException(
-            s"cms_estimate(sketch, key) takes 2 arguments, got ${children.length}")
-        CountMinEstimate(children(0), children(1))
-      }))
+      arity("cms_estimate", "sketch, key", 2, 2)(c => CountMinEstimate(c(0), c(1)))))
   }
 
   /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */

@@ -550,7 +550,8 @@ object TrainingQueries {
               count(*) OVER (PARTITION BY source) AS tot
               FROM documents)
             SELECT doc_id, source,
-              (2 * rn - 1) * 1000000000000 // (2 * tot) AS epoch_key
+              CAST(CAST(2 * rn - 1 AS HUGEINT) * 1000000000000
+                // (2 * tot) AS BIGINT) AS epoch_key
             FROM r"""),
     (s, d) => graft.ops.Sampling.epochOrderKeys(
         t(s, d, "documents").select("doc_id", "source"), sourceCol = "source")

@@ -111,9 +111,13 @@ object Multimodal {
     */
   final case class MjpegVideo(frames: Seq[Array[Byte]], microSecPerFrame: Long,
                               totalFrames: Long) {
-    def durationMs: Long =
-      (if (totalFrames > 0) totalFrames else frames.length.toLong) *
-        microSecPerFrame / 1000
+    def durationMs: Long = {
+      // both fields are u32s from the wire: the product can exceed a Long
+      // on adversarial headers, and malformed input must degrade, never
+      // wrap negative — saturate instead
+      val n = BigInt(if (totalFrames > 0) totalFrames else frames.length.toLong)
+      (n * microSecPerFrame / 1000).min(Long.MaxValue).toLong
+    }
   }
 
   /** Real video FRAME decode for Motion-JPEG AVI — the one video format a
@@ -145,9 +149,15 @@ object Multimodal {
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var micros = 0L
     var total = 0L
+    var avihSeen = false
+    // early exit: once the frame cap is reached AND the header has been
+    // read (avih precedes movi in any well-formed AVI), nothing further
+    // in a long clip can change the result — don't scan gigabytes of
+    // remaining frame chunks
+    def done: Boolean = frames.length >= maxFrames && avihSeen
     def walk(start: Int, end: Int): Unit = {
       var o = start
-      while (o + 8 <= end) {
+      while (o + 8 <= end && !done) {
         val id = cc(o)
         val size = u32(o + 4)
         if (size < 0 || o + 8 + size > end) return // malformed: stop
@@ -159,9 +169,12 @@ object Multimodal {
           (payload(body) & 0xff) == 0xff && (payload(body + 1) & 0xff) == 0xd8) {
           if (frames.length < maxFrames)
             frames += java.util.Arrays.copyOfRange(payload, body, body + len)
-        } else if (id == "avih" && len >= 20) {
+        } else if (id == "avih" && len >= 4) {
+          avihSeen = true
           micros = u32(body)
-          total = u32(body + 16) // dwTotalFrames
+          // truncated headers (< 20 bytes) still yield the frame rate;
+          // dwTotalFrames needs the full prefix
+          if (len >= 20) total = u32(body + 16)
         }
         o = body + len + (len & 1) // bodies pad to even
       }

@@ -229,8 +229,12 @@ object Sampling {
     docs
       .withColumn(rn, row_number().over(bySource).cast("long"))
       .withColumn(tot, count(lit(1)).over(totals))
+      // the (2·rank−1)·10^12 intermediate would overflow BIGINT past
+      // ~4.6M docs per source; decimal(38) keeps it exact at any corpus
+      // size and the quotient (< 10^12) lands back in a long
       .withColumn("epoch_key",
-        expr(s"((2 * `$rn` - 1) * 1000000000000L) div (2 * `$tot`)"))
+        expr(s"(cast(2 * `$rn` - 1 as decimal(38, 0)) * 1000000000000)" +
+          s" div (2 * `$tot`)"))
       .drop(rn, tot)
   }
 

@@ -118,98 +118,123 @@ object JdbcUpsertSink {
     */
   def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
                   connProps: Map[String, String] = Map.empty): Unit = {
-    require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
     val conn = connect(url, connProps)
-    try {
-      if (!tableExists(conn, table)) {
-        val cols = schema.fields.map { f =>
-          val t = if (f.name == keyCol && f.dataType == StringType) "VARCHAR(255)"
-                  else sqlType(f.dataType)
-          val nn = if (f.name == keyCol) " NOT NULL" else ""
-          s"${checkIdent(f.name)} $t$nn"
-        }
-        val ddl = s"CREATE TABLE ${checkIdent(table)} (${cols.mkString(", ")}, " +
-          s"PRIMARY KEY (${checkIdent(keyCol)}))"
-        val st = conn.createStatement()
-        try st.executeUpdate(ddl) finally st.close()
-      }
-    } finally conn.close()
+    try ensureTableOn(conn, table, schema, keyCol) finally conn.close()
   }
 
-  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    // scope the lookup to the connection's current catalog/schema — a
-    // same-named table in ANOTHER schema must not satisfy the check (it
-    // would skip CREATE TABLE and then fail every insert). Some drivers
-    // don't support getSchema/getCatalog (pre-JDBC-4.1 drivers raise
-    // AbstractMethodError, not SQLException); null means "unscoped",
-    // the best that driver can do.
-    val md = conn.getMetaData
+  private def ensureTableOn(conn: java.sql.Connection, table: String,
+                            schema: StructType, keyCol: String): Unit = {
+    require(schema.fieldNames.contains(keyCol), s"key column $keyCol not in schema")
+    if (storedTableName(conn, table).isEmpty) {
+      val cols = schema.fields.map { f =>
+        val t = if (f.name == keyCol && f.dataType == StringType) "VARCHAR(255)"
+                else sqlType(f.dataType)
+        val nn = if (f.name == keyCol) " NOT NULL" else ""
+        s"${checkIdent(f.name)} $t$nn"
+      }
+      val ddl = s"CREATE TABLE ${checkIdent(table)} (${cols.mkString(", ")}, " +
+        s"PRIMARY KEY (${checkIdent(keyCol)}))"
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl) finally st.close()
+    }
+  }
+
+  /** The connection's current (catalog, raw schema) — the scope every
+    * metadata lookup must use: a same-named table in ANOTHER schema must
+    * never satisfy a check (it would skip CREATE TABLE, or approve a
+    * native upsert against a constraint the visible table lacks). Some
+    * drivers don't support getSchema/getCatalog (pre-JDBC-4.1 drivers
+    * raise AbstractMethodError, not SQLException); null means "unscoped",
+    * the best that driver can do.
+    */
+  private def scopeOf(conn: java.sql.Connection): (String, String) = {
     val catalog = try conn.getCatalog catch {
       case _: java.sql.SQLException | _: AbstractMethodError => null
     }
     val schemaRaw = try conn.getSchema catch {
       case _: java.sql.SQLException | _: AbstractMethodError => null
     }
-    // getTables' schemaPattern treats _ and % as wildcards; a literal
-    // schema name like app_data would otherwise also match appXdata,
-    // re-admitting the cross-schema false positive
+    (catalog, schemaRaw)
+  }
+
+  /** Escape `_`/`%` for a JDBC metadata PATTERN argument — a literal name
+    * like app_data would otherwise also match appXdata, re-admitting the
+    * cross-schema false positive.
+    */
+  private def escapePattern(md: java.sql.DatabaseMetaData, s: String): String = {
     val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-    val schema = Option(schemaRaw)
-      .map(_.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%"))
-      .orNull
-    val rs = md.getTables(catalog, schema, "%", Array("TABLE"))
+    s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  /** The stored-case name of `table` in the connection's current
+    * catalog/schema (Derby uppercases, PG lowercases), or None when it
+    * does not exist there. The lookup is scoped AND targeted: one pattern
+    * query for this table, never a whole-database enumeration.
+    */
+  private def storedTableName(conn: java.sql.Connection,
+                              table: String): Option[String] = {
+    val md = conn.getMetaData
+    val (catalog, schemaRaw) = scopeOf(conn)
+    val schemaPat = Option(schemaRaw).map(escapePattern(md, _)).orNull
+    val rs = md.getTables(catalog, schemaPat, escapePattern(md, table), Array("TABLE"))
     try {
-      var found = false
-      while (!found && rs.next()) found =
-        rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
+      var name: Option[String] = None
+      while (name.isEmpty && rs.next()) {
+        val n = rs.getString("TABLE_NAME")
+        if (n.equalsIgnoreCase(table)) name = Some(n)
+      }
+      // case-insensitive fallback: the stored case may differ from the
+      // requested case, making the exact pattern miss (Derby: docs→DOCS)
+      if (name.isEmpty) {
+        val all = md.getTables(catalog, schemaPat, "%", Array("TABLE"))
+        try {
+          while (name.isEmpty && all.next()) {
+            val n = all.getString("TABLE_NAME")
+            if (n.equalsIgnoreCase(table)) name = Some(n)
+          }
+        } finally all.close()
+      }
+      name
     } finally rs.close()
   }
 
-  /** True when `table` has a primary key or unique index on EXACTLY
-    * `keyCol` — the precondition for the dialect-native single-statement
-    * upsert. Without it, PG's ON CONFLICT errors on every batch and
-    * MySQL/SQLite's REPLACE degrades to plain INSERT (silent duplicate
-    * rows), so [[upsert]] checks this and falls back to the neutral
-    * DELETE+INSERT pair on pre-existing tables that lack the constraint.
+  /** True when `table` (in the connection's current catalog/schema) has a
+    * primary key or unique index on EXACTLY `keyCol` — the precondition
+    * for the dialect-native single-statement upsert. Without it, PG's ON
+    * CONFLICT errors on every batch and MySQL/SQLite's REPLACE degrades
+    * to plain INSERT (silent duplicate rows), so [[upsert]] checks this
+    * and falls back to the neutral DELETE+INSERT pair on pre-existing
+    * tables that lack the constraint.
     */
   private[graft] def hasUniqueKey(conn: java.sql.Connection, table: String,
-                                  keyCol: String): Boolean = {
-    val md = conn.getMetaData
-    // resolve the stored-case name (Derby uppercases, PG lowercases)
-    val stored = {
-      val rs = md.getTables(null, null, "%", Array("TABLE"))
-      try {
-        var name: String = null
-        while (name == null && rs.next()) {
-          val n = rs.getString("TABLE_NAME")
-          if (n.equalsIgnoreCase(table)) name = n
-        }
-        name
-      } finally rs.close()
-    }
-    if (stored == null) return false
-    def groups(rs: java.sql.ResultSet, groupCol: String,
-               colCol: String): Map[String, Set[String]] =
-      try {
-        val m = scala.collection.mutable.Map.empty[String, Set[String]]
-        while (rs.next()) {
-          val g = Option(rs.getString(groupCol)).getOrElse("")
-          Option(rs.getString(colCol)).foreach { c =>
-            m(g) = m.getOrElse(g, Set.empty) + c.toLowerCase(java.util.Locale.ROOT)
+                                  keyCol: String): Boolean =
+    storedTableName(conn, table).exists { stored =>
+      val md = conn.getMetaData
+      val (catalog, schemaRaw) = scopeOf(conn)
+      def groups(rs: java.sql.ResultSet, groupCol: String,
+                 colCol: String): Map[String, Set[String]] =
+        try {
+          val m = scala.collection.mutable.Map.empty[String, Set[String]]
+          while (rs.next()) {
+            val g = Option(rs.getString(groupCol)).getOrElse("")
+            Option(rs.getString(colCol)).foreach { c =>
+              m(g) = m.getOrElse(g, Set.empty) + c.toLowerCase(java.util.Locale.ROOT)
+            }
           }
-        }
-        m.toMap
-      } finally rs.close()
-    val key = Set(keyCol.toLowerCase(java.util.Locale.ROOT))
-    val pk = groups(md.getPrimaryKeys(null, null, stored), "PK_NAME", "COLUMN_NAME")
-    pk.values.exists(_ == key) || {
-      val idx = groups(
-        md.getIndexInfo(null, null, stored, /*unique=*/ true, /*approx=*/ false),
-        "INDEX_NAME", "COLUMN_NAME")
-      idx.values.exists(_ == key)
+          m.toMap
+        } finally rs.close()
+      val key = Set(keyCol.toLowerCase(java.util.Locale.ROOT))
+      // getPrimaryKeys/getIndexInfo take literal names, not patterns —
+      // pass the raw scope, no escaping
+      val pk = groups(
+        md.getPrimaryKeys(catalog, schemaRaw, stored), "PK_NAME", "COLUMN_NAME")
+      pk.values.exists(_ == key) || {
+        val idx = groups(
+          md.getIndexInfo(catalog, schemaRaw, stored, /*unique=*/ true, /*approx=*/ false),
+          "INDEX_NAME", "COLUMN_NAME")
+        idx.values.exists(_ == key)
+      }
     }
-  }
 
   /** Upsert `df` into `table` keyed on `keyCol` (last-writer-wins given
     * one row per key, e.g. [[graft.ops.Compact]] output). When
@@ -222,7 +247,6 @@ object JdbcUpsertSink {
              connProps: Map[String, String] = Map.empty,
              batchSize: Int = 500): Unit = {
     val dataSchema = StructType(df.schema.fields.filterNot(f => deletedCol.contains(f.name)))
-    ensureTable(url, table, dataSchema, keyCol, connProps)
     val cols = dataSchema.fieldNames
     val keyIdx = df.schema.fieldIndex(keyCol)
     val delIdx = deletedCol.map(df.schema.fieldIndex)
@@ -231,12 +255,16 @@ object JdbcUpsertSink {
     val tbl = checkIdent(table); val key = checkIdent(keyCol)
     val deleteSql = s"DELETE FROM $tbl WHERE $key = ?"
     val (dialectSql, dialectNative) = upsertStatement(url, table, cols.toSeq, keyCol)
-    // the native statement needs a unique constraint on the key; a
-    // pre-existing table without one gets the neutral two-statement form
-    // (ensureTable-created tables always carry the PK)
-    val nativeUpsert = dialectNative && {
+    // ONE driver connection per call does both the create-if-missing and
+    // the native-upsert precondition: the native statement needs a unique
+    // constraint on the key, so a pre-existing table without one gets the
+    // neutral two-statement form (ensureTable-created tables carry the PK)
+    val nativeUpsert = {
       val conn = connect(url, connProps)
-      try hasUniqueKey(conn, table, keyCol) finally conn.close()
+      try {
+        ensureTableOn(conn, table, dataSchema, keyCol)
+        dialectNative && hasUniqueKey(conn, table, keyCol)
+      } finally conn.close()
     }
     val insertSql =
       if (nativeUpsert || !dialectNative) dialectSql

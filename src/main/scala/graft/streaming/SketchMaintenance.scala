@@ -37,7 +37,9 @@ final class SketchMaintenance(dir: String, keyCol: String,
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val (applied, counters) = readState()
     if (batchId <= applied) {
-      if (applied - batchId > StreamIngest.AggReplayMargin)
+      // same margin semantics (and session-conf override) as the
+      // maintained aggregate — see StreamIngest.AggReplayMargin
+      if (applied - batchId > StreamIngest.replayMargin(batch.sparkSession))
         throw new IllegalStateException(
           s"sketch batchId went backwards: got $batchId but $applied is " +
             "already applied. The streaming checkpoint was likely reset " +

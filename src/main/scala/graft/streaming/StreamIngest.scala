@@ -160,11 +160,12 @@ final class StreamIngest(
       // against an existing warehouse (batchIds restart at 0): skipping
       // would silently freeze the aggregate while state keeps advancing, so
       // fail loudly and point at the re-bootstrap path instead.
-      if (applied - batchId > StreamIngest.AggReplayMargin)
+      val margin = StreamIngest.replayMargin(spark)
+      if (applied - batchId > margin)
         throw new IllegalStateException(
           s"maintained-aggregate batchId went backwards: got $batchId but " +
             s"$applied is already applied (more than the replay margin of " +
-            s"${StreamIngest.AggReplayMargin}). The streaming checkpoint was " +
+            s"$margin). The streaming checkpoint was " +
             "likely reset against an existing warehouse. Delete " +
             s"$aggDir to re-bootstrap the aggregate from live state, or " +
             "restore the original checkpointLocation.")
@@ -396,13 +397,25 @@ object StreamIngest {
   final case class AggSpec(groupPath: String, valuePath: String)
 
   /** How far a replayed batchId may legitimately lag the applied marker:
-    * zero — the only legitimate re-delivery is the marker batch itself
-    * (the crash window between the agg swap and the offset commit
-    * re-runs exactly `batchId == applied`; Spark never replays further
-    * back). Any batchId strictly below the marker is a reset checkpoint
-    * and must fail loudly, not silently drop its delta.
+    * zero — with the synchronous progress tracking [[StreamIngest.start]]
+    * configures, the only legitimate re-delivery is the marker batch
+    * itself (the crash window between the agg swap and the offset
+    * commit), so any batchId strictly below the marker is a reset
+    * checkpoint and must fail loudly rather than silently drop its
+    * delta. A deployment that enables
+    * `spark.sql.streaming.asyncProgressTracking` (which can re-deliver
+    * several batches back whose deltas were already absorbed) must widen
+    * this via the `graft.agg.replayMargin` session conf to its async
+    * checkpointing interval in batches.
     */
   val AggReplayMargin: Long = 0L
+
+  /** The effective margin: [[AggReplayMargin]] unless overridden by the
+    * `graft.agg.replayMargin` session conf (see above).
+    */
+  def replayMargin(spark: SparkSession): Long =
+    spark.conf.getOption("graft.agg.replayMargin").map(_.toLong)
+      .getOrElse(AggReplayMargin)
 
   /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
   def deleteRecursively(p: java.nio.file.Path): Unit =

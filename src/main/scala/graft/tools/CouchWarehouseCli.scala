@@ -79,14 +79,15 @@ object CouchWarehouseCli {
       .getOrElse(cls.getDeclaredConstructor().newInstance())
     // `case h: Function1[_, _]` alone is erased (a String => String would
     // pass and blow up mid-pipeline) — require a concrete apply method
-    // that accepts a Dataset, which scalac generates for any class whose
-    // static type is DataFrame => DataFrame
+    // that maps a Dataset TO a Dataset, which scalac generates for any
+    // class whose static type is DataFrame => DataFrame
     val takesDataFrame = instance.getClass.getMethods.exists { m =>
       m.getName == "apply" && m.getParameterCount == 1 && {
         val p = m.getParameterTypes()(0)
         // exclude the erased apply(Object) bridge every Function1 carries
         p != classOf[Object] &&
-          p.isAssignableFrom(classOf[org.apache.spark.sql.Dataset[_]])
+          p.isAssignableFrom(classOf[org.apache.spark.sql.Dataset[_]]) &&
+          classOf[org.apache.spark.sql.Dataset[_]].isAssignableFrom(m.getReturnType)
       }
     }
     instance match {

@@ -73,6 +73,13 @@ class CliSpec extends SparkSpec {
         "--database", "cli_bad", "--transform", "graft.CliBadTransform"))
     }
     assert(e2.getMessage.contains("does not implement"))
+    val e3 = intercept[IllegalArgumentException] {
+      CouchWarehouseCli.main(Array(
+        "--feed", "/root/reference/test/samplechanges.txt",
+        "--database", "cli_bad", "--transform", "graft.CliWrongReturnTransform"))
+    }
+    assert(e3.getMessage.contains("does not implement"),
+      "a DataFrame => Long must be rejected despite the Dataset parameter")
     intercept[ClassNotFoundException] {
       CouchWarehouseCli.main(Array(
         "--feed", "/root/reference/test/samplechanges.txt",

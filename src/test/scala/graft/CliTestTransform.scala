@@ -14,6 +14,11 @@ object CliBadTransform extends (String => String) {
   def apply(s: String): String = s
 }
 
+/** Negative fixture: right parameter, WRONG return type — also rejected. */
+object CliWrongReturnTransform extends (DataFrame => Long) {
+  def apply(df: DataFrame): Long = 0L
+}
+
 object CliTestTransform extends (DataFrame => DataFrame) {
 
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -62,6 +62,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT cms_estimate(cms_sketch(CAST(x AS BIGINT), 4, 64), CAST(7 AS BIGINT)) AS e
            FROM VALUES (7),(7),(8) t(x)""").collect()(0).getLong(0)
       assert(cms >= 2L && cms <= 3L)
+
+      // wrong arity surfaces as a clear message from every registration,
+      // never an IndexOutOfBoundsException out of the builder
+      for (bad <- Seq("cosine_similarity(array(CAST(1 AS FLOAT)))",
+                      "cms_estimate(array(CAST(1 AS BIGINT)))",
+                      "repetition_stats(split('a', ' '), 2)")) {
+        val err = intercept[Exception] { spark.sql(s"SELECT $bad").collect() }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(err).exists(_.contains("argument")),
+          s"$bad: expected an arity message, got $err")
+      }
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

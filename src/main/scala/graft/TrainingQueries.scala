@@ -1474,8 +1474,117 @@ object TrainingQueries {
       t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
       k = 10))
 
+  /** Quality-aware duplicate resolution ([[Dedup.keepBest]]) over the
+    * MinHash-LSH cluster labeling: per duplicate cluster keep the doc
+    * with the most content (`n_chars` desc — the exact-integer stand-in
+    * for a quality model; ties to lowest id), singletons keep themselves.
+    * The oracle rebuilds the clusters with the recursive-CTE mirror of
+    * the pointer-doubling CC, then picks the same argmax via
+    * max-score + min-id — semantics identical to the `max(struct)` form.
+    */
+  private val qDedupKeepBest = Q("q_dedup_keep_best",
+    Some(s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+             pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band)
+               WHERE a.doc_id < b.doc_id),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT reach.doc_id, edges.dst AS r
+               FROM reach JOIN edges ON edges.src = reach.r),
+             cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             f AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+               FROM documents d LEFT JOIN cl USING (doc_id)),
+             mx AS (SELECT cluster_id, max(n_chars) AS mc FROM f GROUP BY 1),
+             best AS (SELECT f.cluster_id, min(f.doc_id) AS keep_id
+               FROM f JOIN mx ON f.cluster_id = mx.cluster_id AND f.n_chars = mx.mc
+               GROUP BY 1)
+             SELECT f.doc_id, f.cluster_id, b.keep_id,
+               f.doc_id = b.keep_id AS kept
+             FROM f JOIN best b USING (cluster_id)"""),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepBest(docs,
+        Dedup.clusters(Dedup.minhashCandidates(Dedup.minhash(docs))),
+        score = col("n_chars"))
+    })
+
+  /** Source-distribution drift monitoring: per corpus source, the total
+    * variation distance between its hashed-unigram feature distribution
+    * and the whole-corpus distribution, in milli fixed point —
+    * `TVD_fp = Σ_b |10⁶·src_c/src_T − 10⁶·all_c/all_T| / 2` with every
+    * division an integer `div`. Exact, order-independent, bounded in
+    * [0, 10⁶] at ANY corpus size (unlike χ²/KL, whose widened numerators
+    * overflow decimal(38,0) near 10¹³ tokens, and whose `log`/square
+    * float steps diverge per engine). The mixture-monitoring pass a
+    * 100 TB multi-source build runs per snapshot.
+    *
+    * Scale shape: one map-side-combinable count into (source ×
+    * ≤ `buckets`) cells, the corpus-wide margins derived from those cells
+    * (no second corpus pass), everything after the first agg is
+    * tiny-table work that BROADCASTS.
+    */
+  def sourceDrift(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val cells = docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(col("source"),
+        TextAnalysis.featureBucket(col("token"), buckets).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .cache()
+    val srcTot = cells.groupBy("source").agg(sum(col("c")).as("src_t"))
+    val allBucket = cells.groupBy("b").agg(sum(col("c")).as("all_c"))
+    val allTot = cells.agg(sum(col("c")).as("all_t"))
+    // every (source, bucket-with-corpus-mass) cell, 0 where the source
+    // has no mass: the |p−q| sum must see buckets the source misses
+    srcTot.crossJoin(broadcast(allBucket))
+      .join(cells, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(allTot))
+      .groupBy("source")
+      // per-term fixed-point probabilities are <= 10^6 (long-safe); only
+      // the 10^6-widening multiply needs decimal headroom
+      .agg(expr("""cast(sum(abs(
+          cast((cast(1000000 as decimal(38,0)) * c) div src_t as bigint)
+          - cast((cast(1000000 as decimal(38,0)) * all_c) div all_t as bigint)))
+          div 2 as bigint)""").as("tvd_fp"))
+      .select(col("source"), col("tvd_fp"))
+  }
+
+  private val qSourceDrift = Q("q_source_drift",
+    Some("""WITH tok AS (SELECT source,
+              unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS token
+              FROM documents),
+            tb AS (SELECT source,
+                CAST(concat('0x', substr(md5(token), 1, 6)) AS BIGINT) % 1024 AS b
+              FROM tok),
+            cells AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+              FROM tb GROUP BY 1, 2),
+            src_tot AS (SELECT source, sum(c) AS src_t FROM cells GROUP BY 1),
+            all_bucket AS (SELECT b, sum(c) AS all_c FROM cells GROUP BY 1),
+            all_tot AS (SELECT sum(c) AS all_t FROM cells),
+            grid AS (SELECT s.source, ab.b, s.src_t, ab.all_c,
+                COALESCE(cells.c, 0) AS c
+              FROM src_tot s CROSS JOIN all_bucket ab
+              LEFT JOIN cells ON cells.source = s.source AND cells.b = ab.b)
+            SELECT source,
+              CAST(sum(abs(
+                CAST((1000000::HUGEINT * c) // src_t AS BIGINT)
+                - CAST((1000000::HUGEINT * all_c) // all_t AS BIGINT)))
+                // 2 AS BIGINT) AS tvd_fp
+            FROM grid CROSS JOIN all_tot GROUP BY source"""),
+    (s, d) => sourceDrift(t(s, d, "documents")))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
+    qDedupKeepBest, qSourceDrift,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
     qDedupEmbed, qDedupEmbedPairs,

@@ -285,6 +285,40 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware duplicate resolution: given the corpus and a
+    * [[clusters]] labeling, pick the BEST doc per duplicate cluster by a
+    * caller-supplied score (descending; ties break to the lowest id) —
+    * what production dedup actually keeps (the longest / highest-quality
+    * variant), where keep-lowest-id is only the deterministic default.
+    * Docs in no cluster keep themselves.
+    *
+    * Output: one row per doc — `(idCol, cluster_id, keep_id, kept)` with
+    * `cluster_id = doc_id` for singletons.
+    *
+    * Scale shape: the argmax is ONE map-side-combinable aggregation on
+    * cluster_id (`max(struct(score, −id))` — no per-cluster sort, no
+    * window); `clusterLabels` covers only docs that appear in a dup pair
+    * (a vanishing corpus fraction after LSH blocking), so both joins
+    * against it are effectively corpus × small. The score must be
+    * deterministic for reproducible keeps.
+    */
+  def keepBest(docs: DataFrame, clusterLabels: DataFrame, score: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), score.as("_score"))
+    val labeled = clusterLabels.join(scored, Seq(idCol))
+    val best = labeled
+      .groupBy("cluster_id")
+      .agg(max(struct(col("_score").as("s"), (-col(idCol)).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
+    docs.select(col(idCol))
+      .join(clusterLabels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .join(best, Seq("cluster_id"), "left")
+      .withColumn("keep_id", coalesce(col("keep_id"), col(idCol)))
+      .select(col(idCol), col("cluster_id"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("kept"))
+  }
+
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via
     * shingle join, sizes via per-doc distinct counts.

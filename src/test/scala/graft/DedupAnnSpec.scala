@@ -43,6 +43,24 @@ class DedupAnnSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("keepBest: highest score wins per cluster, ties break low, singletons self-keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster A: 2 and 3 tie on score -> keep 2
+      (8L, 5L), (9L, 50L),             // cluster B: 9 outscores 8
+      (20L, 7L)                        // singleton
+    ).toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.ops.Dedup.keepBest(docs, labels, col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (8L, 8L, 9L, false), (9L, 8L, 9L, true),
+      (20L, 20L, 20L, true)))
+  }
+
   test("clusters: empty candidate-pair input yields an empty result, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -62,6 +62,24 @@ class HashedFeatureSpec extends SparkSpec {
     assert(again == r.map(r0 => r0.getLong(0) -> r0.getLong(2)).toMap)
   }
 
+  test("sourceDrift: skewed source drifts more than a corpus-like one; invariant to partitioning") {
+    // wiki+web averages to the corpus; an extra balanced source sits near
+    // the mix, the spam-only sources sit far from it
+    def drift(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      TrainingQueries.sourceDrift(df, buckets = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val balanced = docs.union(Seq(
+      (5L, "alpha beta spam click gamma now delta here", "mix")
+    ).toDF("doc_id", "text", "source"))
+    val d = drift(balanced)
+    assert(d.keySet == Set("wiki", "web", "mix"))
+    assert(d.values.forall(v => v >= 0 && v <= 1000000))
+    // the mixed-vocabulary source tracks the corpus distribution more
+    // closely than the domain-pure sources
+    assert(d("mix") < d("wiki") && d("mix") < d("web"))
+    assert(drift(balanced.repartition(5)) == d)
+  }
+
   val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),

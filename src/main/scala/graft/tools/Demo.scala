@@ -103,6 +103,20 @@ object Demo {
       .searchIvfIndex(spark, ivfDir, q0, k = 1, nprobe = 1)
       .collect()(0).getLong(0))
 
+    // BPE tokenizer end-to-end: learn merges from the sf0.001 documents
+    // corpus (one word-count pass + vocab-sized learning), encode with
+    // the codegen'd broadcast-rank expression
+    {
+      val docsTbl = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val merges = graft.functions.BpeTokenizer.learnFromCorpus(docsTbl, numMerges = 50)
+      val toks = docsTbl
+        .select(org.apache.spark.sql.functions.explode(graft.functions.BpeTokenizer
+          .encode(col("text"), merges)).as("t"))
+      println(s"BPE_MERGES=${merges.length} SUBWORDS=${toks.count()} " +
+        s"DISTINCT=${toks.distinct().count()}")
+    }
+
     // Real image decode end-to-end: a planted in-memory PNG through the
     // partition-batched pipeline (decode → luma features → meta probe)
     {

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.BpeTokenizer
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE walkthrough corpus (Sennrich et al. ACL 2016 §3.2
+  // shape): low/lower/newest/widest with skewed counts
+  val docs = Seq(
+    (1L, ("low " * 5).trim),
+    (2L, ("lower " * 2).trim),
+    (3L, ("newest " * 6).trim),
+    (4L, ("widest " * 3).trim)
+  ).toDF("doc_id", "text")
+
+  test("wordCounts: one corpus pass to the word vocabulary") {
+    val wc = BpeTokenizer.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc == Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L))
+  }
+
+  test("learn: merges follow pair frequency with deterministic ties") {
+    val merges = BpeTokenizer.learnFromCorpus(docs, numMerges = 4)
+    assert(merges.length == 4)
+    // "es" (9 = newest 6 + widest 3) wins round 1; then es+t (9), then
+    // est+</w> (9); round 4 is the first genuinely data-dependent tie
+    // region, but rounds 1-3 are forced
+    assert(merges.take(3) == Seq(("e", "s"), ("es", "t"), ("est", BpeTokenizer.EndOfWord)))
+    // relearning is bit-identical
+    assert(BpeTokenizer.learnFromCorpus(docs, numMerges = 4) == merges)
+  }
+
+  test("learn saturates when no pair repeats") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.learnFromCorpus(tiny, numMerges = 10)
+    assert(merges.isEmpty) // every pair occurs once
+  }
+
+  test("encode: greedy rank-first merging; concatenation round-trips") {
+    val merges = BpeTokenizer.learnFromCorpus(docs, numMerges = 6)
+    val enc = docs.select(col("doc_id"),
+      BpeTokenizer.encode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // newest = 6 repeats of the fully-merged form
+    assert(enc(3L).distinct.forall(_.nonEmpty))
+    // round-trip: stripping </w> and concatenating recovers the text
+    val docText = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, toks) =>
+      val rebuilt = toks.mkString("")
+        .replace(BpeTokenizer.EndOfWord, " ").trim
+      assert(rebuilt == docText(id))
+    }
+    // "est" learned as a unit: every "newest"/"widest" token stream
+    // contains a subword ending in est</w> or est
+    assert(enc(3L).exists(t => t.contains("est")))
+    assert(enc(4L).exists(t => t.contains("est")))
+  }
+
+  test("encode with empty merge list falls back to characters") {
+    val enc = Seq(Tuple1("ab c")).toDF("t")
+      .select(BpeTokenizer.encode(col("t"), Seq.empty).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(enc == Seq("a", "b", BpeTokenizer.EndOfWord, "c", BpeTokenizer.EndOfWord))
+  }
+
+  test("generated code compiles (CODEGEN_ONLY) and matches interpreted eval") {
+    val merges = BpeTokenizer.learnFromCorpus(docs, numMerges = 6)
+    val q = docs.select(BpeTokenizer.encode(col("text"), merges).as("toks"))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val generated =
+      try q.collect().map(_.getSeq[String](0).mkString("|")).sorted.toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try q.collect().map(_.getSeq[String](0).mkString("|")).sorted.toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(generated == interpreted && generated.nonEmpty)
+  }
+}

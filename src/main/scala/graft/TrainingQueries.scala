@@ -1582,6 +1582,152 @@ object TrainingQueries {
             FROM grid CROSS JOIN all_tot GROUP BY source"""),
     (s, d) => sourceDrift(t(s, d, "documents")))
 
+  /** Corpus snapshot diff — dataset versioning between two corpus
+    * snapshots by content fingerprint: `removed` (in v1 only), `added`
+    * (in v2 only), `changed` (both, fingerprint differs); unchanged docs
+    * are NOT emitted (at 100 TB the diff is the small output, the
+    * identical bulk never leaves the join). One full-outer shuffle join
+    * on doc_id with 16-byte fingerprints — the same cheapest-possible
+    * key shape as exact dedup; at scale both sides arrive
+    * bucketed-by-id from the warehouse layout, making the join
+    * co-partitioned.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(
+      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(name))
+    fp(v1, "fp1").join(fp(v2, "fp2"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1").isNull, lit("added"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
+  /** The scored corpus-diff: v2 is derived deterministically from the
+    * fixture (id%7=0 removed, id%5=0 edited, id%11=0 re-added under a
+    * shifted id) so both engines diff the identical snapshot pair.
+    */
+  private val qCorpusDiff = Q("q_corpus_diff",
+    Some("""WITH v2 AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0),
+            f1 AS (SELECT doc_id,
+                md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp1
+              FROM documents),
+            f2 AS (SELECT doc_id,
+                md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp2
+              FROM v2)
+            SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id,
+              CASE WHEN fp2 IS NULL THEN 'removed'
+                   WHEN fp1 IS NULL THEN 'added'
+                   WHEN fp1 <> fp2 THEN 'changed' END AS status
+            FROM f1 FULL OUTER JOIN f2 USING (doc_id)
+            WHERE (fp2 IS NULL OR fp1 IS NULL OR fp1 <> fp2)"""),
+    (s, d) => {
+      val v1 = t(s, d, "documents")
+      val v2 = v1.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      corpusDiff(v1, v2)
+    })
+
+  /** Hybrid lexical+vector retrieval — the retrieval stage of a RAG /
+    * curation pipeline: BM25 over the query terms fused with embedding
+    * cosine against the query vector, `hybrid = (cos + lex/lex_max) / 2`
+    * (max-normalized lexical so both signals live on comparable scales).
+    * Every piece reuses an engine-exact kernel this file already oracles:
+    * the ×10⁶ fixed-point BM25 (q_search_bm25) and the DOUBLE
+    * `list_dot_product` cosine (q_ann_topk) — the fusion arithmetic is a
+    * handful of IEEE double ops on identical operands.
+    *
+    * Scale shape: the lexical side prunes to query-term matches via a
+    * broadcast semi-ish join before any aggregation; the vector side is
+    * one map-side cosine per doc; the global `lex_max` is a scalar
+    * broadcast; final ranking is TakeOrderedAndProject.
+    */
+  private val qHybridSearch = Q("q_hybrid_search",
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            q(token) AS (VALUES ('merge'), ('join'), ('spark')),
+            dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+            stats AS (SELECT count(*) AS n_docs,
+              (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp
+              FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+              FROM toks JOIN q USING (token) GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+              FROM toks JOIN q USING (token) GROUP BY 1),
+            lex AS (SELECT tf.doc_id,
+                CAST(SUM(((1000000 * (n_docs - df)) // df)
+                  * ((22000 * tf)
+                     // (10 * tf + 3 + (9000 * dl.dl) // avgdl_fp))) AS BIGINT)
+                  AS lex_score
+              FROM tf JOIN df USING (token)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats GROUP BY 1),
+            lmax AS (SELECT max(lex_score) AS lex_max FROM lex),
+            qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0),
+            vec AS (SELECT vec_id AS doc_id,
+                list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos
+              FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                FROM embeddings) CROSS JOIN qv)
+            SELECT vec.doc_id, COALESCE(lex.lex_score, 0) AS lex_score, vec.cos,
+              (vec.cos + CAST(COALESCE(lex.lex_score, 0) AS DOUBLE)
+                / CAST(lex_max AS DOUBLE)) / 2 AS hybrid
+            FROM vec LEFT JOIN lex ON vec.doc_id = lex.doc_id
+            CROSS JOIN lmax
+            ORDER BY hybrid DESC, vec.doc_id LIMIT 20"""),
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val terms = Seq("merge", "join", "spark").toDF("token")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(dl)) div count(1)").as("avgdl_fp"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(terms), Seq("token"))
+        .cache()
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfT = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val lex = tf.join(broadcast(dfT), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(stats))
+        .select(col("doc_id"),
+          expr("(1000000 * (n_docs - df)) div df").as("idf_fp"),
+          expr("(22000 * tf) div (10 * tf + 3 + (9000 * dl) div avgdl_fp)")
+            .as("factor_fp"))
+        .groupBy("doc_id")
+        .agg(sum(col("idf_fp") * col("factor_fp")).as("lex_score"))
+      val lmax = lex.agg(max(col("lex_score")).as("lex_max"))
+      val emb = t(s, d, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vec = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.CosineSimilarity(col("embedding"), col("qv")).as("cos"))
+      vec.join(lex, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("lex_score"))
+        .join(broadcast(lmax))
+        .select(col("doc_id"), col("lex_score"), col("cos"),
+          ((col("cos") + col("lex_score").cast("double") / col("lex_max").cast("double"))
+            / lit(2)).as("hybrid"))
+        .orderBy(col("hybrid").desc, col("doc_id"))
+        .limit(20)
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
     qDedupKeepBest, qSourceDrift,
@@ -1595,7 +1741,7 @@ object TrainingQueries {
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qSearchBm25, qVocab, qDupRate,
+    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qDupRate, qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)
 }

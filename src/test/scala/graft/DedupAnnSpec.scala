@@ -61,6 +61,20 @@ class DedupAnnSpec extends SparkSpec {
       (20L, 20L, 20L, true)))
   }
 
+  test("corpusDiff: added/removed/changed detected, unchanged suppressed") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"),                    // unchanged
+      (2L, "beta edited"),                         // changed
+      (4L, "delta")).toDF("doc_id", "text")        // added (3 removed)
+    val diff = TrainingQueries.corpusDiff(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // whitespace-variant content is NOT a change (fingerprint normalizes)
+    val v2b = Seq((1L, " alpha "), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    assert(TrainingQueries.corpusDiff(v1, v2b).count() == 0)
+  }
+
   test("clusters: empty candidate-pair input yields an empty result, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -88,7 +88,10 @@ object ScaleProbe {
       // round-6 pair stages: intra-cluster cosine (hot sign/centroid
       // bucket) and repeated-span ranking (every 8-gram of the planted
       // text occurs 1000x — hot gram hashes)
-      "q_dedup_semantic", "q_dedup_spans")
+      "q_dedup_semantic", "q_dedup_spans",
+      // cluster-consuming argmax: the planted band yields one 1000-doc
+      // cluster whose keep-best reduction must stay a single agg
+      "q_dedup_keep_best")
     try {
       // the listener bus is asynchronous: task-end events can trail the
       // job's return, so settle (quiesce) before resetting and reading

@@ -65,6 +65,28 @@ class BpeSpec extends SparkSpec {
     assert(enc == Seq("a", "b", BpeTokenizer.EndOfWord, "c", BpeTokenizer.EndOfWord))
   }
 
+  test("property: encode round-trips on random corpora at any merge count") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val textGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, textGen))
+    val prop = Prop.forAll(corpusGen, Gen.choose(0, 20)) { (texts, n) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = BpeTokenizer.learnFromCorpus(df, numMerges = n)
+      val enc = df.select(col("doc_id"),
+        BpeTokenizer.encode(col("text"), merges).as("toks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        enc(i.toLong).mkString("").replace(BpeTokenizer.EndOfWord, " ").trim == t
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("generated code compiles (CODEGEN_ONLY) and matches interpreted eval") {
     val merges = BpeTokenizer.learnFromCorpus(docs, numMerges = 6)
     val q = docs.select(BpeTokenizer.encode(col("text"), merges).as("toks"))

@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{BottomKDistinct, ByteHistogram, CosineSimilarity,
-  CountMinEstimate, CountMinSketchAgg, MinHashSignature, RepetitionStats,
-  SimHashSignature, SparkTypeOf, Sum128}
+  CountMinEstimate, CountMinSketchAgg, DiversityStats, MinHashSignature,
+  NormalizeText, RepetitionStats, SimHashSignature, SparkTypeOf, Sum128}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -100,7 +100,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[CountMinEstimate].getCanonicalName, null, "cms_estimate"),
       arity("cms_estimate", "sketch, key", 2, 2)(c => CountMinEstimate(c(0), c(1)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(
+        classOf[NormalizeText].getCanonicalName, null, "normalize_text"),
+      arity("normalize_text", "text[, form]", 1, 2)(c =>
+        NormalizeText(c.head, form = strArg(c, 1, "NFC")))))
+    extensions.injectFunction((
+      new FunctionIdentifier("diversity_stats"),
+      new ExpressionInfo(
+        classOf[DiversityStats].getCanonicalName, null, "diversity_stats"),
+      arity("diversity_stats", "tokens", 1, 1)(c => DiversityStats(c.head))))
   }
+
+  /** Optional string-literal argument (e.g. `normalize_text(t, 'NFKC')`). */
+  private def strArg(children: Seq[Expression], i: Int, default: String): String =
+    if (children.length <= i) default
+    else children(i) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a string literal, got $other")
+    }
 
   /** Optional integer-literal argument (e.g. `simhash(text, 16)`). */
   private def intArg(children: Seq[Expression], i: Int, default: Int): Int =

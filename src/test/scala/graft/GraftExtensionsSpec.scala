@@ -62,6 +62,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT cms_estimate(cms_sketch(CAST(x AS BIGINT), 4, 64), CAST(7 AS BIGINT)) AS e
            FROM VALUES (7),(7),(8) t(x)""").collect()(0).getLong(0)
       assert(cms >= 2L && cms <= 3L)
+      // NFC normalization from SQL: decomposed e+combining-acute composes
+      val nt = spark.sql(
+        "SELECT normalize_text('cafe\u0301') AS n, normalize_text('\ufb01le', 'NFKC') AS k")
+        .collect()(0)
+      assert(nt.getString(0) == "caf\u00e9" && nt.getString(1) == "file")
+      val ds = spark.sql("SELECT diversity_stats(split('a a b', ' ')) AS d")
+        .collect()(0).getStruct(0)
+      assert(ds.getLong(0) == 3L) // token count field
 
       // wrong arity surfaces as a clear message from every registration,
       // never an IndexOutOfBoundsException out of the builder

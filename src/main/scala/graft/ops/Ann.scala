@@ -259,7 +259,8 @@ object Ann {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = trainCentroids(vectors, k, iterations, idCol, vecCol)
     val assigned = assign(vectors, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"), col(vecCol))
+      .select(col(idCol), col("centroid_id"), col(vecCol),
+        quantizeInt8(col(vecCol)).as("q8")) // IVF-SQ8 companion codes
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/corpus")
@@ -280,7 +281,8 @@ object Ann {
     val spark = vectors.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
     assign(vectors, centroids, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"), col(vecCol))
+      .select(col(idCol), col("centroid_id"), col(vecCol),
+        quantizeInt8(col(vecCol)).as("q8"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/corpus")
   }
@@ -309,6 +311,53 @@ object Ann {
       .where(col("centroid_id").isin(probeIds: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-SQ8 search over a [[buildIvfIndex]] index — the memory/IO shape
+    * of FAISS's `IVF…,SQ8`: the candidate scan reads ONLY the int8 code
+    * column (`q8`, 4× smaller than the float vectors) from the probed
+    * partitions, ranks by quantized cosine (all-integer dots, engine
+    * exact — see [[quantizeInt8]]), and only the top-`rerank` survivors
+    * fetch their float vectors (a second, partition-pruned, id-joined
+    * scan) for the exact rescore. At 100 TB the float column stays on
+    * disk for all but `rerank` rows per query.
+    *
+    * With `rerank` at least the probed-bucket population this returns
+    * exactly [[searchIvfIndex]]'s answer (the rescore is the same exact
+    * kernel over the same candidate set) — the spec pins that identity.
+    * Same 1-row-query contract as [[searchIvfIndex]].
+    */
+  def searchIvfIndexInt8(spark: SparkSession, dir: String,
+                         query: DataFrame, k: Int, nprobe: Int = 1,
+                         rerank: Int = 40,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    require(query.limit(2).count() == 1,
+      "searchIvfIndexInt8 expects a 1-row query DataFrame [qv: array<float>]; " +
+        "multi-row queries would mix probe sets and top-k results")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probeIds = assignQuery(query, centroids, nprobe)
+      .select("centroid_id").collect().map(_.getInt(0)).toSeq
+    val qq = query.select(quantizeInt8(col("qv")).as("_qq"))
+    def probed = spark.read.parquet(s"$dir/corpus")
+      .where(col("centroid_id").isin(probeIds: _*))
+    val candidates = probed
+      .select(col(idCol), col("q8"))
+      .crossJoin(broadcast(qq))
+      .select(col(idCol),
+        (dotLong(col("q8"), col("_qq")).cast("double") /
+          (sqrt(dotLong(col("q8"), col("q8")).cast("double")) *
+            sqrt(dotLong(col("_qq"), col("_qq")).cast("double")))).as("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .limit(rerank)
+    candidates
+      .join(probed.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col("cos_q"),
         graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -347,6 +347,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(after.head == 1000L, "the appended exact match must rank first")
     assert(after.tail.forall(_ % 2 == 0), "existing cluster members still rank")
     assert(probedPartitions(1) == 1, "append must not break listing-time pruning")
+
+    // IVF-SQ8: with rerank >= bucket size the exact-rescored answer is
+    // IDENTICAL to the float search (same candidates, same kernel)
+    val sq8 = Ann.searchIvfIndexInt8(spark, dir, q2, k = 5, nprobe = 1,
+      rerank = 100)
+    val sq8Rows = sq8.collect()
+    assert(sq8Rows.map(_.getLong(0)).toSeq == after,
+      "SQ8 rescored top-k must match the float search")
+    // the candidate scan reads codes only: exactly one of the two corpus
+    // scans carries the embedding column in its ReadSchema
+    val ex = sq8.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val schemas = "ReadSchema: (.*)".r.findAllMatchIn(ex).map(_.group(1)).toSeq
+    assert(schemas.count(_.contains("embedding")) == 1 &&
+      schemas.exists(s => s.contains("q8") && !s.contains("embedding")),
+      s"candidate scan must be code-only; ReadSchemas: $schemas")
   }
 
   test("repeated-substring spans: corpus-first survives, islands merge, strip rebuilds") {

@@ -1728,9 +1728,56 @@ object TrainingQueries {
         .limit(20)
     })
 
+  /** The one-call near-dedup pipeline ([[Dedup.nearDedup]]): LSH block →
+    * Jaccard-verify (τ = 0.6) → connected components → keep the longest
+    * doc per cluster. The oracle assembles the already-oracled stage
+    * CTEs end to end — candidate bands, pair Jaccard, recursive CC over
+    * the VERIFIED edges only, max-chars/min-id keep.
+    */
+  private val qDedupPipeline = Q("q_dedup_pipeline",
+    Some(s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+             pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band)
+               WHERE a.doc_id < b.doc_id),
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+             inter AS (SELECT p.id_a, p.id_b, count(*) AS n
+               FROM pairs p
+               JOIN dsh a ON a.doc_id = p.id_a
+               JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             verified AS (SELECT id_a, id_b FROM inter
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(n AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.6),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+               UNION SELECT id_b AS src, id_a AS dst FROM verified),
+             reach AS (
+               SELECT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT reach.doc_id, edges.dst AS r
+               FROM reach JOIN edges ON edges.src = reach.r),
+             cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             f AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+               FROM documents d LEFT JOIN cl USING (doc_id)),
+             mx AS (SELECT cluster_id, max(n_chars) AS mc FROM f GROUP BY 1),
+             best AS (SELECT f.cluster_id, min(f.doc_id) AS keep_id
+               FROM f JOIN mx ON f.cluster_id = mx.cluster_id AND f.n_chars = mx.mc
+               GROUP BY 1)
+             SELECT f.doc_id, f.cluster_id, b.keep_id,
+               f.doc_id = b.keep_id AS kept
+             FROM f JOIN best b USING (cluster_id)"""),
+    (s, d) => Dedup.nearDedup(t(s, d, "documents"), score = col("n_chars")))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
-    qDedupKeepBest, qSourceDrift,
+    qDedupKeepBest, qDedupPipeline, qSourceDrift,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
     qDedupEmbed, qDedupEmbedPairs,

@@ -319,6 +319,32 @@ object Dedup {
         (col(idCol) === col("keep_id")).as("kept"))
   }
 
+  /** The complete production near-dedup pipeline in one call — MinHash
+    * LSH blocking → n-gram Jaccard VERIFICATION of the candidates (LSH
+    * alone admits band-collision false positives; real pipelines verify
+    * before clustering) → connected components over the verified edges →
+    * quality-aware keep ([[keepBest]]). Returns one row per doc:
+    * `(idCol, cluster_id, keep_id, kept)`.
+    *
+    * Scale shape is the composition of its stages' shapes: pair work is
+    * band-bucket-local, Jaccard shingling is pruned to pair members
+    * (a vanishing corpus fraction), CC is O(log diameter) rounds, the
+    * keep rule one combinable argmax — the corpus itself is touched by
+    * exactly two full passes (signatures + the final label join).
+    */
+  def nearDedup(docs: DataFrame, score: Column, threshold: Double = 0.6,
+                shingleSize: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in [0, 1], got $threshold")
+    val pairs = minhashCandidates(
+      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol)
+    val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    keepBest(docs, clusters(verified), score, idCol)
+  }
+
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via
     * shingle join, sizes via per-doc distinct counts.

@@ -61,6 +61,32 @@ class DedupAnnSpec extends SparkSpec {
       (20L, 20L, 20L, true)))
   }
 
+  test("nearDedup: LSH block + jaccard verify + cluster + keep longest") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      (1L, base + " bank"),
+      (2L, base + " bank today"),              // near-dup of 1, longer -> kept
+      (3L, base + " bank"),                    // exact dup of 1
+      (4L, "completely different content about catalyst optimizer rules engine here")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    val byDoc = Dedup.nearDedup(docs, score = col("n_chars"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(byDoc(1L) == (2L, false)) // loses to the longer near-dup
+    assert(byDoc(2L) == (2L, true))
+    assert(byDoc(3L) == (2L, false))
+    assert(byDoc(4L) == (4L, true))  // singleton keeps itself
+    // at tau = 1.0 only the exact dup verifies: the longer near-dup stands
+    // alone and 1/3 resolve between themselves
+    val exactOnly = Dedup.nearDedup(docs, score = col("n_chars"), threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(exactOnly(2L) && exactOnly(4L))
+    assert(exactOnly(1L) != exactOnly(3L)) // one of the exact pair survives
+    intercept[IllegalArgumentException] {
+      Dedup.nearDedup(docs, score = col("n_chars"), threshold = 1.1)
+    }
+  }
+
   test("corpusDiff: added/removed/changed detected, unchanged suppressed") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")

@@ -1083,6 +1083,106 @@ object Queries {
       .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
         "metric", "amount"))
 
+  /** TPC-H Q1 shape (pricing summary): the canonical full-scan
+    * aggregation — one pass over the fact table, a 4-group rollup of
+    * eight aggregates. ALL aggregates ride one partial-agg shuffle of a
+    * handful of groups; nothing else moves. Exact-sum discipline:
+    *   - plain 2-dp columns accumulate via [[dsum]] (scale-4 fixed point,
+    *     DECIMAL(18,4) mirror);
+    *   - the 4-dp product (price × discount-complement) uses the q5
+    *     integer-cents pattern (`round(x·10⁴)` summed as BIGINT — exact,
+    *     fits long at any SF that fits a cluster);
+    *   - the 6-dp triple product (× tax) overflows BIGINT at ~1e8 rows,
+    *     so it accumulates in [[graft.functions.Sum128]] (2⁹⁵ capacity)
+    *     and casts to double once, mirrored by DuckDB's HUGEINT sum cast
+    *     to DOUBLE — the same nearest-double of the same exact integer.
+    * Averages divide the exact sums by the group count — identical
+    * double expression trees on both engines.
+    */
+  private val qTpchQ1 = Q("q_tpch_q1",
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+            SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+            CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus"""),
+    (s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate").cast("timestamp") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("sum_disc_price"),
+        (graft.functions.Sum128(
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")) * 1000000).cast("long"), 0).cast("double")
+          / 1000000.0).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+
+  /** TPC-H Q6 shape (forecast revenue change): the pushdown showcase —
+    * three range predicates and a two-column projection that must ALL
+    * reach the parquet scan (`PushedFilters` + pruned `ReadSchema`,
+    * asserted in PlanAuditSpec for every scored plan), then a single
+    * grand-total partial agg. No shuffle of data — only the one-row
+    * partials move.
+    */
+  private val qTpchQ6 = Q("q_tpch_q6",
+    Some("""SELECT SUM(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""),
+    (s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate").cast("timestamp") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+        .cast("long")) / 10000.0).as("revenue")))
+
+  /** TPC-H Q18 shape (large-volume customer): a grouped HAVING subquery
+    * over the fact table driving a dimension join. Plan discipline: the
+    * per-order quantity rollup is computed ONCE and reused as both the
+    * filter and the output aggregate (the textbook formulation scans
+    * lineitem twice); orders then joins the (rare) qualifying keys — a
+    * shuffle join on the order key that AQE can convert to broadcast
+    * when the survivor set is small — and customer joins last, also
+    * survivor-sized. Top-100 via TakeOrderedAndProject.
+    */
+  private val qTpchQ18 = Q("q_tpch_q18",
+    Some("""WITH hq AS (SELECT l_orderkey,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+              epoch_ms(o_orderdate) AS odate_ms, o_totalprice, total_qty
+            FROM hq JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+    (s, d) => {
+      val hq = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 250)
+      hq.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    })
+
   /** TPC-H Q5 shape (local-supplier volume): the 6-table join. Plan
     * discipline at scale: region→nation→supplier collapse into ONE
     * explicitly-broadcast build side (small at ANY SF); orders and
@@ -1306,7 +1406,8 @@ object Queries {
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,
-    qCorr, qDistinctKmv, qHeavyHitters, qTpchQ3, qTpchQ5,
+    qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
+    qTpchQ18,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,

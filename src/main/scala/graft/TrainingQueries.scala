@@ -838,6 +838,25 @@ object TrainingQueries {
       .orderBy(col("tf").desc, col("token"))
       .limit(30))
 
+  /** Column profiling ([[graft.ops.Profile.profile]]): the
+    * rows/nulls/distinct/extremes pass a pipeline runs on every new
+    * source before anything else. Long-format (one row per column); each
+    * column is one pruned scan with a single-row partial-agg shuffle —
+    * see the Profile scaladoc for the single-scan approximate variant
+    * used at 100 TB. The oracle is the literal UNION ALL of per-column
+    * aggregates.
+    */
+  private val qProfile = Q("q_profile",
+    Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           count(*) - count($c) AS n_nulls,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_value,
+           CAST(max($c) AS VARCHAR) AS max_value FROM orders""")
+      .mkString("\n UNION ALL ")),
+    (s, d) => graft.ops.Profile.profile(t(s, d, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+
   /** Per-source duplication report: how much of each source is exact-dup
     * content (the fingerprint family of q_dedup_exact, aggregated the way
     * a crawl-curation dashboard consumes it). Exact integers; one
@@ -1788,7 +1807,8 @@ object TrainingQueries {
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qDupRate, qCorpusDiff,
+    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qProfile, qDupRate,
+    qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)
 }

@@ -838,6 +838,34 @@ object TrainingQueries {
       .orderBy(col("tf").desc, col("token"))
       .limit(30))
 
+  /** File skipping ([[graft.sources.SkippingIndex]]): lineitem re-laid
+    * out range-partitioned on the order key, manifested from parquet
+    * FOOTERS only, then a key-range aggregation that scans only the
+    * files whose min/max intersect the range (SkippingIndexSpec asserts
+    * the skip counts; the residual filter makes pruning semantically
+    * invisible, which is exactly what this oracle checks). The layout
+    * write is part of the measured query — build cost is the honest
+    * price of the manifest.
+    */
+  private val qSkipping = Q("q_skipping",
+    Some("""SELECT l_returnflag, count(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_orderkey BETWEEN 200 AND 700
+            GROUP BY l_returnflag"""),
+    (s, d) => {
+      val layout = s"${System.getProperty("java.io.tmpdir")}/graft-skip-${Integer.toHexString(d.hashCode)}"
+      t(s, d, "lineitem")
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(layout)
+      graft.sources.SkippingIndex.build(s, layout, Seq("l_orderkey"))
+      graft.sources.SkippingIndex
+        .read(s, layout, "l_orderkey", Some(200L), Some(700L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Sum128(round(col("l_quantity") * 10000).cast("long"), 4)
+            .cast("double").as("sum_qty"))
+    })
+
   /** Column profiling ([[graft.ops.Profile.profile]]): the
     * rows/nulls/distinct/extremes pass a pipeline runs on every new
     * source before anything else. Long-format (one row per column); each
@@ -1807,7 +1835,8 @@ object TrainingQueries {
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qProfile, qDupRate,
+    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qProfile, qSkipping,
+    qDupRate,
     qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,
     qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)

@@ -415,6 +415,47 @@ object TrainingQueries {
       t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
       k = 5))
 
+  /** MMR diversity rerank ([[Ann.mmrTopK]], Carbonell & Goldstein SIGIR
+    * '98): relevance top-32 pool, then greedy `λ·rel − (1−λ)·maxsim`
+    * selection. The oracle is the SAME greedy as a recursive CTE —
+    * DuckDB's `list_dot_product` over DOUBLE lists matches the fused
+    * kernel bit-for-bit (see qAnnTopk note), and the λ literals are
+    * written `0.7e0` so DuckDB types them DOUBLE: a bare `0.7` parses as
+    * DECIMAL, making `(1 − 0.7)` exactly 0.3 where the Scala double is
+    * 0.30000000000000004 — a 1-ulp score split that breaks the hash.
+    */
+  private val qMmr = Q("q_mmr",
+    Some("""WITH RECURSIVE
+            q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            pool AS (
+              SELECT vec_id, ev,
+                list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS rel
+              FROM (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev, qv
+                    FROM embeddings CROSS JOIN q)
+              ORDER BY rel DESC, vec_id LIMIT 32),
+            sel AS (
+              (SELECT 1 AS rank, vec_id AS id, 0.7e0 * rel AS mmr, [vec_id] AS chosen
+               FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+              UNION ALL
+              SELECT s.rank + 1, c.vec_id, c.mmr, list_append(s.chosen, c.vec_id)
+              FROM sel s, LATERAL (
+                SELECT p.vec_id,
+                  0.7e0 * p.rel - (1 - 0.7e0) * (
+                    SELECT max(list_dot_product(p.ev, p2.ev)
+                      / (sqrt(list_dot_product(p.ev, p.ev)) * sqrt(list_dot_product(p2.ev, p2.ev))))
+                    FROM pool p2 WHERE list_contains(s.chosen, p2.vec_id)) AS mmr
+                FROM pool p WHERE NOT list_contains(s.chosen, p.vec_id)
+                ORDER BY mmr DESC, p.vec_id LIMIT 1) c
+              WHERE s.rank < 8)
+            SELECT rank, id, mmr FROM sel"""),
+    (s, d) => Ann.mmrTopK(
+      t(s, d, "embeddings"),
+      t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
+      k = 8, lambdaWeight = 0.7, pool = 32))
+
   // ------------------------------------------------ sampling / splitting
 
   /** Deterministic ≈10% hash sample ([[graft.ops.Sampling.hashSample]]):
@@ -1830,7 +1871,7 @@ object TrainingQueries {
     qDedupEmbed, qDedupEmbedPairs,
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8,
+    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr,
     qSampleHash, qSampleSplit,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,

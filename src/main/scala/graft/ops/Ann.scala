@@ -38,6 +38,79 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR '98):
+    * diversity-aware top-k. Stage 1 is distributed and bounded — the
+    * relevance top-`pool` by the fused cosine kernel, exactly
+    * [[bruteTopK]]'s scan shape (map-side score against the broadcast
+    * query, TakeOrderedAndProject). Stage 2 is the greedy selection over
+    * that pool: `argmax λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)`, ties to
+    * the lowest id — O(k·pool) driver work on ≤ pool rows, the same
+    * bounded-collect contract as [[assign]]'s centroid table. Pairwise
+    * cosines reuse the kernel's exact accumulation order (ascending
+    * sequential double fold), so scores are engine-reproducible and the
+    * DuckDB recursive-CTE oracle hash-matches.
+    *
+    * Like [[bruteTopK]], `query` must be a 1-row DataFrame
+    * `[qv: array<float>]`. Returns `(rank, id, mmr)` with rank 1..k in
+    * selection order; rank 1's score is `λ·rel` (empty selection set —
+    * no penalty term).
+    */
+  def mmrTopK(vectors: DataFrame, query: DataFrame, k: Int,
+              lambdaWeight: Double = 0.5, pool: Int = 32,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool ($pool) >= k ($k) >= 1")
+    val spark = vectors.sparkSession
+    val scored = vectors
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("rel"),
+        col(vecCol).as("__v"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(pool)
+      .collect()
+    // the kernel's exact loop: ascending sequential double accumulation
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    final case class Cand(id: Long, rel: Double, v: Seq[Float])
+    var rest = scored.toSeq.map(r =>
+      Cand(r.get(0).asInstanceOf[Number].longValue(), r.getDouble(1), r.getSeq[Float](2)))
+    val sel = Seq.newBuilder[(Int, Long, Double)]
+    var chosen = Vector.empty[Cand]
+    var rank = 1
+    while (rank <= k && rest.nonEmpty) {
+      val best = rest.map { c =>
+        val penalty =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => cos(c.v, s.v)).max
+        (c, lambdaWeight * c.rel - (1 - lambdaWeight) * penalty)
+      }.minBy { case (c, score) => (-score, c.id) }
+      sel += ((rank, best._1.id, best._2))
+      chosen :+= best._1
+      rest = rest.filterNot(_.id == best._1.id)
+      rank += 1
+    }
+    // parallelize (not a LocalRelation) so the scored plan keeps a
+    // distributed leaf (Scan ExistingRDD) — rank is the selection order
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        sel.result().map { case (r, i, m) => org.apache.spark.sql.Row(r, i, m) }, 1),
+      schema)
+  }
+
   /** Assign every vector to its nearest centroid (argmax cosine; ties →
     * lowest centroid id). The centroid table is collected driver-side
     * (k×dim by contract — the same tiny-table premise as

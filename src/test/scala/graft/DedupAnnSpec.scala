@@ -192,6 +192,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("mmrTopK penalizes redundancy: near-dup cluster members are displaced") {
+    // query between the x-heavy cluster {0,2} and the diagonal 4: pure
+    // relevance ranks (4, 2, 0) — all from the same half-plane; MMR at
+    // λ=0.5 keeps the argmax 4, prefers the less-similar 0 over the
+    // near-dup 2 at rank 2, and at rank 3 the anti-correlated 3 wins
+    // outright (negative max-similarity penalty BOOSTS it) — the
+    // near-dup never makes the cut
+    val q = Seq(Tuple1(Array(0.8f, 0.6f, 0f, 0f))).toDF("qv")
+    val rel = Ann.bruteTopK(vecs, q, 3).collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(4L, 2L, 0L))
+    val mmr = Ann.mmrTopK(vecs, q, k = 3, lambdaWeight = 0.5, pool = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr == Seq(4L, 0L, 3L), s"got $mmr")
+    assert(!mmr.contains(2L), "near-dup of a chosen doc must be displaced")
+    val ranks = Ann.mmrTopK(vecs, q, k = 3, lambdaWeight = 0.5, pool = 5)
+      .select("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks.sorted == Seq(1, 2, 3))
+  }
+
+  test("mmrTopK at λ=1 is exactly relevance order") {
+    val q = vecs.where($"vec_id" === 0).select($"embedding".as("qv"))
+    val rel = Ann.bruteTopK(vecs, q, 4).collect().map(_.getLong(0)).toSeq
+    val mmr = Ann.mmrTopK(vecs, q, k = 4, lambdaWeight = 1.0, pool = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr == rel)
+  }
+
   test("cosineExact matches cosineFast to double noise") {
     val q = vecs.where($"vec_id" === 0).select($"embedding".as("qv"))
     val both = vecs.crossJoin(broadcast(q)).select(

@@ -164,6 +164,33 @@ object TrainingQueries {
       Dedup.ngramJaccard(docs, pairs, scopeToPairs = false)
     })
 
+  /** EXACT set-similarity join via prefix filtering
+    * ([[Dedup.prefixFilterJoin]], PPJoin family): all doc pairs with
+    * shingle-Jaccard ≥ 0.6, no false negatives. The oracle is the
+    * declarative GROUND TRUTH — an unrestricted all-pairs shingle join —
+    * not a mirror of the algorithm, so the hash match IS the
+    * exact-recall proof (an LSH block scored this way would fail on any
+    * pair whose bands all disagree). Division and the τ comparison are
+    * single double ops over exact integers in both engines; `0.6e0`
+    * keeps DuckDB's literal DOUBLE (a bare 0.6 parses DECIMAL — see the
+    * q_mmr note).
+    */
+  private val qDedupPrefix = Q("q_dedup_prefix",
+    Some(s"""WITH $toksCte, $shinglesCte,
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+               FROM dsh a JOIN dsh b
+                 ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             j AS (SELECT id_a, id_b,
+                 CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) AS jaccard
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b)
+             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6e0"""),
+    (s, d) => Dedup.prefixFilterJoin(t(s, d, "documents"), tau = 0.6))
+
   private val qDedupEmbed = Q("q_dedup_embed",
     Some("""SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 1
               + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 2
@@ -413,6 +440,34 @@ object TrainingQueries {
     (s, d) => Ann.lshTopK(
       t(s, d, "embeddings"),
       t(s, d, "embeddings").where(col("vec_id") === 0).select(col("embedding").as("qv")),
+      k = 5))
+
+  /** Batch ANN ([[Ann.bruteTopKBatch]]): exact top-5 per query over a
+    * 3-row query TABLE — the whole-eval-set retrieval shape. The oracle
+    * ranks with a per-query window over the same bit-exact cosine (see
+    * qAnnTopk's kernel note); the scored plan's per-query rank is the
+    * salted two-stage topKPerKey, not a single whole-corpus window.
+    */
+  private val qAnnMulti = Q("q_ann_multi",
+    Some("""WITH q AS (SELECT vec_id AS query_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            d AS (SELECT q.query_id, e.vec_id,
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev, q.qv
+              FROM embeddings e CROSS JOIN q),
+            scored AS (SELECT query_id, vec_id,
+                list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos
+              FROM d),
+            r AS (SELECT query_id, vec_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+            SELECT query_id, vec_id, cos FROM r WHERE rn <= 5"""),
+    (s, d) => Ann.bruteTopKBatch(
+      t(s, d, "embeddings"),
+      t(s, d, "embeddings").where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       k = 5))
 
   /** MMR diversity rerank ([[Ann.mmrTopK]], Carbonell & Goldstein SIGIR
@@ -1871,7 +1926,8 @@ object TrainingQueries {
     qDedupEmbed, qDedupEmbedPairs,
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
-    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr,
+    qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr, qAnnMulti,
+    qDedupPrefix,
     qSampleHash, qSampleSplit,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,

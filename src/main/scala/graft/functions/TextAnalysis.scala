@@ -72,6 +72,39 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f\\x80-\\x9f]", ""),
       "[\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]", " ")
 
+  /** HTML → text extraction: the boilerplate-strip stage a crawl pipeline
+    * runs before ANY text analysis (quality, lang-id, dedup all assume
+    * prose, not markup). Pure regexp chain — map-side, codegen'd, no UDF,
+    * same policy as [[redactPii]]. Order matters: script/style elements
+    * drop WITH their content (code is not prose), comments drop, every
+    * remaining tag becomes a space (so `<p>a</p><p>b</p>` keeps the word
+    * boundary), then the HTML-core named entities decode — `&amp;` LAST,
+    * so `&amp;lt;` yields the literal text `&lt;` rather than
+    * double-decoding to `<`. Whitespace collapses to single spaces and
+    * trims.
+    *
+    * Deliberate heuristic bounds (documented, not bugs): a literal `>`
+    * inside a quoted attribute value ends the tag early, and numeric
+    * character references (`&#…;`) pass through undecoded — a full HTML5
+    * tokenizer is a parser, not an expression; this is the map-side
+    * approximation that handles machine-generated crawl markup.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: earlier entities must not re-decode
+    ).foldLeft(noTags) { case (c, (entity, ch)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(entity),
+        java.util.regex.Matcher.quoteReplacement(ch))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
+  }
+
   /** Occurrences of a literal substring. */
   def occurrences(text: Column, token: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(token), ""))) / token.length).cast("long")

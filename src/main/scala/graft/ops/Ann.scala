@@ -38,6 +38,32 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Exact brute-force top-k per query over a query TABLE
+    * `[queryIdCol, qv: array<float>]` — the batch-retrieval shape (RAG
+    * curation scores a whole eval set, not one vector). The query table
+    * broadcasts (bounded by contract, like [[assign]]'s centroids); each
+    * corpus row is scored against every query map-side, so the corpus
+    * never shuffles on a data key — the only shuffle is the per-query
+    * top-k itself, taken via [[Sampling.topKPerKey]]'s salted two-stage
+    * rank: per-(query, salt) partial top-k first, so one query's k·salts
+    * survivors — not its full corpus-sized score column — reach the
+    * final per-query rank. A plain `Window.partitionBy(query)` would
+    * funnel the whole corpus through nq tasks at 100 TB; the salted form
+    * caps every task at candidate-set size.
+    *
+    * Returns `(queryIdCol, idCol, cos)`, k rows per query (fewer only if
+    * the corpus is smaller than k).
+    */
+  def bruteTopKBatch(vectors: DataFrame, queries: DataFrame, k: Int,
+                     queryIdCol: String = "query_id",
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Sampling.topKPerKey(
+      vectors.crossJoin(broadcast(queries))
+        .select(col(queryIdCol), col(idCol),
+          graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos")),
+      key = col(queryIdCol), order = col("cos").desc, tiebreak = col(idCol),
+      k = k)
+
   /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR '98):
     * diversity-aware top-k. Stage 1 is distributed and bounded — the
     * relevance top-`pool` by the fused cosine kernel, exactly

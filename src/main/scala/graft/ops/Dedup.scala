@@ -351,25 +351,36 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   scopeToPairs: Boolean = true): DataFrame = {
+                   scopeToPairs: Boolean = true,
+                   precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // Shingle only the docs that actually appear in a candidate pair: in
     // the real dedup flow `pairs` comes from LSH blocking and names a
     // vanishing fraction of the corpus, so the semi-join prunes the
     // shingle explode (the expensive part) before it happens. A caller
     // whose pair set provably spans the corpus (e.g. the oracle query's
     // adjacent-id pairs) passes scopeToPairs=false to skip the pure-
-    // overhead prune.
-    val scoped = if (!scopeToPairs) docs else {
-      val pairIds = pairs.select(col("id_a").as(idCol))
-        .union(pairs.select(col("id_b").as(idCol))).distinct()
-      docs.join(pairIds, Seq(idCol), "left_semi")
-    }
+    // overhead prune. A caller that already materialized the distinct
+    // shingle table (e.g. [[prefixFilterJoin]], whose candidate stage
+    // needs it anyway) passes it via `precomputedShingles` so the
+    // corpus-wide explode runs once, not twice — the pair-scope prune
+    // still applies to it.
+    def pairIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
     // cached: the distinct shingle set feeds three consumers (two sides of
     // the intersection join + the size table) and is the expensive part.
     // Caller-managed lifetime (like minhashCandidates' signature cache):
     // release with df.sparkSession.catalog.clearCache() / sh unpersist when
-    // the result has been materialized.
-    val sh = shingles(scoped, shingleSize, idCol, textCol).distinct().cache()
+    // the result has been materialized. With a precomputed table the
+    // scope prune applies to it directly; otherwise the prune runs on
+    // `docs` BEFORE the explode (never explode what the scope drops).
+    val sh = (precomputedShingles match {
+      case Some(pre) =>
+        if (!scopeToPairs) pre else pre.join(pairIds, Seq(idCol), "left_semi")
+      case None =>
+        val scopedDocs =
+          if (!scopeToPairs) docs else docs.join(pairIds, Seq(idCol), "left_semi")
+        shingles(scopedDocs, shingleSize, idCol, textCol).distinct()
+    }).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle", "s"), Seq("id_a"))
@@ -383,6 +394,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** EXACT set-similarity join via prefix filtering (Chaudhuri et al.
+    * ICDE 2006; Xiao et al. WWW 2008, PPJoin's prefix+length filters):
+    * every doc pair with shingle-Jaccard ≥ `tau`, with NO false
+    * negatives — the exact-recall alternative to the probabilistic
+    * MinHash-LSH block ([[minhashCandidates]] misses pairs whose bands
+    * all disagree; this can't).
+    *
+    * Pigeonhole guarantee: order each doc's distinct shingles by a
+    * global canonical order (document frequency ascending, shingle —
+    * rarest first) and keep only its PREFIX of
+    * `|s| − ⌈tau·|s|⌉ + 1` shingles. Two docs with Jaccard ≥ tau share
+    * ≥ ⌈tau·max(|a|,|b|)⌉ shingles, so their prefixes must intersect —
+    * candidate generation joins prefixes only. Because prefixes hold
+    * each doc's RAREST shingles, bucket populations on the join key are
+    * inherently small (the hot boilerplate shingles that blow up a
+    * naive shingle self-join are exactly the ones prefixes exclude);
+    * the length filter `min(|a|,|b|) ≥ tau·max(|a|,|b|)` prunes
+    * impossible size ratios before the verify. Survivors are
+    * exact-verified by [[ngramJaccard]] — false positives cost time,
+    * never correctness, so the float-guard slop (−1e-9 before each
+    * ceil) only ever widens the candidate set.
+    *
+    * Scale shape: one shuffle on shingle for document frequencies, one
+    * per-doc window for prefix ranks (partition = one doc's shingles,
+    * bounded by doc length), prefix-bucket-local pair join, pair-scoped
+    * verify. Docs with fewer than `shingleSize` tokens have no shingles
+    * and never pair (same domain as every other shingle op here).
+    * Returns `(id_a, id_b, jaccard)`, id_a < id_b, jaccard ≥ tau.
+    */
+  def prefixFilterJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val prefix = sh
+      .join(dfreq, Seq("shingle"))
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))))
+      .join(sizes, Seq(idCol))
+      .where(col("_rnk") <=
+        col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select(col(idCol), col("shingle"), col("_rnk"), col("sz"))
+    // Positional filter (PPJoin): a shared prefix shingle at canonical
+    // ranks (i, j) bounds the overlap — at most min(i,j)−1 shared
+    // shingles can precede it and at most min(sz_a−i, sz_b−j) can follow,
+    // so overlap ≤ min(i,j) + min(sz_a−i, sz_b−j). J ≥ τ needs overlap
+    // ≥ α = ⌈τ/(1+τ)·(sz_a+sz_b)⌉; the bound holds for EVERY shared
+    // prefix shingle, so a pair whose matches ALL fail it is proven
+    // under-τ and never reaches the verify. Per-match filter before the
+    // pair distinct = drop exactly when all matches fail — recall-safe
+    // (the −1e-9 ceil guard again only widens).
+    val cands = prefix.select(col(idCol).as("id_a"), col("shingle"),
+        col("_rnk").as("_i"), col("sz").as("sz_a"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle"),
+        col("_rnk").as("_j"), col("sz").as("sz_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(tau) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9) &&
+        least(col("_i"), col("_j")) +
+          least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >=
+          ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
+      .select("id_a", "id_b").distinct()
+    ngramJaccard(docs, cands, shingleSize, idCol, textCol,
+        precomputedShingles = Some(sh))
+      .where(col("jaccard") >= lit(tau))
   }
 
   /** Marked duplicated k-gram occurrences — the anchor stage of

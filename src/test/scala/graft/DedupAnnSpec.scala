@@ -192,6 +192,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("prefixFilterJoin equals brute-force all-pairs ground truth") {
+    // ground truth: exact Jaccard over EVERY pair (no filtering at all)
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    for (tau <- Seq(0.5, 0.9)) {
+      val truth = Dedup.ngramJaccard(corpus, allPairs, scopeToPairs = false)
+        .where($"jaccard" >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.prefixFilterJoin(corpus, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == truth, s"tau=$tau: got $got, want $truth")
+      assert(truth.nonEmpty) // the fixture must actually exercise the join
+    }
+  }
+
+  test("prefixFilterJoin: tau boundary is inclusive, above-tau excluded") {
+    // 3 shingles each, 2 shared -> jaccard exactly 2/4 = 0.5
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w6")
+    ).toDF("doc_id", "text")
+    val at = Dedup.prefixFilterJoin(d, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(at == Seq((1L, 2L, 0.5)))
+    assert(Dedup.prefixFilterJoin(d, tau = 0.51).collect().isEmpty)
+  }
+
+  test("bruteTopKBatch matches per-query bruteTopK for every query") {
+    val queries = vecs.where($"vec_id".isin(0L, 1L, 3L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val batch = Ann.bruteTopKBatch(vecs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).toSeq).toMap
+    assert(batch.keySet == Set(0L, 1L, 3L))
+    for (qid <- Seq(0L, 1L, 3L)) {
+      val single = Ann.bruteTopK(vecs,
+          vecs.where($"vec_id" === qid).select($"embedding".as("qv")), k = 3)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+  }
+
   test("mmrTopK penalizes redundancy: near-dup cluster members are displaced") {
     // query between the x-heavy cluster {0,2} and the diagonal 4: pure
     // relevance ranks (4, 2, 0) — all from the same half-plane; MMR at

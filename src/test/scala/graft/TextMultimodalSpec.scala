@@ -252,6 +252,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(resized(4L) == ((100, null, null)))   // audio: fully untouched
   }
 
+  test("htmlToText strips markup, keeps prose, decodes core entities") {
+    val docs = Seq(
+      (1L, """<!DOCTYPE html><html><head><title>T</title>
+             |<style>body { color: red; }</style>
+             |<script type="text/javascript">var x = "<p>not prose</p>";</script>
+             |</head><body>
+             |<!-- nav boilerplate -->
+             |<h1 class="big">Hello &amp; welcome</h1>
+             |<p>First&nbsp;para.</p><p>Second one.</p>
+             |<a href="/x?a=1&amp;b=2">5 &lt; 7 &gt; 3</a>
+             |</body></html>""".stripMargin),
+      (2L, "plain text, no markup at all"),
+      (3L, "a &amp;lt; b") // decodes to the literal text "&lt;", never "<"
+    ).toDF("doc_id", "html")
+    val got = docs.select($"doc_id", TextAnalysis.htmlToText($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) ==
+      "T Hello & welcome First para. Second one. 5 < 7 > 3")
+    assert(got(2L) == "plain text, no markup at all")
+    assert(got(3L) == "a &lt; b")
+  }
+
+  test("htmlToText output feeds the text pipeline (tokens, quality domain)") {
+    val html = Seq((1L, "<p>the quick brown fox</p>")).toDF("doc_id", "html")
+    val toks = html
+      .select(TextAnalysis.tokenCount(TextAnalysis.htmlToText($"html")).as("n"))
+      .collect()(0).getInt(0)
+    assert(toks == 4)
+  }
+
   test("PII scrub: redaction tags + per-type counts, precedence-safe") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@example.co.uk or jo@ex.org today"),

@@ -361,6 +361,43 @@ object Queries {
             GROUP BY event_type"""),
     (s, d) => histMedian(t(s, d, "events"), "event_type", "value", "median"))
 
+  /** EXACT weighted median per group — the lower weighted median (the
+    * smallest value whose cumulative weight reaches ⌈W/2⌉): the robust
+    * location stat when rows carry unequal mass (here: price weighted by
+    * quantity — the "median traded price" a per-row median misstates).
+    * Same histogram-rank scale shape as [[qMedian]]: aggregate weights
+    * per DISTINCT (group, value) first, then the rank window runs over
+    * distinct values only — never a per-group sort of raw rows. Weights
+    * are integral by contract (cast to long before summing), so the
+    * ⌈W/2⌉ threshold is exact integer arithmetic in both engines; the
+    * selected value is a decimal copied verbatim (cast to double only at
+    * output), so no arithmetic can split the engines.
+    */
+  private val qWeightedMedian = Q("q_weighted_median",
+    Some("""WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+              SUM(CAST(l_quantity AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT g, v, w,
+              SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+              SUM(w) OVER (PARTITION BY g) AS tot FROM h)
+            SELECT g AS l_returnflag, CAST(v AS DOUBLE) AS wmedian
+            FROM r
+            WHERE cum - w < (tot + 1) // 2 AND (tot + 1) // 2 <= cum"""),
+    (s, d) => {
+      val hist = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val half = expr("(tot + 1) div 2") // exact integer arithmetic at any W
+      hist
+        .select(col("l_returnflag"), col("l_extendedprice"), col("w"),
+          sum(col("w")).over(wv).as("cum"),
+          sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+        .where(col("cum") - col("w") < half && half <= col("cum"))
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("wmedian"))
+    })
+
   /** Median absolute deviation — the robust spread statistic — EXACT per
     * group: median pass, broadcast the per-group medians back, deviation
     * pass through the SAME histogram-rank machinery. Both passes rank
@@ -1405,7 +1442,7 @@ object Queries {
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
-    qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean,
+    qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean, qWeightedMedian,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,

@@ -63,6 +63,30 @@ object TrainingQueries {
              WHERE a.doc_id < b.doc_id"""),
     (s, d) => Dedup.minhashCandidates(Dedup.minhash(t(s, d, "documents"))))
 
+  /** Incremental dedup ([[Dedup.incrementalCandidates]]): a 10% "new
+    * crawl batch" (doc_id % 10 = 7) deduped against the other 90% via the
+    * persisted bucketed band index — the index build is part of the
+    * measured query, same honest-cost policy as q_skipping. The oracle is
+    * the full-corpus band pairs RESTRICTED to pairs touching the batch:
+    * exactly what incremental must find without recomputing the corpus.
+    */
+  private val qDedupIncremental = Q("q_dedup_incremental",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig)
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id
+               AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)"""),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tbl = s"graft_band_index_${Integer.toHexString(d.hashCode)}"
+      Dedup.writeBandIndex(docs.where(col("doc_id") % 10 =!= 7), tbl)
+      Dedup.incrementalCandidates(docs.where(col("doc_id") % 10 === 7), tbl)
+    })
+
   private val qDedupSimhash = Q("q_dedup_simhash",
     Some("""WITH toks AS (SELECT doc_id,
               md5(unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' '))) AS h
@@ -534,6 +558,44 @@ object TrainingQueries {
             FROM documents GROUP BY 1, 2"""),
     (s, d) => graft.ops.Sampling.assignSplit(t(s, d, "documents"), "doc_id")
       .groupBy("split", "lang").agg(count(lit(1)).as("n")))
+
+  /** Leakage-safe split ([[graft.ops.Sampling.leakageSafeSplit]]): split
+    * by duplicate CLUSTER so a test doc never has a train-set near-dup —
+    * the recursive-CC oracle assembles cluster labels (qDedupClusters'
+    * CTE), defaults singletons to their own id, and applies the same md5
+    * split rule keyed on the cluster id. Every member of a cluster gets
+    * the same split by construction in BOTH engines.
+    */
+  private val qSplitGrouped = Q("q_split_grouped",
+    Some(s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+             pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band)
+               WHERE a.doc_id < b.doc_id),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS doc_id, src AS r FROM edges
+               UNION
+               SELECT reach.doc_id, edges.dst AS r
+               FROM reach JOIN edges ON edges.src = reach.r),
+             cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+             lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN cl USING (doc_id))
+             SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                 WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test' END AS split
+             FROM lab"""),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Sampling.leakageSafeSplit(docs,
+          Dedup.minhashCandidates(Dedup.minhash(docs)))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    })
 
   /** Systematic PPS sample ([[graft.ops.Sampling.systematicSample]]):
     * ≈50 docs picked with probability proportional to length — the
@@ -1919,7 +1981,8 @@ object TrainingQueries {
     (s, d) => Dedup.nearDedup(t(s, d, "documents"), score = col("n_chars")))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupClusters,
+    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupIncremental,
+    qDedupClusters,
     qDedupKeepBest, qDedupPipeline, qSourceDrift,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
@@ -1928,7 +1991,7 @@ object TrainingQueries {
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr, qAnnMulti,
     qDedupPrefix,
-    qSampleHash, qSampleSplit,
+    qSampleHash, qSampleSplit, qSplitGrouped,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,

@@ -139,6 +139,87 @@ object Dedup {
       .where(col("population") > maxBandPopulation)
   }
 
+  /** Persist the LSH band index for INCREMENTAL dedup: (id, band) rows,
+    * hash-bucketed AND sorted on `band` via the session catalog (the
+    * [[graft.Warehouse.saveBucketed]] layout). This is the structure that
+    * makes daily-crawl dedup O(batch), not O(corpus): a new batch joins
+    * the index on `band`, and because the index is bucketed on exactly
+    * that key, Catalyst reuses the bucketing — the 100-TB index side is
+    * NEVER re-shuffled; only the (small) new batch exchanges to match.
+    * `mode = "append"` preserves the bucketing, so growing the index is
+    * a per-batch file append, no rewrite.
+    *
+    * Degenerate bands: divert boilerplate bands with [[oversizedBands]]
+    * BEFORE indexing (same recall contract as [[minhashCandidates]]'s
+    * guard) — an indexed hot band re-creates the quadratic bucket on
+    * every future batch.
+    */
+  def writeBandIndex(docs: DataFrame, table: String, numBuckets: Int = 64,
+                     mode: String = "overwrite",
+                     numHashes: Int = 4, shingleSize: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    if (mode == "overwrite") {
+      // A fresh session's in-memory catalog doesn't know about a managed
+      // table directory left on disk by an earlier JVM, and saveAsTable
+      // then refuses with LOCATION_ALREADY_EXISTS — drop the catalog
+      // entry AND the orphaned default-warehouse location before writing.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val sig = minhash(docs, numHashes, shingleSize, idCol, textCol)
+    val bandCols = (0 until numHashes / 2).map(b => col(s"band$b"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .write.mode(mode)
+      .bucketBy(numBuckets, "band")
+      .sortBy("band")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Grow the [[writeBandIndex]] index with a new batch (bucketing
+    * preserved — call AFTER [[incrementalCandidates]] so the batch does
+    * not pair with itself twice).
+    */
+  def appendToBandIndex(newDocs: DataFrame, table: String, numBuckets: Int = 64,
+                        numHashes: Int = 4, shingleSize: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBandIndex(newDocs, table, numBuckets, mode = "append",
+      numHashes, shingleSize, idCol, textCol)
+
+  /** Candidate pairs for a NEW batch against an existing [[writeBandIndex]]
+    * corpus index, plus the batch's internal pairs — exactly the pairs
+    * [[minhashCandidates]] over (corpus ∪ batch) would emit that touch the
+    * batch, without ever recomputing (or re-shuffling) the corpus side.
+    * Output matches [[minhashCandidates]]: distinct `(id_a, id_b)`,
+    * id_a < id_b (a batch doc whose id already exists in the index never
+    * pairs with itself).
+    */
+  def incrementalCandidates(newDocs: DataFrame, indexTable: String,
+                            numHashes: Int = 4, shingleSize: Int = 3,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sig = minhash(newDocs, numHashes, shingleSize, idCol, textCol)
+    val bandCols = (0 until numHashes / 2).map(b => col(s"band$b"))
+    // cached: feeds the index join AND the batch self-join
+    val newBands = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("band")).cache()
+    val index = spark.table(indexTable)
+    val newVsOld = newBands.as("n")
+      .join(index.as("o"), col("n.band") === col("o.band"))
+      .where(col(s"n.$idCol") =!= col(s"o.$idCol"))
+      .select(least(col(s"n.$idCol"), col(s"o.$idCol")).as("id_a"),
+        greatest(col(s"n.$idCol"), col(s"o.$idCol")).as("id_b"))
+    val newVsNew = newBands.as("a")
+      .join(newBands.as("b"), col("a.band") === col("b.band"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    newVsOld.union(newVsNew).distinct()
+  }
+
   /** SimHash: `bits`-bit signature from per-token md5 bit votes. Two docs
     * are near-dups when hamming(simhash) is small. Map-side expression
     * work + one groupBy(id, bit) + one groupBy(id) — no joins.

@@ -56,6 +56,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test assignment: split by duplicate CLUSTER,
+    * not by document — near-duplicate docs land in the SAME split, so a
+    * test doc never has a training-set twin (the eval-contamination
+    * failure a per-doc hash split cannot prevent; splitting before
+    * deduplicating is the classic benchmark-inflation bug). `pairs` is
+    * any candidate/verified duplicate-pair table (`id_a`, `id_b` — LSH
+    * candidates, prefix-join survivors, …); docs in no pair form their
+    * own singleton cluster. Assignment hashes the cluster's canonical
+    * (min) id with the same md5 rule as [[assignSplit]], so it stays
+    * deterministic and growth-stable as long as the cluster's minimum
+    * member is stable.
+    *
+    * Scale shape: [[Dedup.clusters]]' O(log diameter) label propagation
+    * over the pair graph (pairs only — never corpus-wide), one left join
+    * to carry labels back, map-side split assignment. Returns `docs` +
+    * `cluster_id` + `split`.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       trainEnd: String = "cc", valEnd: String = "e6"): DataFrame = {
+    val labeled = docs
+      .join(Dedup.clusters(pairs).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    assignSplit(labeled, "cluster_id", trainEnd, valEnd)
+  }
+
   /** Sequential sequence packing: assign each document a `bin` so that
     * consecutive documents (ordered by `orderCol` within a `shardCol`
     * partition) accumulate into ~`budget`-token context windows —

@@ -192,6 +192,55 @@ class DedupAnnSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("incrementalCandidates == full-corpus candidates touching the batch; append grows the index") {
+    val old = corpus.where($"doc_id" <= 3)
+    val batch1 = corpus.where($"doc_id" === 4 || $"doc_id" === 5)
+    val tbl = "graft_test_band_index"
+    Dedup.writeBandIndex(old, tbl, numBuckets = 4)
+    val full = Dedup.minhashCandidates(Dedup.minhash(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want1 = full.filter(p => p._1 >= 4 || p._2 >= 4)
+    val got1 = Dedup.incrementalCandidates(batch1, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 == want1, s"got $got1, want $want1")
+    assert(got1.contains((1L, 5L))) // ws-variant of 1 found across the index boundary
+
+    // append batch1, then a second batch pairs against BOTH old and batch1
+    Dedup.appendToBandIndex(batch1, tbl, numBuckets = 4)
+    val batch2 = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.incrementalCandidates(batch2, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want2 = Dedup.minhashCandidates(Dedup.minhash(corpus.union(batch2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 == 9L || p._2 == 9L)
+    assert(got2 == want2, s"got $got2, want $want2")
+    // exact dups of doc 1 must all pair with the new twin
+    assert(Set((1L, 9L), (2L, 9L), (5L, 9L)).subsetOf(got2))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("incremental band join never re-shuffles the bucketed index side") {
+    val tbl = "graft_test_band_index_plan"
+    Dedup.writeBandIndex(corpus.where($"doc_id" <= 3), tbl, numBuckets = 4)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the join MUST pick a partitioned strategy —
+      // the only hash exchange allowed is then the new-batch side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val sig = Dedup.minhash(corpus.where($"doc_id" >= 4))
+      val newBands = sig.select($"doc_id", explode(array($"band0", $"band1")).as("band"))
+      val joined = newBands.join(spark.table(tbl).withColumnRenamed("doc_id", "old_id"), "band")
+      val plan = joined.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"want exactly 1 shuffle (the batch side), got $shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("prefixFilterJoin equals brute-force all-pairs ground truth") {
     // ground truth: exact Jaccard over EVERY pair (no filtering at all)
     val ids = corpus.select("doc_id").as[Long].collect().sorted

@@ -57,4 +57,37 @@ class MedianHistogramSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got("g") == 29.0 / 8)
   }
+
+  private def wmedians(rows: (String, Double, Long)*): Map[String, Double] = {
+    val dir = java.nio.file.Files.createTempDirectory("wmedian").toString
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    SparkEntry.queries("q_weighted_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("weighted median: weight mass, not row count, locates the middle") {
+    val m = wmedians(
+      // W=10, threshold (10+1) div 2 = 5: cum(1.0)=4 < 5, cum(2.0)=7 ≥ 5
+      ("a", 1.0, 4L), ("a", 2.0, 3L), ("a", 3.0, 3L),
+      // a heavy single value dominates many light ones
+      ("b", 5.0, 1L), ("b", 6.0, 1L), ("b", 100.0, 10L))
+    assert(m("a") == 2.0)
+    assert(m("b") == 100.0)
+  }
+
+  test("weighted median: exact half boundary picks the LOWER value; dup values merge") {
+    // W=4, threshold (4+1) div 2 = 2: cum(1.0)=2 ≥ 2 → lower median 1.0
+    val m = wmedians(("e", 1.0, 2L), ("e", 5.0, 2L))
+    assert(m("e") == 1.0)
+    // same value split across rows must aggregate before ranking:
+    // v=7 carries w=3 of W=5 → threshold 3 → cum(3.0)=2 < 3, cum(7.0)=5 ≥ 3
+    val m2 = wmedians(("d", 7.0, 1L), ("d", 3.0, 2L), ("d", 7.0, 2L))
+    assert(m2("d") == 7.0)
+  }
+
+  test("weighted median with unit weights is the lower plain median") {
+    val m = wmedians(("u", 1.0, 1L), ("u", 2.0, 1L), ("u", 10.0, 1L), ("u", 20.0, 1L))
+    assert(m("u") == 2.0) // even n: LOWER median by definition, no averaging
+  }
 }

@@ -187,6 +187,29 @@ class SamplingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("leakageSafeSplit: cluster members co-assign; singletons match per-doc split") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.ops.Sampling.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the chained component labels by its min id and co-assigns
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).toSet.size == 1,
+      "near-dup cluster split across train/test = leakage")
+    // docs in no pair are their own cluster and get the plain per-doc split
+    val perDoc = graft.ops.Sampling.assignSplit(docs, "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- Seq(4L, 5L, 6L)) {
+      assert(got(i)._1 == i)
+      assert(got(i)._2 == perDoc(i))
+    }
+    // cluster members get the CLUSTER representative's split, doc 1's own
+    assert(Seq(2L, 3L).map(got(_)._2).toSet == Set(perDoc(1L)))
+  }
+
   test("chunkDocuments: overlap carry, no suffix-duplicate tail, short docs whole") {
     import spark.implicits._
     val docs = Seq(

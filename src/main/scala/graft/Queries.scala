@@ -261,6 +261,28 @@ object Queries {
         .select(col("purchase_id"), col("click_id"), purchases("user_id"))
     })
 
+  /** Fuzzy entity-matching join ([[graft.ops.Fuzzy.editDistanceJoin]]):
+    * customer names within Levenshtein distance 1, found via
+    * symmetric-delete blocking — exact recall (oracle = the same blocking
+    * in DuckDB, spec = brute-force all-pairs ground truth), never an
+    * all-pairs cross join. One nation keeps the pair set bounded without
+    * changing the join's shape.
+    */
+  private val qFuzzyJoin = Q("q_fuzzy_join",
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+              WHERE c_nationkey = 1),
+            pos AS (SELECT id, s, unnest(range(1, len(s)+1)) AS i FROM c),
+            v AS (SELECT id, s, substr(s, 1, i-1) || substr(s, i+1) AS v FROM pos
+                  UNION ALL SELECT id, s, s FROM c)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+              levenshtein(a.s, b.s) AS dist
+            FROM v a JOIN v b USING (v)
+            WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 1"""),
+    (s, d) => graft.ops.Fuzzy.editDistanceJoin(
+      t(s, d, "customer").where(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      maxDist = 1))
+
   private val qCount = Q("q_count",
     Some("SELECT count(*) AS n FROM lineitem"),
     (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
@@ -396,6 +418,132 @@ object Queries {
         .where(col("cum") - col("w") < half && half <= col("cum"))
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("double").as("wmedian"))
+    })
+
+  /** EXACT weighted quantiles per group — the ⌈p·W⌉ generalization of
+    * [[qWeightedMedian]] (lower weighted quantile at p = ¼, ½, ¾): ONE
+    * ranked weight histogram serves all three cut points via conditional
+    * min, so adding quantiles costs zero extra shuffles. Same
+    * distinct-values-only window; thresholds ⌈p·W⌉ are exact integer
+    * arithmetic (`(p·W + (q−1)) div q`) in both engines.
+    */
+  private val qWeightedQuantiles = Q("q_weighted_quantiles",
+    Some("""WITH h AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+              SUM(CAST(l_quantity AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT g, v, w,
+              SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum,
+              SUM(w) OVER (PARTITION BY g) AS tot FROM h)
+            SELECT g AS l_returnflag,
+              CAST(MIN(CASE WHEN cum >= (tot + 3) // 4 THEN v END) AS DOUBLE) AS wq25,
+              CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS DOUBLE) AS wq50,
+              CAST(MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN v END) AS DOUBLE) AS wq75
+            FROM r GROUP BY g"""),
+    (s, d) => {
+      val hist = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = hist.select(col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        sum(col("w")).over(wv).as("cum"),
+        sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+      def cut(t: Column) =
+        min(when(col("cum") >= t, col("v"))).cast("double")
+      ranked.groupBy(col("l_returnflag")).agg(
+        cut(expr("(tot + 3) div 4")).as("wq25"),
+        cut(expr("(tot + 1) div 2")).as("wq50"),
+        cut(expr("(3 * tot + 3) div 4")).as("wq75"))
+    })
+
+  /** EXACT per-group mode (most frequent value, smallest-value tiebreak)
+    * — ONE histogram shuffle then a single map-side-combinable struct-max
+    * (max count, then min value via negation): no window, no second
+    * shuffle, the profiling "most common value" stat at any scale.
+    */
+  private val qMode = Q("q_mode",
+    Some("""WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT g, v, cnt, MAX(cnt) OVER (PARTITION BY g) AS mx FROM c)
+            SELECT g AS l_returnflag, CAST(MIN(v) AS DOUBLE) AS mode_v,
+              CAST(MAX(mx) AS BIGINT) AS mode_n
+            FROM m WHERE cnt = mx GROUP BY g"""),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nv"))).as("m"))
+      .select(col("l_returnflag"),
+        (-col("m.nv")).cast("double").as("mode_v"),
+        col("m.cnt").as("mode_n")))
+
+  /** Spearman rank correlation per group — the ROBUST association stat
+    * (monotone, outlier-proof) data profiling pairs with [[qCorr]]'s
+    * Pearson. Exact with ties: average fractional ranks are carried
+    * DOUBLED (`2·rank + tiecount − 1`, always integral), and Pearson is
+    * affine-invariant so rho over doubled ranks equals rho over average
+    * ranks. Scale shape: ranks come from per-distinct-value histograms
+    * (never a per-row sort window) — marginal sums (sx, sxx / sy, syy)
+    * aggregate straight off each histogram; only the cross moment sxy
+    * touches the joint (g, x, y) histogram, which joins the two rank
+    * tables on their value keys. All sums are exact 128-bit integer
+    * accumulation ([[graft.functions.Sum128]]); the DuckDB mirror routes
+    * its HUGEINT sums through VARCHAR so both engines cast
+    * correctly-rounded to double before the identical IEEE rho formula
+    * (same contract as [[qCorr]]).
+    */
+  private val qSpearman = Q("q_spearman",
+    Some("""WITH r AS (SELECT l_returnflag AS g,
+              2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+              2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+              FROM lineitem),
+            s AS (SELECT g, count(*) AS n,
+              CAST(CAST(SUM(rx) AS VARCHAR) AS DOUBLE) AS sx,
+              CAST(CAST(SUM(ry) AS VARCHAR) AS DOUBLE) AS sy,
+              CAST(CAST(SUM(rx * rx) AS VARCHAR) AS DOUBLE) AS sxx,
+              CAST(CAST(SUM(ry * ry) AS VARCHAR) AS DOUBLE) AS syy,
+              CAST(CAST(SUM(rx * ry) AS VARCHAR) AS DOUBLE) AS sxy
+              FROM r GROUP BY g)
+            SELECT g AS l_returnflag, n,
+              (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS spearman_qp
+            FROM s"""),
+    (s, d) => {
+      import graft.functions.Sum128
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+      // doubled average rank per distinct value: 2·cum − cnt + 1
+      def rankHist(c: String) = {
+        val h = li.groupBy(col("g"), col(c)).agg(count(lit(1)).as("cnt"))
+        h.select(col("g"), col(c),  col("cnt"),
+          (sum(col("cnt")).over(Window.partitionBy("g").orderBy(c)) * 2
+            - col("cnt") + 1).as(s"r$c"))
+      }
+      val hx = rankHist("x"); val hy = rankHist("y")
+      // marginal moments straight off each histogram (no row join)
+      def marg(h: DataFrame, c: String, sN: String, ssN: String) =
+        h.groupBy("g").agg(
+          Sum128(col("cnt") * col(s"r$c"), 0).cast("double").as(sN),
+          Sum128(col("cnt") * col(s"r$c") * col(s"r$c"), 0).cast("double").as(ssN),
+          sum(col("cnt")).as(s"n_$c"))
+      val mx = marg(hx, "x", "sx", "sxx")
+      val my = marg(hy, "y", "sy", "syy")
+      // cross moment over the joint histogram + the two rank tables
+      val joint = li.groupBy("g", "x", "y").agg(count(lit(1)).as("cxy"))
+        .join(hx.select(col("g"), col("x"), col("rx")), Seq("g", "x"))
+        .join(hy.select(col("g"), col("y"), col("ry")), Seq("g", "y"))
+        .groupBy("g")
+        .agg(Sum128(col("cxy") * col("rx") * col("ry"), 0)
+          .cast("double").as("sxy"))
+      mx.join(my, "g").join(joint, "g")
+        .select(col("g").as("l_returnflag"), col("n_x").as("n"),
+          ((col("n_x") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_x") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n_x") * col("syy") - col("sy") * col("sy"))))
+            .as("spearman_qp"))
     })
 
   /** Median absolute deviation — the robust spread statistic — EXACT per
@@ -1440,9 +1588,11 @@ object Queries {
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
+    qFuzzyJoin,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean, qWeightedMedian,
+    qWeightedQuantiles, qMode, qSpearman,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Known-answer tests for q_weighted_quantiles, q_mode, and q_spearman —
+  * boundary behaviour (cut-point arithmetic, tie handling) that the
+  * fixture's bulk data can't isolate.
+  */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def liDir(rows: (String, Double, Double)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("rstats").toString
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("weighted quantiles: ceil thresholds at every cut point") {
+    // W=8 (weights 1..): thresholds q25=(8+3)/4=2, q50=(8+1)/2=4, q75=(24+3)/4=6
+    val dir = liDir(
+      ("g", 10.0, 2.0), ("g", 20.0, 2.0), ("g", 30.0, 2.0), ("g", 40.0, 2.0))
+    val r = SparkEntry.queries("q_weighted_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // cum: 10→2, 20→4, 30→6, 40→8
+    assert(r.toSeq == Seq(("g", 10.0, 20.0, 30.0)))
+  }
+
+  test("weighted quantiles: one heavy value swallows all cut points") {
+    val dir = liDir(("h", 1.0, 1.0), ("h", 99.0, 100.0), ("h", 200.0, 1.0))
+    val r = SparkEntry.queries("q_weighted_quantiles")(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(r == ((99.0, 99.0, 99.0)))
+  }
+
+  test("mode: most frequent value wins; ties break to the smallest value") {
+    val dir = liDir(
+      ("m", 1.0, 5.0), ("m", 1.0, 5.0), ("m", 1.0, 3.0),   // qty 5 ×2, 3 ×1
+      ("t", 1.0, 9.0), ("t", 1.0, 2.0))                    // tie 1-1 → min 2
+    val r = SparkEntry.queries("q_mode")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(r("m") == ((5.0, 2L)))
+    assert(r("t") == ((2.0, 1L)))
+  }
+
+  test("spearman: +1 on any monotone relation, -1 on reversed, ties exact") {
+    val mono = (1 to 20).map(i => ("up", math.exp(i.toDouble), i.toDouble))
+    val rev = (1 to 20).map(i => ("dn", math.exp(-i.toDouble), i.toDouble))
+    val dir = liDir((mono ++ rev).map(r => (r._1, r._2, r._3)): _*)
+    val r = SparkEntry.queries("q_spearman")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(r("up") - 1.0) < 1e-12)  // monotone nonlinear → rho 1
+    assert(math.abs(r("dn") + 1.0) < 1e-12)
+  }
+
+  test("spearman: tied ranks use average-rank (doubled) arithmetic") {
+    // x: 1,1,2 (avg ranks 1.5,1.5,3); y: 10,20,30 (ranks 1,2,3)
+    // rho = cov/sd: ranks x=(1.5,1.5,3), y=(1,2,3) → rho = sqrt(3)/2
+    val dir = liDir(("s", 10.0, 1.0), ("s", 20.0, 1.0), ("s", 30.0, 2.0))
+    val got = SparkEntry.queries("q_spearman")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got("s") - math.sqrt(3.0) / 2) < 1e-12)
+  }
+}

@@ -312,6 +312,95 @@ object Multimodal {
     else Some(counts.map(c => (c.toDouble / pixels).toFloat))
   }
 
+  /** Perceptual difference hash (dHash) of a decoded image: the image is
+    * area-averaged (exact integer math — no `Graphics` resampling, so the
+    * value is identical on every JVM) onto a 9×8 luma grid, and bit
+    * (r, c) is set when cell (r, c) is darker than its right neighbor —
+    * 64 horizontal-gradient bits. Near-identical pixels (re-encode,
+    * resize, mild crop/brightness) move few gradient signs, so
+    * near-duplicate images land within a small hamming distance — the
+    * image analog of text SimHash, pairable by the same Manku
+    * permute-and-block machinery ([[graft.ops.Dedup.simhashCandidates]]).
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val cell = Array.ofDim[Long](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        // source rectangle of this cell; never empty (floor grid + min-1)
+        val x0 = gx * w / gw; val x1 = math.min(math.max((gx + 1) * w / gw, x0 + 1), w)
+        val y0 = gy * h / gh; val y1 = math.min(math.max((gy + 1) * h / gh, y0 + 1), h)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gy)(gx) < cell(gy)(gx + 1)) bits |= 1L << i
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual signatures, shaped for
+    * [[graft.ops.Dedup.simhashCandidates]]: `(media_id, simhash, s0..s3)`
+    * with the dHash split into four 16-bit Manku blocks. Decode + hash are
+    * map-side (`mapPartitions`, payload never shuffles); rows no image
+    * reader accepts produce NO signature (undecodable bytes have no
+    * perceptual content — pairing them would manufacture false dups).
+    */
+  def imageHashes(media: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(hashSchema))
+    val sigs = media.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeImage(payload).map(img => Row(r.getLong(0), dHash(img)))
+        }
+      }(enc)
+    val mask = (1L << 16) - 1
+    sigs.select(col(idCol) +: col("simhash") +:
+      (0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(mask))
+          .as(s"s$k")): _*)
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash: [[imageHashes]] +
+    * Manku block-local pairing — exact recall for dHash hamming ≤
+    * `maxHamming` (< 4) over all decodable images, never an all-pairs
+    * pixel comparison. Returns `(id_a, id_b, hamming)`.
+    */
+  def perceptualDedupPairs(media: DataFrame, maxHamming: Int = 3,
+                           idCol: String = "media_id"): DataFrame =
+    Dedup.simhashCandidates(imageHashes(media, idCol), numBlocks = 4,
+      maxHamming = maxHamming, idCol = idCol)
+
   /** STUB decode for payloads with no JDK codec (compressed audio like
     * MP3/AAC, compressed video like H.264 — the real paths above cover
     * PCM audio and MJPEG AVI): a deterministic byte-histogram projection

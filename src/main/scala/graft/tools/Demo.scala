@@ -185,6 +185,23 @@ object Demo {
       println(s"VIDEO_DECODED=${vf.getBoolean(4)} frames=2 " +
         s"dims=${vm.getInt(4)}x${vm.getInt(5)} duration=${vm.getLong(6)}ms " +
         s"mime=${vm.getString(3)}")
+
+      // perceptual image dedup: the PNG, its JPEG re-encode, and the
+      // unrelated inverse image — only the re-encode pair survives
+      val inv = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        inv.setRGB(x, y, (x * 255 / 7) << 8)
+      val ibuf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(inv, "png", ibuf)
+      val gallery = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "image", buf.toByteArray, null, null, null, null),
+        org.apache.spark.sql.Row(2L, "image", jpeg, null, null, null, null),
+        org.apache.spark.sql.Row(3L, "image", ibuf.toByteArray, null, null, null, null)),
+        graft.ops.Multimodal.mediaSchema)
+      val pd = graft.ops.Multimodal.perceptualDedupPairs(gallery)
+        .collect().map(r => s"${r.getLong(0)}-${r.getLong(1)}").sorted
+      println(s"DHASH_PAIRS=${pd.mkString(",")}")
     }
 
     // Probes: bad selector and missing column fail cleanly

@@ -759,6 +759,45 @@ object Queries {
             lit(0.25) * col("exact_orders")).as("orders_in_bound"))
     })
 
+  /** One-pass mergeable quantile sketch
+    * ([[graft.functions.QuantileSketchAgg]], deterministic MRL/KLL
+    * family): fixed `O(k log(n/k))` state per partial — the quantile
+    * shape that scans 100 TB without shuffling distinct values (the
+    * exact q_quantiles trades a distinct-value shuffle for exactness).
+    * The sketch is SELF-CERTIFYING: it carries its own worst-case rank
+    * error, and the query checks the EXACT rank of each estimate against
+    * `ceil(p·n) ± (err + maxLevelWeight)` — a provable guarantee at any
+    * scale, not a tuned tolerance. Oracle asserts exact counts and the
+    * bound booleans TRUE (q_approx's pattern).
+    */
+  private val qQuantileSketch = Q("q_quantile_sketch",
+    Some("""SELECT l_returnflag, count(*) AS n,
+            TRUE AS p50_in_bound, TRUE AS p90_in_bound
+            FROM lineitem GROUP BY 1"""),
+    (s, d) => {
+      import graft.functions.{QuantileSketchAgg, QuantileSketchQuantile}
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val sk = li.groupBy("l_returnflag")
+        .agg(QuantileSketchAgg(col("v"), 512).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          QuantileSketchQuantile(col("sk"), lit(0.5)).as("est50"),
+          QuantileSketchQuantile(col("sk"), lit(0.9)).as("est90"),
+          (element_at(col("sk"), 2) +
+            pow(lit(2.0), element_at(col("sk"), 3) - 1)).cast("long").as("bound"))
+      // exact rank of each estimate: one extra map-side pass over the
+      // fact, conditional counts against the broadcast 3-row estimates
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"), max(col("bound")).as("bound"),
+          sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("v") <= col("est90"), 1L).otherwise(0L)).as("r90"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("r50") - ceil(col("n") * 0.5)) <= col("bound")).as("p50_in_bound"),
+          (abs(col("r90") - ceil(col("n") * 0.9)) <= col("bound")).as("p90_in_bound"))
+    })
+
   /** Heavy hitters via a native count-min sketch
     * ([[graft.functions.CountMinSketchAgg]], Cormode/Muthukrishnan 2005):
     * the sketch aggregates in fixed `depth×width` state per partition (no
@@ -1590,7 +1629,8 @@ object Queries {
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
     qFuzzyJoin,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
-    qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qMedian,
+    qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qQuantileSketch,
+    qMedian,
     qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean, qWeightedMedian,
     qWeightedQuantiles, qMode, qSpearman,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,

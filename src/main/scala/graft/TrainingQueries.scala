@@ -4,6 +4,7 @@ import graft.Queries.{Q, t}
 import graft.functions.{ByteHistogram, Similarity, TextAnalysis}
 import graft.ops.{Ann, Dedup}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1060,6 +1061,87 @@ object TrainingQueries {
       .select(col("source"), col("n_docs"), col("n_distinct"),
         (col("n_docs") - col("n_distinct")).as("n_dups")))
 
+  /** Vocabulary coverage curve: the share of total token mass the top-k
+    * most frequent words cover (k = 10/100/1000) — the stat that sizes a
+    * tokenizer vocab and flags boilerplate-dominated corpora. Scale
+    * shape: ONE word-count shuffle, then `TakeOrderedAndProject` bounds
+    * the ranked set to 1000 rows before any window touches it; the
+    * cumulative sum runs over those ≤1000 rows only, and total mass is a
+    * map-side-combinable grand sum broadcast back. Coverage is ppm fixed
+    * point (integer div) — exact in both engines.
+    */
+  private val qVocabCoverage = Q("q_vocab_coverage",
+    Some("""WITH toks AS (SELECT
+              unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM c),
+            top AS (SELECT tf, token FROM c ORDER BY tf DESC, token LIMIT 1000),
+            cum AS (SELECT row_number() OVER (ORDER BY tf DESC, token) AS rn,
+              SUM(tf) OVER (ORDER BY tf DESC, token) AS cum FROM top)
+            SELECT k, CAST(MAX(cum) AS BIGINT) AS covered,
+              CAST(MAX(cum) * 1000000 // MAX(total) AS BIGINT) AS coverage_ppm
+            FROM (VALUES (10), (100), (1000)) ks(k)
+            JOIN cum ON cum.rn <= ks.k CROSS JOIN tot
+            GROUP BY k"""),
+    (s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val top = counts.orderBy(col("tf").desc, col("token")).limit(1000)
+      val w = Window.partitionBy(lit(1)).orderBy(col("tf").desc, col("token"))
+      val cum = top.select(row_number().over(w).as("rn"),
+        sum(col("tf")).over(w).as("cum"))
+      val total = counts.agg(sum(col("tf")).cast("long").as("total"))
+      val ks = s.range(1, 4).select(
+        pow(lit(10), col("id")).cast("int").as("k"))
+      ks.join(broadcast(cum), col("rn") <= col("k"))
+        .crossJoin(broadcast(total))
+        .groupBy("k")
+        .agg(max(col("cum")).as("covered"),
+          expr("CAST(max(cum) * 1000000 div max(total) AS BIGINT)")
+            .as("coverage_ppm"))
+    })
+
+  /** Batch novelty rate: the fraction of a new crawl batch's distinct
+    * word 8-grams never seen in the existing corpus — the
+    * diminishing-returns signal that decides whether another crawl of a
+    * source is worth ingesting. Batch = `doc_id % 10 = 7` (the
+    * q_dedup_incremental batch). Scale shape: both sides reduce to
+    * DISTINCT shingle keys and meet in ONE hash anti-join partitioned on
+    * the shingle — no broadcast needed on either side, no row ever
+    * carries more than its md5 key. Novelty is ppm fixed point.
+    */
+  private val qNovelty = Q("q_novelty",
+    Some(s"""WITH $toksCte,
+             sh AS (SELECT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                 l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] AS shingle
+               FROM toks, UNNEST(range(1, len(l) - 6)) AS t(i)
+               WHERE len(l) >= 8),
+             b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+             c AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 7),
+             nov AS (SELECT count(*) AS n_novel FROM b
+               LEFT JOIN c USING (shingle) WHERE c.shingle IS NULL)
+             SELECT (SELECT count(*) FROM b) AS n_batch,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               CAST(n_novel * 1000000 // (SELECT count(*) FROM b) AS BIGINT)
+                 AS novelty_ppm
+             FROM nov"""),
+    (s, d) => {
+      val sh = Dedup.shingles(t(s, d, "documents"), 8)
+      val batch = sh.where(col("doc_id") % 10 === 7)
+        .select("shingle").distinct()
+      val corpus = sh.where(col("doc_id") % 10 =!= 7)
+        .select("shingle").distinct()
+      val novel = batch.join(corpus, Seq("shingle"), "left_anti")
+        .agg(count(lit(1)).as("n_novel"))
+      batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(broadcast(novel))
+        .select(col("n_batch"), col("n_novel"),
+          expr("CAST(n_novel * 1000000 div n_batch AS BIGINT)").as("novelty_ppm"))
+    })
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * 8-gram with a benchmark/eval set (here: docs 0-4 as the stand-in
     * benchmark) — the n-gram-overlap rule used to scrub eval contamination
@@ -1995,7 +2077,8 @@ object TrainingQueries {
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qProfile, qSkipping,
+    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qVocabCoverage,
+    qNovelty, qProfile, qSkipping,
     qDupRate,
     qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,

@@ -515,14 +515,34 @@ object Queries {
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
-      // doubled average rank per distinct value: 2·cum − cnt + 1
+      // doubled average rank per distinct value: 2·cum − cnt + 1.
+      // x (quantity) has a bounded domain — the plain per-group window
+      // runs over a ~50-row histogram. y (price) has data-scaled
+      // cardinality, so its cumulative count is a TWO-LEVEL prefix sum
+      // (ops/Sampling's systematic-sample shape): in-shard window on a
+      // range-consistent value shard + a tiny per-shard-offset table —
+      // never one window task per group over every distinct value.
       def rankHist(c: String) = {
         val h = li.groupBy(col("g"), col(c)).agg(count(lit(1)).as("cnt"))
         h.select(col("g"), col(c),  col("cnt"),
           (sum(col("cnt")).over(Window.partitionBy("g").orderBy(c)) * 2
             - col("cnt") + 1).as(s"r$c"))
       }
-      val hx = rankHist("x"); val hy = rankHist("y")
+      val hx = rankHist("x")
+      val hy = {
+        val h = li.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
+          .withColumn("_sh", floor(col("y") / 1024.0d)) // monotone in y
+        val cumIn = sum(col("cnt"))
+          .over(Window.partitionBy("g", "_sh").orderBy("y")).as("_c")
+        val totals = h.groupBy("g", "_sh").agg(sum(col("cnt")).as("_st"))
+        val offsets = totals.select(col("g"), col("_sh"),
+          (sum(col("_st")).over(Window.partitionBy("g").orderBy("_sh"))
+            - col("_st")).as("_off"))
+        h.select(col("g"), col("_sh"), col("y"), col("cnt"), cumIn)
+          .join(broadcast(offsets), Seq("g", "_sh"))
+          .select(col("g"), col("y"), col("cnt"),
+            ((col("_c") + col("_off")) * 2 - col("cnt") + 1).as("ry"))
+      }
       // marginal moments straight off each histogram (no row join)
       def marg(h: DataFrame, c: String, sN: String, ssN: String) =
         h.groupBy("g").agg(
@@ -533,7 +553,7 @@ object Queries {
       val my = marg(hy, "y", "sy", "syy")
       // cross moment over the joint histogram + the two rank tables
       val joint = li.groupBy("g", "x", "y").agg(count(lit(1)).as("cxy"))
-        .join(hx.select(col("g"), col("x"), col("rx")), Seq("g", "x"))
+        .join(broadcast(hx.select(col("g"), col("x"), col("rx"))), Seq("g", "x"))
         .join(hy.select(col("g"), col("y"), col("ry")), Seq("g", "y"))
         .groupBy("g")
         .agg(Sum128(col("cxy") * col("rx") * col("ry"), 0)

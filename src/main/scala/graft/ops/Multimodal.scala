@@ -401,6 +401,70 @@ object Multimodal {
     Dedup.simhashCandidates(imageHashes(media, idCol), numBlocks = 4,
       maxHamming = maxHamming, idCol = idCol)
 
+  /** Perceptual envelope hash of a decoded PCM clip: mean absolute
+    * amplitude over 65 equal time slices (exact integer math), one bit
+    * per adjacent-slice gradient sign — the audio analog of [[dHash]].
+    * Gradient signs are invariant to uniform volume scaling and to the
+    * 8-bit/16-bit amplitude domain, and coarse slices survive mild
+    * resampling, so re-encoded / re-leveled clips land within a small
+    * hamming distance. Empty clips hash to 0.
+    */
+  def audioEnvelopeHash(a: PcmAudio): Long = {
+    val slices = 65
+    val n = a.samples.length
+    if (n == 0) return 0L
+    val env = new Array[Long](slices)
+    var s = 0
+    while (s < slices) {
+      val i0 = s.toLong * n / slices
+      val i1 = math.max((s + 1).toLong * n / slices, i0 + 1).min(n.toLong)
+      var sum = 0L
+      var i = i0.toInt
+      while (i < i1) { sum += math.abs(a.samples(i).toLong); i += 1 }
+      env(s) = sum / (i1 - i0)
+      s += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (env(b) < env(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
+  /** Per-clip perceptual signatures (PCM audio), shaped for
+    * [[graft.ops.Dedup.simhashCandidates]] like [[imageHashes]]; rows no
+    * JDK audio reader accepts produce no signature.
+    */
+  def audioHashes(media: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(hashSchema))
+    val sigs = media.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeAudio(payload).map(a => Row(r.getLong(0), audioEnvelopeHash(a)))
+        }
+      }(enc)
+    val mask = (1L << 16) - 1
+    sigs.select(col(idCol) +: col("simhash") +:
+      (0 until 4).map(k =>
+        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(lit(mask))
+          .as(s"s$k")): _*)
+  }
+
+  /** Near-duplicate AUDIO pairs by envelope hash — same Manku
+    * block-local pairing as [[perceptualDedupPairs]], exact recall at
+    * hamming ≤ `maxHamming` (< 4) over all decodable clips.
+    */
+  def audioDedupPairs(media: DataFrame, maxHamming: Int = 3,
+                      idCol: String = "media_id"): DataFrame =
+    Dedup.simhashCandidates(audioHashes(media, idCol), numBlocks = 4,
+      maxHamming = maxHamming, idCol = idCol)
+
   /** STUB decode for payloads with no JDK codec (compressed audio like
     * MP3/AAC, compressed video like H.264 — the real paths above cover
     * PCM audio and MJPEG AVI): a deterministic byte-histogram projection

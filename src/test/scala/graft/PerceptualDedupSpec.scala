@@ -79,6 +79,76 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "undecodable must not participate")
   }
 
+  /** Deterministic 65-slice amplitude envelope whose ADJACENT slices
+    * always differ by ≥ 0.05 — every hash gradient bit is a real
+    * envelope feature, not quantization noise.
+    */
+  private val testEnv: Seq[Double] = (0 until 65).map { s =>
+    if (s % 2 == 0) 0.15 + 0.3 * ((s * 31) % 17) / 17.0
+    else 0.60 + 0.35 * ((s * 29) % 19) / 19.0
+  }
+
+  /** 16-bit (or 8-bit) mono PCM WAV with one amplitude segment per hash
+    * slice (`samplesPer` samples each → 65·samplesPer total, aligned
+    * with [[Multimodal.audioEnvelopeHash]]'s 65 slices).
+    */
+  private def wav(amps: Seq[Double], rate: Int = 8000,
+                  samplesPer: Int = 64, bits: Int = 16): Array[Byte] = {
+    val n = amps.length * samplesPer
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, bits, 1, bits == 16, false)
+    val bytesPer = bits / 8
+    val raw = new Array[Byte](n * bytesPer)
+    for (i <- 0 until n) {
+      val a = amps(i / samplesPer)
+      val v = (math.sin(i * 0.3) * a * (if (bits == 16) 30000 else 120)).toInt
+      if (bits == 16) {
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      } else raw(i) = (v + 128).toByte // 8-bit PCM is unsigned
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audio envelope hash: volume/bit-depth invariant, far for different envelopes") {
+    val env = testEnv
+    val a0 = Multimodal.decodeAudio(wav(env)).get
+    val h0 = Multimodal.audioEnvelopeHash(a0)
+    // uniform volume scaling preserves every gradient sign
+    val hQuiet = Multimodal.audioEnvelopeHash(
+      Multimodal.decodeAudio(wav(env.map(_ * 0.4))).get)
+    assert(hamming(h0, hQuiet) <= 3, s"volume moved ${hamming(h0, hQuiet)} bits")
+    // 8-bit re-encode of the same envelope
+    val h8 = Multimodal.audioEnvelopeHash(
+      Multimodal.decodeAudio(wav(env, bits = 8)).get)
+    assert(hamming(h0, h8) <= 6, s"8-bit re-encode moved ${hamming(h0, h8)} bits")
+    // different content: a monotone ramp (every gradient up) vs the
+    // alternating test envelope (half the gradients down)
+    val ramp = (0 until 65).map(i => 0.1 + 0.8 * i / 64.0)
+    val hRamp = Multimodal.audioEnvelopeHash(
+      Multimodal.decodeAudio(wav(ramp)).get)
+    assert(hamming(h0, hRamp) > 16)
+  }
+
+  test("audioDedupPairs pairs the re-leveled twin, not the different clip") {
+    val env = testEnv
+    val rows = java.util.Arrays.asList(
+      Row(1L, "audio", wav(env), null, null, null, null),
+      Row(2L, "audio", wav(env.map(_ * 0.5)), null, null, null, null),
+      Row(3L, "audio", wav((0 until 65).map(i => 0.1 + 0.8 * i / 64.0)), null, null, null, null),
+      Row(4L, "audio", "not audio".getBytes("UTF-8"), null, null, null, null))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val pairs = Multimodal.audioDedupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "re-leveled twin must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("imageHashes block slices reassemble the full hash") {
     val media = spark.createDataFrame(java.util.Arrays.asList(
       Row(7L, "image", encode(baseImage(30), "png"), null, null, null, null)),

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.functions.{QuantileSketch, QuantileSketchAgg, QuantileSketchOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Exactly-once maintenance of a [[graft.functions.QuantileSketchAgg]]
+  * quantile sketch over a micro-batch stream — maintained percentiles
+  * ("p50/p99 latency right now") without per-value state: per-batch work
+  * is one fixed-size partial sketch, the persisted state is
+  * `O(k log(n/k))` doubles regardless of stream history.
+  *
+  * Sketch merge is associative but NOT idempotent (re-merging a replayed
+  * batch double-counts its mass), so exactly-once uses the same
+  * marker-plus-atomic-rename pattern as [[SketchMaintenance]]: the
+  * persisted file carries the batchId that built it, a replay is
+  * skipped, a batchId behind the replay margin (reset checkpoint) fails
+  * loudly, and the swap is an atomic rename — a crash leaves the old or
+  * the new sketch, never a torn one. The certified rank-error bound
+  * ([[QuantileSketchOps.bound]]) survives maintenance: merging only adds
+  * the parts' errors.
+  *
+  * Scale shape: executors reduce each batch to one sketch (partials
+  * merge map-side inside the agg); only that sketch reaches the driver,
+  * which owns the tiny persisted file.
+  *
+  * Wire into a stream with
+  * `df.writeStream.foreachBatch(qm.applyBatch _)`.
+  */
+final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
+
+  private def file: Path = Paths.get(dir, "qsketch.bin")
+
+  /** Apply one micro-batch (also callable directly in batch replays). */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    val (applied, state) = readState()
+    if (batchId <= applied) {
+      if (applied - batchId > StreamIngest.replayMargin(batch.sparkSession))
+        throw new IllegalStateException(
+          s"quantile-sketch batchId went backwards: got $batchId but " +
+            s"$applied is already applied. The streaming checkpoint was " +
+            s"likely reset against an existing sketch — delete $file to " +
+            "rebuild from the stream's retained history, or restore the " +
+            "checkpoint.")
+      return
+    }
+    val arr = batch
+      .agg(QuantileSketchAgg(col(valCol), k).as("sk"))
+      .collect()(0).getSeq[Double](0).toArray
+    val partial = QuantileSketch.fromEvalArray(arr, k)
+    val merged = state match {
+      case Some(s) => s.mergeIn(partial); s
+      case None    => partial
+    }
+    write(batchId, merged.serialize())
+  }
+
+  /** The maintained sketch, if any batch has been applied. */
+  def sketch(): Option[QuantileSketch] = readState()._2
+
+  /** Estimated `p`-quantile of everything the stream has delivered
+    * (None before any batch lands).
+    */
+  def quantile(p: Double): Option[Double] =
+    sketch().map(s => QuantileSketchOps.quantile(new GenericArrayData(s.toArray), p))
+
+  /** Certified worst-case rank error of [[quantile]] probes. */
+  def bound(): Option[Long] =
+    sketch().map(s => QuantileSketchOps.bound(new GenericArrayData(s.toArray)))
+
+  private def readState(): (Long, Option[QuantileSketch]) =
+    if (!Files.exists(file)) (-1L, None)
+    else {
+      val bytes = Files.readAllBytes(file)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val applied = bb.getLong
+      val rest = java.util.Arrays.copyOfRange(bytes, 8, bytes.length)
+      (applied, Some(QuantileSketch.deserialize(rest)))
+    }
+
+  private def write(batchId: Long, sketchBytes: Array[Byte]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val bb = java.nio.ByteBuffer.allocate(8 + sketchBytes.length)
+    bb.putLong(batchId)
+    bb.put(sketchBytes)
+    val tmp = Paths.get(dir, ".qsketch.bin.tmp")
+    Files.write(tmp, bb.array())
+    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -477,6 +477,37 @@ object Queries {
         (-col("m.nv")).cast("double").as("mode_v"),
         col("m.cnt").as("mode_n")))
 
+  /** Equi-width histogram per group — the profiling distribution sketch
+    * every data-quality dashboard draws: two passes, both
+    * map-side-combinable (per-group min/max broadcast back, then one
+    * bin-count aggregation). Bin arithmetic is identical IEEE double
+    * math in both engines (`floor((v−min)·B/(max−min))`, clamped to the
+    * last bin so `v = max` lands inside); empty bins are simply absent.
+    */
+  private val qHistogram = Q("q_histogram",
+    Some("""WITH mm AS (SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+              max(l_extendedprice) AS hi FROM lineitem GROUP BY 1),
+            b AS (SELECT g,
+              CAST(CASE WHEN hi = lo THEN 0 ELSE
+                least(floor((l_extendedprice - lo) * 8 / (hi - lo)), 7)
+              END AS BIGINT) AS bin
+              FROM lineitem JOIN mm ON l_returnflag = g)
+            SELECT g AS l_returnflag, bin, count(*) AS n
+            FROM b GROUP BY 1, 2"""),
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val mm = li.groupBy("l_returnflag")
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      li.join(broadcast(mm), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          when(col("hi") === col("lo"), 0L).otherwise(
+            least(floor((col("v") - col("lo")) * 8 / (col("hi") - col("lo"))),
+              lit(7.0))).cast("long").as("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n"))
+    })
+
   /** Spearman rank correlation per group — the ROBUST association stat
     * (monotone, outlier-proof) data profiling pairs with [[qCorr]]'s
     * Pearson. Exact with ties: average fractional ranks are carried
@@ -601,6 +632,56 @@ object Queries {
           abs(col("value") - col("med")).cast(DecimalType(18, 4))
             .cast("double").as("d"))
       histMedian(dev, "event_type", "d", "mad")
+    })
+
+  /** Robust outlier detection (modified z-score, Iglewicz & Hoaglin
+    * 1993): a value is an outlier when `0.6745·|x − med| / MAD > 3.5` —
+    * the production data-quality rule that survives the outliers it
+    * hunts (mean/stddev z-scores are dragged by the very tail being
+    * flagged). Composes the [[qMad]] machinery: median pass, deviation
+    * pass, MAD pass — all histogram-rank over distinct values — then one
+    * map-side flagging pass against the broadcast per-group (med, MAD).
+    * Deviations live on the shared decimal(18,4) grid and the threshold
+    * literal `3.5/0.6745` is the same IEEE division in both engines, so
+    * the flag decisions agree bit-for-bit.
+    */
+  private val qOutliers = Q("q_outliers",
+    Some("""WITH r1 AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM events),
+            med AS (SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS med
+              FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY event_type),
+            dev AS (SELECT e.event_type,
+              CAST(CAST(abs(e.value - m.med) AS DECIMAL(18,4)) AS DOUBLE) AS d,
+              e.event_id
+              FROM events e JOIN med m USING (event_type)),
+            r2 AS (SELECT event_type, d,
+              row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM dev),
+            mad AS (SELECT event_type,
+              CAST(SUM(CAST(d AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mad
+              FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY event_type)
+            SELECT d.event_type, count(*) AS n,
+              CAST(SUM(CASE WHEN d.d > a.mad * (3.5 / 0.6745) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad a USING (event_type)
+            GROUP BY 1"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val med = histMedian(ev, "event_type", "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).cast(DecimalType(18, 4))
+            .cast("double").as("d"))
+      val mad = histMedian(dev, "event_type", "d", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") > col("mad") * lit(3.5 / 0.6745), 1L)
+            .otherwise(0L)).as("n_outliers"))
     })
 
   /** Exact per-group quantiles (discrete: value at rank ceil(p·n)) from
@@ -1651,8 +1732,8 @@ object Queries {
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qQuantileSketch,
     qMedian,
-    qQuantiles, qScd2, qSnapshotAsof, qMad, qTrimmedMean, qWeightedMedian,
-    qWeightedQuantiles, qMode, qSpearman,
+    qQuantiles, qScd2, qSnapshotAsof, qMad, qOutliers, qTrimmedMean, qWeightedMedian,
+    qWeightedQuantiles, qMode, qSpearman, qHistogram,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,

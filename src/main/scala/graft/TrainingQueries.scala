@@ -862,6 +862,26 @@ object TrainingQueries {
     * explode + two aggregations; tiny df/stats tables broadcast back
     * onto the tf rows.
     */
+  /** Conjunctive search over the PERSISTED inverted index
+    * ([[graft.ops.TextIndex]]): posting lists partitioned by term-hash
+    * bucket, query-time scan pruned to the query terms' buckets at
+    * file-listing time. The oracle recomputes the same AND-search
+    * directly from the corpus — the index is an access path, not a
+    * semantic change, so both sides must agree exactly.
+    */
+  private val qSearchIndexed = Q("q_search_indexed",
+    Some(s"""WITH $toksCte,
+             tt AS (SELECT doc_id, u.t AS term FROM toks, UNNEST(l) AS u(t)
+               WHERE u.t IN ('merge', 'vector')),
+             p AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2)
+             SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+             FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2"""),
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tindex-${Integer.toHexString(d.hashCode)}"
+      graft.ops.TextIndex.build(t(s, d, "documents"), dir)
+      graft.ops.TextIndex.search(s, dir, Seq("merge", "vector"))
+    })
+
   private val qSearchBm25 = Q("q_search_bm25",
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents),
@@ -2077,7 +2097,7 @@ object TrainingQueries {
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
-    qSearchTfidf, qSearchBm25, qHybridSearch, qVocab, qVocabCoverage,
+    qSearchTfidf, qSearchBm25, qSearchIndexed, qHybridSearch, qVocab, qVocabCoverage,
     qNovelty, qProfile, qSkipping,
     qDupRate,
     qCorpusDiff,

@@ -200,6 +200,46 @@ object TrainingQueries {
     * keeps DuckDB's literal DOUBLE (a bare 0.6 parses DECIMAL — see the
     * q_mmr note).
     */
+  /** ANN recall-evaluation harness ([[Ann.recallAtK]]): batch IVF at
+    * nprobe=2 against the exact brute-force top-10 for three queries.
+    * The oracle recomputes the exact side (that's what "recall against
+    * exact" means) and asserts the measured recall clears the gate —
+    * the q_approx pattern: exact values + a TRUE bound column. The
+    * recall value itself is approximate-config-dependent, so the gate
+    * (≥ 0.5 at nprobe=2 of 8 centroids) is what's contractual.
+    */
+  private val qAnnRecall = Q("q_ann_recall",
+    Some("""WITH q AS (SELECT vec_id AS query_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            d AS (SELECT q.query_id, e.vec_id,
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev, q.qv
+              FROM embeddings e CROSS JOIN q),
+            scored AS (SELECT query_id, vec_id,
+                list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos
+              FROM d),
+            r AS (SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS rn
+              FROM scored)
+            SELECT query_id, count(*) AS exact_k, TRUE AS recall_ok
+            FROM r WHERE rn <= 10 GROUP BY query_id"""),
+    (s, d) => {
+      val vecs = t(s, d, "embeddings")
+      val cents = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val queries = vecs.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val assigned = Ann.assign(vecs, cents)
+        .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      val exact = Ann.bruteTopKBatch(vecs, queries, k = 10)
+      val approx = Ann.ivfTopKBatch(assigned, cents, queries, k = 10, nprobe = 2)
+      Ann.recallAtK(exact, approx)
+        .select(col("query_id"), col("exact_k"),
+          (col("recall") >= 0.5).as("recall_ok"))
+    })
+
   private val qDedupPrefix = Q("q_dedup_prefix",
     Some(s"""WITH $toksCte, $shinglesCte,
              dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -2092,6 +2132,7 @@ object TrainingQueries {
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr, qAnnMulti,
+    qAnnRecall,
     qDedupPrefix,
     qSampleHash, qSampleSplit, qSplitGrouped,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,

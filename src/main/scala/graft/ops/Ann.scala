@@ -191,6 +191,55 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch IVF top-k over a query TABLE `[queryIdCol, qv]` — the
+    * multi-query twin of [[ivfTopK]], shaped like [[bruteTopKBatch]]:
+    * each query picks its `nprobe` nearest centroids (queries × k
+    * centroids is scalar-sized work over two broadcast-bounded tables),
+    * the corpus joins the broadcast `(query, probe-centroid)` table on
+    * `centroid_id` so only probed partitions are scored, and the
+    * per-query top-k goes through [[Sampling.topKPerKey]]'s salted
+    * two-stage rank. The corpus never shuffles on a data key, and the
+    * scored fraction is ~`nprobe/k_centroids` of it per query.
+    */
+  def ivfTopKBatch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                   k: Int, nprobe: Int = 1, queryIdCol: String = "query_id",
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = Sampling.topKPerKey(
+      queries.crossJoin(broadcast(centroids))
+        .select(col(queryIdCol), col("qv"), col("centroid_id"),
+          graft.functions.CosineSimilarity(col("qv"), col("cv")).as("_ccos")),
+      key = col(queryIdCol), order = col("_ccos").desc,
+      tiebreak = col("centroid_id"), k = nprobe)
+      .select(col(queryIdCol), col("qv"), col("centroid_id"))
+    Sampling.topKPerKey(
+      assigned.join(broadcast(probes), Seq("centroid_id"))
+        .select(col(queryIdCol), col(idCol),
+          graft.functions.CosineSimilarity(col(vecCol), col("qv")).as("cos")),
+      key = col(queryIdCol), order = col("cos").desc, tiebreak = col(idCol),
+      k = k)
+  }
+
+  /** Recall@k of an approximate per-query result against the exact one —
+    * the evaluation harness that keeps an ANN configuration honest. Both
+    * inputs are `(queryIdCol, idCol, …)` top-k tables (k rows per query);
+    * output is one row per query in `exact`: the exact hit count, the
+    * approximate hits that landed in the exact set, and the recall ratio.
+    * The join key is (query, id): per-query k×k work, never corpus-sized.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                queryIdCol: String = "query_id",
+                idCol: String = "vec_id"): DataFrame = {
+    val hits = exact.select(col(queryIdCol), col(idCol))
+      .join(approx.select(col(queryIdCol), col(idCol)), Seq(queryIdCol, idCol))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(queryIdCol).agg(count(lit(1)).as("exact_k"))
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("exact_k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("exact_k"))
+          .as("recall"))
+  }
+
   /** Sign-LSH bucketed ANN search: scan only the vectors sharing the
     * query's sign bucket ([[Similarity.signBucket]] over the leading
     * `bits` dimensions). The training-free counterpart of IVF: no

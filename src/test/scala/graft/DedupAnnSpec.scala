@@ -284,6 +284,36 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKBatch matches per-query ivfTopK; recallAtK scores hits and misses") {
+    val cents = vecs.where($"vec_id".isin(0L, 1L))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
+    val assigned = Ann.assign(vecs, cents)
+      .select($"vec_id", $"centroid_id", $"embedding")
+    val queries = vecs.where($"vec_id".isin(0L, 3L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val batch = Ann.ivfTopKBatch(assigned, cents, queries, k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).toSeq).toMap
+    assert(batch.keySet == Set(0L, 3L))
+    for (qid <- Seq(0L, 3L)) {
+      val single = Ann.ivfTopK(assigned, cents,
+          vecs.where($"vec_id" === qid).select($"embedding".as("qv")),
+          k = 2, nprobe = 1)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+
+    // recallAtK: full overlap → 1.0; zero overlap → 0 hits via the left
+    // join (the query must still appear); partial overlap → ratio
+    val exact = Seq((0L, 10L), (0L, 11L), (9L, 1L), (9L, 2L), (5L, 7L), (5L, 8L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((0L, 10L), (0L, 11L), (9L, 3L), (9L, 4L), (5L, 7L), (5L, 9L))
+      .toDF("query_id", "vec_id")
+    val rec = Ann.recallAtK(exact, approx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rec == Map(0L -> ((2L, 2L, 1.0)), 9L -> ((2L, 0L, 0.0)), 5L -> ((2L, 1L, 0.5))))
+  }
+
   test("mmrTopK penalizes redundancy: near-dup cluster members are displaced") {
     // query between the x-heavy cluster {0,2} and the diagonal 4: pure
     // relevance ranks (4, 2, 0) — all from the same half-plane; MMR at

@@ -200,6 +200,30 @@ object TrainingQueries {
     * keeps DuckDB's literal DOUBLE (a bare 0.6 parses DECIMAL — see the
     * q_mmr note).
     */
+  /** Corpus-level source×source overlap matrix
+    * ([[Dedup.corpusJaccard]]): exact Jaccard between the word-3-shingle
+    * sets of every source pair. The oracle recomputes the same
+    * set algebra relationally.
+    */
+  private val qSourceSim = Q("q_source_sim",
+    Some("""WITH st AS (SELECT source,
+              string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ') AS l
+              FROM documents),
+            ssh AS (SELECT DISTINCT source,
+                l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+              FROM st, UNNEST(range(1, len(l) - 1)) AS t(i)
+              WHERE len(l) >= 3),
+            sz AS (SELECT source, count(*) AS n FROM ssh GROUP BY 1),
+            it AS (SELECT a.source AS key_a, b.source AS key_b, count(*) AS n_inter
+              FROM ssh a JOIN ssh b USING (shingle)
+              WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT key_a, key_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+              CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+            FROM it
+            JOIN sz sa ON it.key_a = sa.source
+            JOIN sz sb ON it.key_b = sb.source"""),
+    (s, d) => Dedup.corpusJaccard(t(s, d, "documents")))
+
   /** ANN recall-evaluation harness ([[Ann.recallAtK]]): batch IVF at
     * nprobe=2 against the exact brute-force top-10 for three queries.
     * The oracle recomputes the exact side (that's what "recall against
@@ -2125,7 +2149,7 @@ object TrainingQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupIncremental,
     qDedupClusters,
-    qDedupKeepBest, qDedupPipeline, qSourceDrift,
+    qDedupKeepBest, qDedupPipeline, qSourceDrift, qSourceSim,
     qDedupSimhash, qDedupSimhashPairs,
     qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
     qDedupEmbed, qDedupEmbedPairs,

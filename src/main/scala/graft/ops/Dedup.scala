@@ -54,6 +54,37 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(j => element_at(col("_toks"), i + j + 1)): _*)
       )).as("shingle"))
 
+  /** Pairwise EXACT Jaccard similarity between corpus partitions (data
+    * sources, domains, snapshots) over their word-shingle SETS — the
+    * corpus-level companion of the per-document near-dup stack: "how much
+    * does source A overlap source B" drives mixture weights and
+    * decontamination budgets before any per-doc work happens.
+    *
+    * Shape: distinct `(key, shingle)` (one shuffle), self-join on the
+    * shingle — fan-out per shingle is bounded by `n_keys²`, and `keyCol`
+    * is a SOURCE dimension (tens..thousands), never a document id, so the
+    * join is pair-bounded regardless of corpus bytes. Pair counts combine
+    * map-side before the `n_keys²`-row shuffle; set sizes broadcast.
+    *
+    * Returns `(key_a, key_b, n_inter, n_a, n_b, jaccard)` for every pair
+    * sharing at least one shingle, `key_a < key_b`.
+    */
+  def corpusJaccard(docs: DataFrame, keyCol: String = "source",
+                    shingleSize: Int = 3, textCol: String = "text"): DataFrame = {
+    val sets = shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
+      .distinct()
+    val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val a = sets.select(col(keyCol).as("key_a"), col("shingle"))
+    val b = sets.select(col(keyCol).as("key_b"), col("shingle"))
+    a.join(b, "shingle").where(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col(keyCol).as("key_a"), col("n").as("n_a"))), "key_a")
+      .join(broadcast(sizes.select(col(keyCol).as("key_b"), col("n").as("n_b"))), "key_b")
+      .select(col("key_a"), col("key_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
   /** MinHash signatures over word 3-shingles: `numHashes` independent
     * md5-min functions (seeded by prefix). Returns one row per doc:
     * (id, h0..h{n-1}, band0, band1) where bands pair consecutive hashes —

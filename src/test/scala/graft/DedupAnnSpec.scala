@@ -87,6 +87,21 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("corpusJaccard: exact pairwise overlap of source shingle sets") {
+    // source A: shingles {a b c, b c d}; B: {a b c, b c e}; C: {x y z}
+    // A∩B = {a b c} → J = 1/3; C shares nothing → no row
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "a b c e"),
+      (3L, "C", "x y z"),
+      (4L, "A", "a b c")   // duplicate shingle within A must not inflate the set
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.corpusJaccard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
   test("corpusDiff: added/removed/changed detected, unchanged suppressed") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")

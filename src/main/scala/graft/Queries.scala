@@ -1590,6 +1590,267 @@ object Queries {
         .limit(10)
     })
 
+  /** TPC-H Q7 shape (volume shipping between two nations). Scale plan:
+    * the nation pair filters into BOTH broadcast dims before any join —
+    * lineitem rows whose supplier is outside the pair die at the first
+    * map-side join, so the orders/customer shuffles see only ~2/25 of the
+    * fact. The cross-pair (supp != cust nation) residual runs after the
+    * joins on the already-tiny survivor set. Revenue uses the exact
+    * integer-cents pattern (q_agg_group).
+    */
+  private val qTpchQ7 = Q("q_tpch_q7",
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate) AS l_year,
+              SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3"""),
+    (s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, d, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).as("l_year"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"))
+    })
+
+  /** TPC-H Q8 shape (national market share): the 8-table join, answered
+    * with two independent broadcast dims — (customer→nation→region,
+    * filtered to the region before broadcast) and (supplier→nation) —
+    * so the only shuffles are the two fact joins lineitem⋈orders⋈—.
+    * The share division runs over exact integer-cents sums; numerator
+    * and denominator come out of ONE aggregate pass (conditional sum),
+    * not two scans.
+    */
+  private val qTpchQ8 = Q("q_tpch_q8",
+    Some("""WITH base AS (
+              SELECT year(o_orderdate) AS o_year,
+                CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS cents,
+                n2.n_name AS supp_nation
+              FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+                AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND p_type = 'STANDARD')
+            SELECT o_year,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+                / SUM(cents) AS mkt_share
+            FROM base GROUP BY o_year"""),
+    (s, d) => {
+      val custAm = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "AMERICA")
+            .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val supN = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val std = t(s, d, "part").where(col("p_type") === "STANDARD").select("p_partkey")
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate").cast("timestamp") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(std), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custAm, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate").cast("timestamp")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", cents).otherwise(lit(0L)))
+          .cast("double") / sum(cents)).as("mkt_share"))
+    })
+
+  /** TPC-H Q10 shape (returned-item ranking): quarter-filtered orders ⋈
+    * returned lineitems, grouped per customer, top-20 by lost revenue via
+    * TakeOrderedAndProject. The customer dimension joins AFTER the
+    * aggregate — the grouped result is per-customer (orders of magnitude
+    * smaller than the fact), so customer attributes ride a post-agg join
+    * instead of inflating the shuffle rows. Exact integer-cents revenue.
+    */
+  private val qTpchQ10 = Q("q_tpch_q10",
+    Some("""SELECT c_custkey, c_name,
+              SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+              c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (s, d) => {
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate").cast("timestamp") >= lit("1995-10-01").cast("timestamp") &&
+          col("o_orderdate").cast("timestamp") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val perCust = t(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"))
+      val custN = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      perCust.join(custN, col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    })
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers land in the c_count=0 bucket, then a second
+    * (tiny) aggregation over the per-customer counts. Scale: stage 1
+    * shuffles on c_custkey once; stage 2's domain is the distinct count
+    * values — a few dozen rows at any SF, so its shuffle is free.
+    */
+  private val qTpchQ13 = Q("q_tpch_q13",
+    Some("""WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count"""),
+    (s, d) => t(s, d, "customer").select("c_custkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist")))
+
+  /** TPC-H Q14 shape (promo revenue share): one month of lineitem ⋈ the
+    * part dimension, numerator and denominator from a single conditional
+    * aggregate pass over exact integer cents — no second scan, no
+    * CASE-free/CASE-full double join. The part side broadcasts (2 columns
+    * pruned before the exchange).
+    */
+  private val qTpchQ14 = Q("q_tpch_q14",
+    Some("""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) * 100.0
+              / SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))
+              AS promo_share
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'"""),
+    (s, d) => {
+      val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1996-04-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+          .cast("double") * lit(100.0) / sum(cents)).as("promo_share"))
+    })
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the classic
+    * correlated `avg(l_quantity)` subquery, rewritten shuffle-minimal as
+    * a window over l_partkey — the fact is first semi-joined (broadcast)
+    * to the filtered part dim, so per-part stats are computed only for
+    * surviving part keys, in the SAME shuffle that the predicate then
+    * consumes (no self-join re-scan). The `qty < 0.2·avg` comparison runs
+    * in scaled integers (`5·qty·cnt < sum_qty`) — exact on both engines,
+    * no float-boundary flake.
+    */
+  private val qTpchQ17 = Q("q_tpch_q17",
+    Some("""WITH pa AS (SELECT l_partkey AS a_partkey,
+                SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS sum_qc,
+                count(*) AS cnt
+              FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+              AS avg_yearly
+            FROM lineitem, part, pa
+            WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+              AND p_brand = 'Brand#13' AND p_size <= 5
+              AND CAST(round(l_quantity * 10000) AS BIGINT) * 5 * cnt < sum_qc"""),
+    (s, d) => {
+      val qc = round(col("l_quantity") * 10000).cast("long")
+      val pset = t(s, d, "part")
+        .where(col("p_brand") === "Brand#13" && col("p_size") <= 5)
+        .select("p_partkey")
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pset), col("l_partkey") === col("p_partkey"))
+        .withColumn("sum_qc", sum(qc).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .where(qc * lit(5L) * col("cnt") < col("sum_qc"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    })
+
+  /** TPC-H Q19 shape (disjunctive predicate pushdown): three
+    * brand/size/quantity disjuncts. The broadcast part dim is pre-filtered
+    * to the UNION ENVELOPE of the disjuncts (brand ∈ the three, size ≤ the
+    * max bound) so the build side stays tiny and most lineitem rows die at
+    * the join; the exact per-disjunct residual (including the quantity
+    * ranges, which live on the fact side) evaluates map-side after it.
+    */
+  private val qTpchQ19 = Q("q_tpch_q19",
+    Some("""SELECT SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0
+              AS revenue
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+              (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""),
+    (s, d) => {
+      val dim = t(s, d, "part")
+        .where(col("p_brand").isin("Brand#12", "Brand#15", "Brand#18") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#18" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"))
+    })
+
   /** Tumbling 1-hour windows over the event stream, batch form (`ts` is
     * epoch-nanos — see `t()`). The continuous twin is
     * [[graft.streaming.EventStream.windowedCounts]]; parity is asserted in
@@ -1735,7 +1996,8 @@ object Queries {
     qQuantiles, qScd2, qSnapshotAsof, qMad, qOutliers, qTrimmedMean, qWeightedMedian,
     qWeightedQuantiles, qMode, qSpearman, qHistogram,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
-    qTpchQ18,
+    qTpchQ18, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ17,
+    qTpchQ19,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,

@@ -1452,6 +1452,58 @@ object TrainingQueries {
         (col("r.maxc").cast("double") / col("r.nbg").cast("double"))
           .as("top_bigram_frac")))
 
+  /** PII scrub audit (the release gate every training corpus runs): count
+    * redactions by type per source via [[TextAnalysis.piiCounts]] — the
+    * progressive email→card→IP→phone redaction whose precedence stops a
+    * dotted quad from double-counting as a phone. The fixture text is
+    * PII-free word salad, so each row plants a deterministic synthetic
+    * email + card + IP + phone derived from `doc_id` (mirrored verbatim in
+    * the oracle): the regex machinery is exercised with known-nonzero
+    * counts instead of vacuous zeros. Scale shape: pure map-side
+    * codegen'd `regexp_replace`/`regexp_count` chains, one shuffle on the
+    * tiny (source) key set — the scan cost IS the query at 100 TB.
+    */
+  private val qPii = {
+    val planted =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR)
+        | || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        | || '.7 card 4111 1111 1111 1111 or +1 202-555-01'
+        | || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')""".stripMargin
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val cardRe = "\\b\\d(?:[ -]?\\d){12,15}\\b"
+    val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phoneRe = "\\+?\\d{1,3}[ .-]?\\(?\\d{2,4}\\)?[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b"
+    Q("q_pii",
+      Some(s"""WITH p AS (SELECT source, $planted AS t FROM documents),
+            s1 AS (SELECT source, len(regexp_extract_all(t, '$emailRe')) AS emails,
+              regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM p),
+            s2 AS (SELECT source, emails, len(regexp_extract_all(t1, '$cardRe')) AS cards,
+              regexp_replace(t1, '$cardRe', '<CARD>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT source, emails, cards, len(regexp_extract_all(t2, '$ipRe')) AS ips,
+              regexp_replace(t2, '$ipRe', '<IP>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT source, emails, cards, ips,
+              len(regexp_extract_all(t3, '$phoneRe')) AS phones FROM s3)
+            SELECT source, count(*) AS n_docs,
+              CAST(SUM(emails) AS BIGINT) AS emails, CAST(SUM(cards) AS BIGINT) AS cards,
+              CAST(SUM(ips) AS BIGINT) AS ips, CAST(SUM(phones) AS BIGINT) AS phones
+            FROM s4 GROUP BY source"""),
+      (s, d) => {
+        val plant = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 card 4111 1111 1111 1111 or +1 202-555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+        t(s, d, "documents")
+          .select(col("source"), TextAnalysis.piiCounts(plant).as("pii"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pii.emails")).as("emails"),
+            sum(col("pii.cards")).as("cards"),
+            sum(col("pii.ips")).as("ips"),
+            sum(col("pii.phones")).as("phones"))
+      })
+  }
+
   /** Per-source document quota (the "per-domain cap" of crawl curation):
     * keep at most 50 docs per source, selected by md5(doc_id) order — a
     * deterministic uniform sample. Exact top-K per key WITHOUT a
@@ -2167,5 +2219,5 @@ object TrainingQueries {
     qDupRate,
     qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,
-    qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota)
+    qEmbedCentroid, qMediaFeatures, qRepetition, qSourceQuota, qPii)
 }

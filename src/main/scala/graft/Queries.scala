@@ -1851,6 +1851,100 @@ object Queries {
           .cast("long")) / 10000.0).as("revenue"))
     })
 
+  /** TPC-H Q4 shape (order-priority checking, the canonical EXISTS):
+    * quarter-filtered orders semi-joined to "late" lineitems (shipped
+    * more than 60 days after the order — the fixture lacks
+    * commit/receipt dates, so lateness vs o_orderdate stands in for the
+    * reference's commit<receipt). LeftSemi keeps each order once no
+    * matter how many late lines it has, and the date predicate rides the
+    * join condition so it evaluates during the probe, not on a joined
+    * intermediate.
+    */
+  private val qTpchQ4 = Q("q_tpch_q4",
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority"""),
+    (s, d) => t(s, d, "orders")
+      .where(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate").cast("timestamp") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("timestamp") >
+            col("o_orderdate").cast("timestamp") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count")))
+
+  /** TPC-H Q22 shape (global-relation customers): churned high-balance
+    * customers — above-average positive balance and no orders since
+    * 1999 (every fixture customer has SOME order, so the recency window
+    * keeps the anti join non-vacuous) — scalar aggregate subquery + anti
+    * join. The average threshold compares in EXACT scaled integers
+    * (`cents·cnt > sum_cents`), so no float-boundary row flips between
+    * engines; the 1-row stats side rides a broadcast nested-loop join
+    * (never a shuffle), and the anti join's order side is date-filtered
+    * and key-projected before the exchange.
+    */
+  private val qTpchQ22 = Q("q_tpch_q22",
+    Some("""WITH stats AS (SELECT
+              SUM(CAST(round(c_acctbal * 10000) AS BIGINT)) AS sum_cents,
+              count(*) AS cnt
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_mktsegment, count(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+            FROM customer, stats
+            WHERE CAST(round(c_acctbal * 10000) AS BIGINT) * cnt > sum_cents
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment"""),
+    (s, d) => {
+      val cents = round(col("c_acctbal") * 10000).cast("long")
+      val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      val stats = cust.where(col("c_acctbal") > 0.0)
+        .agg(sum(cents).as("sum_cents"), count(lit(1)).as("cnt"))
+      cust.join(broadcast(stats))
+        .where(cents * col("cnt") > col("sum_cents"))
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate").cast("timestamp") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    })
+
+  /** Z-order (Morton) clustering key over two join dimensions — the
+    * multi-column data-layout primitive behind
+    * [[graft.ops.Maintenance.zOrderWrite]] (each output file covers a
+    * compact rectangle of the dim space, so parquet min-max stats prune
+    * scans filtered on EITHER dim). Scored here as the per-cell histogram
+    * of the 4-bit × 4-bit curve over (partkey, suppkey) mod 16: the
+    * oracle re-derives every interleaved bit with plain integer
+    * arithmetic, pinning the exact bit layout (bit b of column i at
+    * position b·n+i). Pure map-side expression + one tiny shuffle on
+    * ≤256 cells.
+    */
+  private val qZorder = Q("q_zorder",
+    Some("""WITH z AS (SELECT
+              ((l_partkey % 16) & 1) * 1 + ((l_suppkey % 16) & 1) * 2
+              + (((l_partkey % 16) // 2) & 1) * 4 + (((l_suppkey % 16) // 2) & 1) * 8
+              + (((l_partkey % 16) // 4) & 1) * 16 + (((l_suppkey % 16) // 4) & 1) * 32
+              + (((l_partkey % 16) // 8) & 1) * 64 + (((l_suppkey % 16) // 8) & 1) * 128
+              AS zkey
+              FROM lineitem)
+            SELECT zkey, count(*) AS n FROM z GROUP BY zkey"""),
+    (s, d) => t(s, d, "lineitem")
+      .select(graft.ops.Maintenance.zOrderKey(4,
+        pmod(col("l_partkey"), lit(16)), pmod(col("l_suppkey"), lit(16)))
+        .as("zkey"))
+      .groupBy(col("zkey"))
+      .agg(count(lit(1)).as("n")))
+
   /** Tumbling 1-hour windows over the event stream, batch form (`ts` is
     * epoch-nanos — see `t()`). The continuous twin is
     * [[graft.streaming.EventStream.windowedCounts]]; parity is asserted in
@@ -1997,7 +2091,7 @@ object Queries {
     qWeightedQuantiles, qMode, qSpearman, qHistogram,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ17,
-    qTpchQ19,
+    qTpchQ19, qTpchQ4, qTpchQ22, qZorder,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,

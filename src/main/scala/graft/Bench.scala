@@ -73,10 +73,12 @@ object Bench {
     val firstPass = sorted.map { case (name, fn) => name -> measure(name, fn) }
     val byName = SparkEntry.queries
     var acc = firstPass
-    // round 1 retries everything still >1.5s; round 2 only queries whose
-    // round-1 retry IMPROVED them >10% (still converging — a legitimately
-    // slow query confirms its time in round 1 and is not re-paid twice)
-    var suspects = acc.collect { case (n, v) if v > 1.5 => n }
+    // round 1 retries everything still >0.75s — stall residue shows up
+    // well below the obvious outliers (a 0.4s query reading 1.2s), and a
+    // legitimately ~1s query just confirms its time once; round 2 only
+    // queries whose round-1 retry IMPROVED them >10% (still converging —
+    // a confirmed-slow query is not re-paid twice)
+    var suspects = acc.collect { case (n, v) if v > 0.75 => n }
     for (round <- 1 to 2 if suspects.nonEmpty) {
       System.err.println(
         s"[bench] retry round $round for possible stalls: ${suspects.mkString(", ")}")
@@ -84,7 +86,7 @@ object Bench {
       val retried = suspects.map(n => n -> measure(n, byName(n))).toMap
       acc = acc.map { case (n, v) => n -> math.min(v, retried.getOrElse(n, v)) }
       val after = acc.toMap
-      suspects = suspects.filter(n => after(n) > 1.5 && after(n) < before(n) * 0.9)
+      suspects = suspects.filter(n => after(n) > 0.75 && after(n) < before(n) * 0.9)
     }
     val results = acc
     // The harness captures only a 2000-char tail of stdout; a single JSON

@@ -1191,10 +1191,11 @@ object TrainingQueries {
     * word 8-grams never seen in the existing corpus — the
     * diminishing-returns signal that decides whether another crawl of a
     * source is worth ingesting. Batch = `doc_id % 10 = 7` (the
-    * q_dedup_incremental batch). Scale shape: both sides reduce to
-    * DISTINCT shingle keys and meet in ONE hash anti-join partitioned on
-    * the shingle — no broadcast needed on either side, no row ever
-    * carries more than its md5 key. Novelty is ppm fixed point.
+    * q_dedup_incremental batch). Scale shape: ONE shuffle of the shingle
+    * table — per-shingle batch/corpus membership flags fold map-side and
+    * both counts come off the same aggregate; no distinct, no anti-join,
+    * no row ever carries more than its md5 key. Novelty is ppm fixed
+    * point.
     */
   private val qNovelty = Q("q_novelty",
     Some(s"""WITH $toksCte,
@@ -1213,15 +1214,18 @@ object TrainingQueries {
                  AS novelty_ppm
              FROM nov"""),
     (s, d) => {
+      // ONE shuffle on the shingle key: per-shingle membership flags
+      // (seen in batch / seen in corpus) fold map-side, and both counts
+      // (batch-distinct, novel = batch-and-not-corpus) come off the same
+      // aggregate — the distinct+distinct+anti-join form re-shuffles the
+      // same 8-gram table four times for the identical answer.
       val sh = Dedup.shingles(t(s, d, "documents"), 8)
-      val batch = sh.where(col("doc_id") % 10 === 7)
-        .select("shingle").distinct()
-      val corpus = sh.where(col("doc_id") % 10 =!= 7)
-        .select("shingle").distinct()
-      val novel = batch.join(corpus, Seq("shingle"), "left_anti")
-        .agg(count(lit(1)).as("n_novel"))
-      batch.agg(count(lit(1)).as("n_batch"))
-        .crossJoin(broadcast(novel))
+      sh.groupBy(col("shingle"))
+        .agg(max(when(col("doc_id") % 10 === 7, 1).otherwise(0)).as("_b"),
+          max(when(col("doc_id") % 10 =!= 7, 1).otherwise(0)).as("_c"))
+        .agg(sum(col("_b")).as("n_batch"),
+          sum(col("_b") * (lit(1) - col("_c"))).as("n_novel"))
+        .where(col("n_batch") > 0) // guard the div; n_batch>0 on any fixture
         .select(col("n_batch"), col("n_novel"),
           expr("CAST(n_novel * 1000000 div n_batch AS BIGINT)").as("novelty_ppm"))
     })

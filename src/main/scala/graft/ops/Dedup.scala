@@ -541,13 +541,19 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // Document frequency and per-doc rank/size via windows, not
+    // groupBy+re-join: `count over (partition by shingle)` replaces the
+    // dfreq aggregate AND its join back (one exchange instead of two),
+    // and the two per-doc windows (ordered rank, unordered size) share
+    // ONE exchange on the doc id — the whole prefix table builds in
+    // three shuffles of the distinct-shingle set. The df window's
+    // unordered full frame is a single streaming pass per group, so a
+    // hot boilerplate shingle costs task time, never memory.
+    val wId = Window.partitionBy(col(idCol))
     val prefix = sh
-      .join(dfreq, Seq("shingle"))
-      .withColumn("_rnk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))))
-      .join(sizes, Seq(idCol))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .withColumn("_rnk", row_number().over(wId.orderBy(col("_df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(wId))
       .where(col("_rnk") <=
         col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
       .select(col(idCol), col("shingle"), col("_rnk"), col("sz"))

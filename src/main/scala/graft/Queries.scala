@@ -351,14 +351,54 @@ object Queries {
     * cover both middle ranks, hence the k-weighting. Shared by
     * [[qMedian]] and the MAD pass of [[qMad]].
     */
+  /** Inclusive cumulative weight + group total over a (group, value)
+    * histogram WITHOUT a per-group single-task window: values shard into
+    * ≤256 range buckets per group (bucket bounds from a tiny min/max
+    * pre-pass, broadcast back), the running sum windows WITHIN (group,
+    * shard) — each a small task — and a per-shard offset table (one row
+    * per non-empty shard, windowed at shard granularity and broadcast)
+    * lifts in-shard sums to global ranks. The naive
+    * `sum over (partition by g order by v)` puts every distinct value of
+    * a group through ONE task — billions of rows per task at 100 TB;
+    * here no task sees more than ~1/256 of a group. Shard assignment is
+    * monotone in the value (scale by a positive double + floor), so
+    * in-shard order + shard offsets reproduce the exact global
+    * cumulative. Emits `cum` (inclusive) and `tot`.
+    */
+  private def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
+                         cntCol: String): DataFrame = {
+    val bounds = hist.groupBy(grpCol)
+      .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+    val width =
+      when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
+        .otherwise(lit(1.0))
+    val sharded = hist.join(broadcast(bounds), grpCol)
+      .withColumn("_sh",
+        least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
+          .cast("int"))
+      .drop("_lo", "_hi")
+    val byShard = sharded.groupBy(col(grpCol), col("_sh"))
+      .agg(sum(col(cntCol)).as("_st"))
+    val wShards = Window.partitionBy(grpCol).orderBy("_sh")
+    val offsets = byShard.select(col(grpCol), col("_sh"),
+      (sum(col("_st")).over(wShards) - col("_st")).as("_off"),
+      sum(col("_st")).over(Window.partitionBy(grpCol)).as("tot"))
+    sharded
+      .withColumn("_c", sum(col(cntCol))
+        .over(Window.partitionBy(col(grpCol), col("_sh")).orderBy(valCol)))
+      .join(broadcast(offsets), Seq(grpCol, "_sh"))
+      .withColumn("cum", col("_c") + col("_off"))
+      .drop("_sh", "_c", "_off")
+  }
+
   private def histMedian(df: DataFrame, grpCol: String, valCol: String,
                          outCol: String): DataFrame = {
     val hist = df.groupBy(grpCol, valCol).agg(count(lit(1)).as("c"))
-    val wv = Window.partitionBy(grpCol).orderBy(valCol)
-    val ranked = hist.select(col(grpCol), col(valCol), col("c"),
-      (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
-      sum(col("c")).over(wv).as("hi"),
-      sum(col("c")).over(Window.partitionBy(grpCol)).as("n"))
+    val ranked = shardedCum(hist, grpCol, valCol, "c").select(
+      col(grpCol), col(valCol), col("c"),
+      (col("cum") - col("c")).as("lo"), // covers ranks lo+1..hi
+      col("cum").as("hi"),
+      col("tot").as("n"))
     val r1 = expr("(n + 1) div 2"); val r2 = expr("(n + 2) div 2")
     def covers(r: Column) = r > col("lo") && r <= col("hi")
     ranked
@@ -409,12 +449,8 @@ object Queries {
       val hist = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val half = expr("(tot + 1) div 2") // exact integer arithmetic at any W
-      hist
-        .select(col("l_returnflag"), col("l_extendedprice"), col("w"),
-          sum(col("w")).over(wv).as("cum"),
-          sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+      shardedCum(hist, "l_returnflag", "l_extendedprice", "w")
         .where(col("cum") - col("w") < half && half <= col("cum"))
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("double").as("wmedian"))
@@ -443,11 +479,8 @@ object Queries {
       val hist = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val wv = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val ranked = hist.select(col("l_returnflag"),
-        col("l_extendedprice").as("v"),
-        sum(col("w")).over(wv).as("cum"),
-        sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+      val ranked = shardedCum(hist, "l_returnflag", "l_extendedprice", "w")
+        .withColumnRenamed("l_extendedprice", "v")
       def cut(t: Column) =
         min(when(col("cum") >= t, col("v"))).cast("double")
       ranked.groupBy(col("l_returnflag")).agg(
@@ -704,11 +737,10 @@ object Queries {
     (s, d) => {
       val hist = t(s, d, "events")
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("value")
-      val ranked = hist.select(col("event_type"), col("value"), col("c"),
-        (sum(col("c")).over(wv) - col("c")).as("lo"), // bucket covers ranks lo+1..hi
-        sum(col("c")).over(wv).as("hi"),
-        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+        col("event_type"), col("value"), col("c"),
+        (col("cum") - col("c")).as("lo"), // bucket covers ranks lo+1..hi
+        col("cum").as("hi"), col("tot").as("n"))
       def q(p: Int) = {
         val r = expr(s"(n * $p + 99) div 100")
         min(when(r > col("lo") && r <= col("hi"), col("value")))
@@ -777,11 +809,10 @@ object Queries {
     (s, d) => {
       val hist = t(s, d, "events")
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("event_type").orderBy("value")
-      val ranked = hist.select(col("event_type"), col("value"), col("c"),
-        (sum(col("c")).over(wv) - col("c")).as("lo"), // covers ranks lo+1..hi
-        sum(col("c")).over(wv).as("hi"),
-        sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+        col("event_type"), col("value"), col("c"),
+        (col("cum") - col("c")).as("lo"), // covers ranks lo+1..hi
+        col("cum").as("hi"), col("tot").as("n"))
       // kept rank range [r1+1 .. r2]; bucket keeps overlap with (lo, hi]
       val r1 = expr("(n + 9) div 10"); val r2 = expr("n - (n + 9) div 10")
       val k = least(col("hi"), r2) - greatest(col("lo"), r1)
@@ -1918,6 +1949,328 @@ object Queries {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
     })
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the catalog argmin — for
+    * every part in a size/type slice, the supplier(s) quoting the lowest
+    * price (the fixture has no partsupp, so the observed per-(part,
+    * supplier) minimum line price in integer cents stands in for
+    * ps_supplycost). Plan discipline: the part slice broadcasts into the
+    * (part, supplier) price table BEFORE the per-part min — the argmin
+    * and its join-back run over the sliced table only; supplier and
+    * nation are broadcast dims; the min-vs-offer equality compares exact
+    * integer cents, so no float boundary flips between engines. The
+    * offer⋈min join keys on the part — co-partitioned with the groupBy
+    * that produced it, and AQE broadcasts the (rare) min table at scale.
+    */
+  private val qTpchQ2 = Q("q_tpch_q2",
+    Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+              min(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS cost_cents
+              FROM lineitem GROUP BY 1, 2),
+            sl AS (SELECT p_partkey, p_name, l_suppkey, cost_cents
+              FROM ps JOIN part ON p_partkey = l_partkey
+              WHERE p_size = 5 AND p_type = 'LARGE'),
+            mc AS (SELECT p_partkey, min(cost_cents) AS min_cents
+              FROM sl GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, sl.p_partkey, p_name,
+              cost_cents / 10000.0 AS supply_cost
+            FROM sl JOIN mc ON sl.p_partkey = mc.p_partkey
+              AND cost_cents = min_cents
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+            ORDER BY s_acctbal DESC, n_name, s_name, sl.p_partkey LIMIT 100"""),
+    (s, d) => {
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 10000).cast("long")).as("cost_cents"))
+      val slice = t(s, d, "part")
+        .where(col("p_size") === 5 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val sl = ps.join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      val mc = sl.groupBy(col("p_partkey").as("mc_key"))
+        .agg(min(col("cost_cents")).as("min_cents"))
+      sl.join(mc, col("p_partkey") === col("mc_key") &&
+          col("cost_cents") === col("min_cents"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), (col("cost_cents") / 10000.0).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    })
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): the
+    * 5-table profit rollup. The fixture lacks ps_supplycost, so cost =
+    * quantity × p_retailprice in exact integer cents (scaled ×100 to the
+    * revenue's 10⁻⁴ grid). Both profit terms stay in integers until ONE
+    * exact [[graft.functions.Sum128]] accumulation (order-independent ↔
+    * DuckDB's HUGEINT); the name-sliced part table and supplier→nation
+    * broadcast, so the only shuffle is the fact⋈orders key join.
+    */
+  private val qTpchQ9 = Q("q_tpch_q9",
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT) * 100) AS DOUBLE)
+                / 10000.0 AS profit
+            FROM lineitem
+              JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2"""),
+    (s, d) => {
+      val parts = t(s, d, "part").where(col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate").cast("timestamp")).as("o_year"))
+        .agg((graft.functions.Sum128(
+          (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")
+            - col("l_quantity").cast("long")
+              * round(col("p_retailprice") * 100).cast("long") * 100), 0)
+          .cast("double") / 10000.0).as("profit"))
+    })
+
+  /** TPC-H Q11 shape (important stock): per-part traded value vs a
+    * global-fraction threshold — the scalar-subquery HAVING. Value sums
+    * are exact integer cents via [[graft.functions.Sum128]]
+    * (order-independent ↔ HUGEINT), the one-row total rides a broadcast
+    * nested-loop join, and the threshold compares `value × 1000 > total`
+    * in exact wide decimals — no float boundary row flips. One shuffle
+    * (the part-key aggregate); the nation-sliced supplier set broadcasts
+    * into the fact scan.
+    */
+  private val qTpchQ11 = Q("q_tpch_q11",
+    Some("""WITH pv AS (SELECT l_partkey,
+              SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS val_cents
+              FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              WHERE s_nationkey = 7
+              GROUP BY 1),
+            tot AS (SELECT SUM(val_cents) AS tot_cents FROM pv)
+            SELECT l_partkey, CAST(val_cents AS DOUBLE) / 10000.0 AS part_value
+            FROM pv, tot
+            WHERE val_cents * 1000 > tot_cents
+            ORDER BY val_cents DESC, l_partkey LIMIT 100"""),
+    (s, d) => {
+      val sup = t(s, d, "supplier").where(col("s_nationkey") === 7)
+        .select("s_suppkey")
+      val pv = t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(graft.functions.Sum128(
+          round(col("l_extendedprice") * 10000).cast("long"), 0).as("val_cents"))
+      val tot = pv.agg(sum(col("val_cents")).as("tot_cents"))
+      pv.join(broadcast(tot))
+        .where(col("val_cents") * 1000 > col("tot_cents"))
+        // order on the EXACT cents (as the oracle does), not the derived
+        // double — two parts whose values collide after the /10⁴ cast
+        // would otherwise rank engine-dependently at the limit boundary
+        .orderBy(col("val_cents").desc, col("l_partkey"))
+        .select(col("l_partkey"),
+          (col("val_cents").cast("double") / 10000.0).as("part_value"))
+        .limit(100)
+    })
+
+  /** TPC-H Q12 shape (shipping-priority audit): the two-fact join with a
+    * conditional split aggregate. The fixture has no ship mode or
+    * commit/receipt dates, so the classes split on order priority and
+    * "late" is shipped > 60 days after order (q_tpch_q4's convention).
+    * The year window pushes into the lineitem scan; the date predicate
+    * rides the join condition; both counts come out of ONE pass
+    * (conditional sums), never two scans.
+    */
+  private val qTpchQ12 = Q("q_tpch_q12",
+    Some("""SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1"""),
+    (s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate").cast("timestamp") >
+              col("o_orderdate").cast("timestamp") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+    })
+
+  /** TPC-H Q15 shape (top supplier): an aggregated revenue view joined
+    * to its own maximum — the classic view + scalar-max equality.
+    * Revenue per supplier accumulates exact integer cents; the 1-row max
+    * broadcasts; the equality compares integers so the winner set is
+    * engine-stable. One shuffle total (the supplier rollup — the max and
+    * the final supplier join are broadcasts).
+    */
+  private val qTpchQ15 = Q("q_tpch_q15",
+    Some("""WITH rev AS (SELECT l_suppkey,
+              SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS rev_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1),
+            m AS (SELECT max(rev_cents) AS max_cents FROM rev)
+            SELECT s_suppkey, s_name,
+              CAST(rev_cents AS DOUBLE) / 10000.0 AS total_revenue
+            FROM rev JOIN m ON rev_cents = max_cents
+              JOIN supplier ON s_suppkey = l_suppkey"""),
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(graft.functions.Sum128(
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long"), 0).as("rev_cents"))
+      val m = rev.agg(max(col("rev_cents")).as("max_cents"))
+      rev.join(broadcast(m), col("rev_cents") === col("max_cents"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_cents").cast("double") / 10000.0).as("total_revenue"))
+    })
+
+  /** TPC-H Q16 shape (part–supplier relationship count): distinct
+    * supplier counts per part descriptor with an excluded-supplier anti
+    * join (the fixture's stand-in for the comment-pattern NOT IN:
+    * negative-balance suppliers). The distinct runs as
+    * distinct-then-count (one Exchange on the already-sliced descriptor
+    * tuples — never the count-distinct Expand rewrite); the part slice
+    * and the exclusion set broadcast.
+    */
+  private val qTpchQ16 = Q("q_tpch_q16",
+    Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9)
+              AND l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3"""),
+    (s, d) => {
+      val parts = t(s, d, "part")
+        .where(col("p_brand") =!= "Brand#13" && col("p_size").isin(1, 5, 9))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = t(s, d, "supplier").where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+    })
+
+  /** TPC-H Q20 shape (excess suppliers): suppliers who dominate a
+    * part's shipped volume — the nested-aggregate semi-join chain (the
+    * fixture lacks ps_availqty, so "holds excess stock" becomes
+    * "shipped more than half the part's year volume"). Quantities sum
+    * as exact integers; the dominance test `2·qty > total` is integer
+    * arithmetic; the name-sliced part set broadcasts into the
+    * (part, supplier) rollup, and the per-part total joins back on the
+    * SAME part key the rollup shuffled on — co-partitioned, no second
+    * fact pass.
+    */
+  private val qTpchQ20 = Q("q_tpch_q20",
+    Some("""WITH sq AS (SELECT l_partkey, l_suppkey,
+              SUM(CAST(l_quantity AS BIGINT)) AS qty
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, SUM(qty) AS total_qty FROM sq GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name, n_name
+            FROM sq JOIN pt USING (l_partkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+            WHERE qty * 2 > total_qty"""),
+    (s, d) => {
+      val parts = t(s, d, "part").where(col("p_name").like("red%"))
+        .select("p_partkey")
+      val sq = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1997-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val pt = sq.groupBy(col("l_partkey").as("pt_key"))
+        .agg(sum(col("qty")).as("total_qty"))
+      sq.join(pt, col("l_partkey") === col("pt_key"))
+        .where(col("qty") * 2 > col("total_qty"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    })
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * double-correlated EXISTS / NOT EXISTS, reformulated as ONE pass of
+    * per-order statistics instead of two self-joins of the fact: per
+    * (order, supplier) a late flag (shipped > 90 days after a finished
+    * order — the fixture's receipt>commit stand-in, q_tpch_q4's
+    * convention), then per-order supplier/late counts; "this supplier
+    * was late, another supplier exists, no OTHER supplier was late"
+    * becomes `late ∧ nsupp ≥ 2 ∧ nlate = 1`. Two map-side-combinable
+    * aggregates and a co-partitioned join on the order key replace the
+    * textbook's two extra fact shuffles; top-100 via
+    * TakeOrderedAndProject.
+    */
+  private val qTpchQ21 = Q("q_tpch_q21",
+    Some("""WITH lf AS (SELECT l_orderkey, l_suppkey,
+              max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            os AS (SELECT l_orderkey, count(*) AS nsupp, SUM(late) AS nlate
+              FROM lf GROUP BY 1)
+            SELECT s_name, count(*) AS numwait
+            FROM lf JOIN os USING (l_orderkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+            WHERE late = 1 AND nsupp >= 2 AND nlate = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name LIMIT 100"""),
+    (s, d) => {
+      val lf = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate").cast("timestamp") >
+          col("o_orderdate").cast("timestamp") + expr("INTERVAL 90 DAYS"), 1)
+          .otherwise(0)).as("late"))
+      val os = lf.groupBy(col("l_orderkey").as("os_key"))
+        .agg(count(lit(1)).as("nsupp"), sum(col("late")).as("nlate"))
+      lf.join(os, col("l_orderkey") === col("os_key"))
+        .where(col("late") === 1 && col("nsupp") >= 2 && col("nlate") === 1)
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
+
   /** Z-order (Morton) clustering key over two join dimensions — the
     * multi-column data-layout primitive behind
     * [[graft.ops.Maintenance.zOrderWrite]] (each output file covers a
@@ -2077,6 +2430,158 @@ object Queries {
         ((count(lit(1)) - 1).cast("double") * lit(4294967296.0) / max(col("hv")))
           .as("est_distinct")))
 
+  /** Ordered conversion funnel (view → click → purchase): per-user first
+    * times, each later stage counting only events strictly AFTER the
+    * user's previous-stage first time — the product-analytics staple.
+    * Scale shape: every stage is a type-filtered scan (predicate pushed
+    * to parquet) aggregated by user, and all three shuffles key on
+    * user_id, so stage N's join probes the co-partitioned output of
+    * stage N−1; no stage ever carries more than (user, first-ts). The
+    * 3-row result assembles from three 1-row grand aggregates.
+    */
+  private val qFunnel = Q("q_funnel",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+              JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+            SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM v
+            UNION ALL SELECT 2, 'click', count(*) FROM c
+            UNION ALL SELECT 3, 'purchase', count(*) FROM p"""),
+    (s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      def stage(df: DataFrame, n: Int, ty: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(n).as("stage"), lit(ty).as("event_type"), col("users"))
+      stage(v, 1, "view").unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    })
+
+  /** Weekly retention cohorts: users grouped by first-active week,
+    * counted in every later week they return — the activity-retention
+    * triangle. One distinct (user, week) rollup, then the cohort week
+    * via an unordered per-user window (bounded by weeks, never data
+    * volume) — no self-join of the activity table; the final cohort
+    * aggregate is map-side combinable.
+    */
+  private val qRetention = Q("q_retention",
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 604800000000000 AS w FROM events),
+            c AS (SELECT user_id, w,
+              min(w) OVER (PARTITION BY user_id) AS cohort_week FROM a)
+            SELECT cohort_week, w - cohort_week AS week_no,
+              count(*) AS active_users
+            FROM c GROUP BY 1, 2"""),
+    (s, d) => {
+      val a = t(s, d, "events")
+        .select(col("user_id"), expr("ts div 604800000000000").as("w"))
+        .distinct()
+      a.withColumn("cohort_week", min(col("w")).over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_no"))
+        .agg(count(lit(1)).as("active_users"))
+    })
+
+  /** Gap-filled daily series with last-observation-carried-forward: the
+    * time-series densification every monitoring/feature pipeline needs —
+    * a complete (user, day) spine over the fixture's 30-day window, the
+    * day's exact total where one exists, else the most recent earlier
+    * total (null before a user's first activity). Scale shape: the spine
+    * is a map-side `explode(sequence)` over the distinct-user set (never
+    * a shuffled cross join), daily totals are ONE exact fixed-point
+    * rollup, and the LOCF window partitions by user with a frame bounded
+    * by the day count — never by event volume.
+    */
+  private val qGapfill = Q("q_gapfill",
+    Some("""WITH daily AS (SELECT user_id,
+              epoch_ns(ts) // 86400000000000 - 19723 AS day_no,
+              SUM(CAST(round(value * 10000) AS BIGINT)) AS total_f
+              FROM events GROUP BY 1, 2),
+            users AS (SELECT DISTINCT user_id FROM events),
+            spine AS (SELECT user_id, day_no
+              FROM users, UNNEST(range(0, 30)) AS t(day_no)),
+            j AS (SELECT s.user_id, s.day_no, total_f
+              FROM spine s LEFT JOIN daily d
+                ON d.user_id = s.user_id AND d.day_no = s.day_no)
+            SELECT user_id, day_no,
+              CAST(last_value(total_f IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / 10000.0 AS value_locf
+            FROM j"""),
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"),
+          (expr("ts div 86400000000000") - 19723).as("day_no"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("total_f"))
+      val spine = t(s, d, "events").select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(29L))).as("day_no"))
+      val w = Window.partitionBy("user_id").orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day_no"), "left")
+        .select(col("user_id"), col("day_no"),
+          (last(col("total_f"), ignoreNulls = true).over(w).cast("double")
+            / 10000.0).as("value_locf"))
+    })
+
+  /** Per-group OLS trend (value vs day): the least-squares slope and
+    * intercept every drift dashboard plots — exact moment sums
+    * ([[graft.functions.Sum128]] over integer day offsets × scale-4
+    * fixed-point values, order-independent ↔ DuckDB HUGEINT), one
+    * map-side-combinable aggregate, identical IEEE arithmetic from the
+    * cast doubles on (qCorr's contract — the big sums route through
+    * VARCHAR so both engines cast correctly rounded). Day 0 =
+    * 2024-01-01 (the fixture epoch), keeping every moment far inside
+    * the exact-double range.
+    */
+  private val qRegression = Q("q_regression",
+    Some("""WITH b AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 - 19723 AS x,
+              CAST(round(value * 10000) AS BIGINT) AS yf FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              CAST(CAST(SUM(yf) AS VARCHAR) AS DOUBLE) AS sy,
+              CAST(CAST(SUM(x * yf) AS VARCHAR) AS DOUBLE) AS sxy
+              FROM b GROUP BY 1)
+            SELECT event_type, n,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) / 10000.0
+                AS slope_per_day,
+              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                / 10000.0 AS intercept
+            FROM s"""),
+    (s, d) => {
+      import graft.functions.Sum128
+      val x = (expr("ts div 86400000000000") - 19723).cast("long")
+      val yf = round(col("value") * 10000).cast("long")
+      t(s, d, "events")
+        .select(col("event_type"), x.as("x"), yf.as("yf"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Sum128(col("x"), 0).cast("double").as("sx"),
+          Sum128(col("x") * col("x"), 0).cast("double").as("sxx"),
+          Sum128(col("yf"), 0).cast("double").as("sy"),
+          Sum128(col("x") * col("yf"), 0).cast("double").as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) / 10000.0)
+            .as("slope_per_day"),
+          ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n") / 10000.0).as("intercept"))
+    })
+
   // ------------------------------------------------------------- registry
 
   val relational: Seq[Q] = Seq(
@@ -2091,13 +2596,15 @@ object Queries {
     qWeightedQuantiles, qMode, qSpearman, qHistogram,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ17,
-    qTpchQ19, qTpchQ4, qTpchQ22, qZorder,
+    qTpchQ19, qTpchQ4, qTpchQ22, qTpchQ2, qTpchQ9, qTpchQ11, qTpchQ12,
+    qTpchQ15, qTpchQ16, qTpchQ20, qTpchQ21, qZorder,
     qWindowRownum, qWindowRank, qWindowFrame, qWindowNtile, qWindowTumbling,
     qWindowSliding,
     qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
-    qFlatten, qTransform, qStreamCompact, qSessionize)
+    qFlatten, qTransform, qStreamCompact, qSessionize,
+    qFunnel, qRetention, qGapfill, qRegression)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

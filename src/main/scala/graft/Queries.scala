@@ -2582,6 +2582,146 @@ object Queries {
             col("n") / 10000.0).as("intercept"))
     })
 
+  /** PageRank over the customer→supplier trade graph (3 damped power
+    * iterations, [[graft.ops.Graph.pageRankPpm]]): which suppliers does
+    * order flow concentrate on — the importance signal that
+    * prioritizes canonical docs / crawl frontiers on a link corpus. All
+    * arithmetic is exact integer ppm, so the oracle (the same
+    * recurrence unrolled as three CTE rounds) hash-matches bit-for-bit.
+    * Scale shape: per round exactly one edges⋈ranks join on src and one
+    * groupBy dst — the textbook Spark PageRank schedule; edge list and
+    * degrees cached once.
+    */
+  private val qPagerank = Q("q_pagerank", {
+    def round(i: Int) = s"""
+            s$i AS (SELECT dst AS node, SUM(r // deg) AS s
+              FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+              GROUP BY 1),
+            r$i AS (SELECT n.node,
+              CAST(150000 + (850000 * COALESCE(s, 0)) // 1000000 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s$i USING (node))"""
+    Some(s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+              l_suppkey + 1000000000 AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            ${round(1)}, ${round(2)}, ${round(3)}
+            SELECT node, r AS rank_ppm FROM r3
+            ORDER BY rank_ppm DESC, node LIMIT 20""")
+  },
+    (s, d) => {
+      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+      graft.ops.Graph.pageRankPpm(edges, iters = 3)
+        .orderBy(col("rank_ppm").desc, col("node"))
+        .limit(20)
+    })
+
+  /** CDC batch merged into an existing SCD2 history
+    * ([[graft.ops.Scd2.applyCdc]]): the dimension built from pre-cutoff
+    * events has the post-cutoff batch applied — closing open intervals
+    * and continuing version numbers for touched entities ONLY (untouched
+    * rows pass through a broadcast anti join, never re-shuffled). The
+    * oracle rebuilds from scratch over ALL events, so the hash match
+    * proves the merge algebra: apply(build(old), batch) ≡ build(all).
+    */
+  private val qScd2Merge = Q("q_scd2_merge",
+    Some("""SELECT user_id, event_id, epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events"""),
+    (s, d) => {
+      val cutoffNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), tsMicros.as("vts"))
+      val dim = graft.ops.Scd2.build(
+        ev.where(col("vts") < cutoffNs), "user_id", "event_id", "vts")
+      graft.ops.Scd2.applyCdc(dim,
+        ev.where(col("vts") >= cutoffNs), "user_id", "event_id", "vts")
+    })
+
+  /** Referential-integrity and key-uniqueness audit across the whole
+    * warehouse star schema in one result table — the data-quality sweep
+    * a nightly maintenance job runs. Each FK check is an anti join
+    * (dimension key sets broadcast; the two fact-fact checks shuffle on
+    * their shared key), each uniqueness check is `count − distinct`;
+    * every check is a 1-row grand aggregate, assembled by union. The
+    * fixture is clean, so all counts are 0 — the oracle pins that
+    * non-vacuously (a planted-violation twin lives in the spec).
+    */
+  private val qIntegrity = Q("q_integrity",
+    Some("""SELECT 'lineitem.l_orderkey->orders' AS chk, count(*) AS violations
+              FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part', count(*)
+              FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier', count(*)
+              FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer', count(*)
+              FROM orders WHERE NOT EXISTS
+                (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation', count(*)
+              FROM customer WHERE NOT EXISTS
+                (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation', count(*)
+              FROM supplier WHERE NOT EXISTS
+                (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+            UNION ALL
+            SELECT 'orders.o_orderkey unique',
+              count(*) - count(DISTINCT o_orderkey) FROM orders
+            UNION ALL
+            SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+              count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+            UNION ALL
+            SELECT 'events.event_id unique',
+              count(*) - count(DISTINCT event_id) FROM events"""),
+    (s, d) => {
+      def orphans(name: String, fact: DataFrame, factKey: String,
+                  dim: DataFrame, dimKey: String, bcast: Boolean) = {
+        val dimKeys = dim.select(dimKey)
+        fact.select(factKey)
+          .join(if (bcast) broadcast(dimKeys) else dimKeys,
+            col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("chk"), col("violations"))
+      }
+      def dupes(name: String, df: DataFrame, keys: Column) =
+        df.agg((count(lit(1)) - countDistinct(keys)).as("violations"))
+          .select(lit(name).as("chk"), col("violations"))
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      Seq(
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey", bcast = false),
+        orphans("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey", bcast = true),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey", bcast = true),
+        orphans("orders.o_custkey->customer", ord, "o_custkey",
+          t(s, d, "customer"), "c_custkey", bcast = true),
+        orphans("customer.c_nationkey->nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey", bcast = true),
+        orphans("supplier.s_nationkey->nation", t(s, d, "supplier"), "s_nationkey",
+          t(s, d, "nation"), "n_nationkey", bcast = true),
+        dupes("orders.o_orderkey unique", ord, col("o_orderkey")),
+        dupes("lineitem.(l_orderkey,l_linenumber) unique", li,
+          struct(col("l_orderkey"), col("l_linenumber"))),
+        dupes("events.event_id unique", t(s, d, "events"), col("event_id"))
+      ).reduce(_ unionByName _)
+    })
+
   // ------------------------------------------------------------- registry
 
   val relational: Seq[Q] = Seq(
@@ -2604,7 +2744,8 @@ object Queries {
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize,
-    qFunnel, qRetention, qGapfill, qRegression)
+    qFunnel, qRetention, qGapfill, qRegression,
+    qPagerank, qScd2Merge, qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over edge DataFrames — the graph-shaped
+  * complement of [[Dedup.clusters]]' connected components: CC answers
+  * "which docs are the same thing", PageRank answers "which nodes
+  * matter", the canonical-document / crawl-frontier prioritization
+  * signal (Page et al. 1999).
+  *
+  * All arithmetic is exact integer fixed point (ppm), so ranks are
+  * bit-identical across engines, partitionings, and retry orders — the
+  * same cross-engine determinism contract as the scored queries. The
+  * recurrence (damping d in ppm):
+  *
+  * {{{
+  *   contrib(u)  = r_k(u) div outdeg(u)            // exact integer div
+  *   s(v)        = Σ contrib(u) over edges u→v     // exact integer sum
+  *   r_{k+1}(v)  = (10^6 − d) + (d · s(v)) div 10^6
+  * }}}
+  *
+  * Dangling nodes (no out-edges) simply contribute nothing — their mass
+  * is not redistributed. Ranks therefore need not sum to n·10^6; the
+  * ORDERING (what callers consume) is the standard damped walk's.
+  *
+  * Scale shape: one `distinct` of the edge list and one out-degree
+  * aggregate up front (cached — reused every round), then per iteration
+  * exactly one join of edges⋈ranks on `src` followed by one groupBy on
+  * `dst` — the textbook Spark PageRank schedule. Rank tables carry two
+  * longs per node; nothing driver-side ever scales with the graph.
+  * Lineage grows linearly with `iters` — fine for the ranking-typical
+  * 3–10 rounds; checkpoint externally for deep power iterations.
+  */
+object Graph {
+
+  /** Fixed-point PageRank (see object doc). Returns `(node, rank_ppm)`.
+    *
+    * @param edges      directed edge list; duplicates collapse
+    * @param iters      power-iteration rounds (ranking stabilizes in
+    *                   3–10; exact convergence is not the point of an
+    *                   importance ORDERING)
+    * @param dampingPpm damping factor in ppm (850000 = the classic 0.85)
+    */
+  def pageRankPpm(edges: DataFrame, iters: Int, srcCol: String = "src",
+                  dstCol: String = "dst", dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters must be in [0, 100], got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 10^6], got $dampingPpm")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val base = 1000000L - dampingPpm
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val sums = e.join(deg, "src")
+        .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div deg")).as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .selectExpr("node",
+          s"CAST($base + ($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) div 1000000 AS BIGINT) AS rank_ppm")
+    }
+    ranks
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Scd2
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // (entity, version-id, ts): u1 has 3 versions, u2 has 1, u3 arrives
+  // only in the batch; same-ts versions for u4 exercise the tie key
+  lazy val oldV = Seq(
+    ("u1", 1L, 100L), ("u1", 2L, 200L), ("u2", 3L, 150L),
+    ("u4", 7L, 500L), ("u4", 8L, 500L)
+  ).toDF("user_id", "event_id", "ts")
+  lazy val batch = Seq(
+    ("u1", 4L, 300L), ("u3", 5L, 250L), ("u3", 6L, 400L)
+  ).toDF("user_id", "event_id", "ts")
+
+  private def canon(df: DataFrame): Set[(String, Long, Long, Option[Long], Long, Boolean)] =
+    df.collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getBoolean(5))
+    }.toSet
+
+  test("build: intervals chain, versions rank, exactly one open row per entity") {
+    val dim = Scd2.build(oldV)
+    val rows = canon(dim)
+    assert(rows(("u1", 1L, 100L, Some(200L), 1L, false)))
+    assert(rows(("u1", 2L, 200L, None, 2L, true)))
+    assert(rows(("u2", 3L, 150L, None, 1L, true)))
+    // same-ts versions order by the tie key deterministically
+    assert(rows(("u4", 7L, 500L, Some(500L), 1L, false)))
+    assert(rows(("u4", 8L, 500L, None, 2L, true)))
+  }
+
+  test("applyCdc equals a full rebuild over old ∪ batch") {
+    val merged = Scd2.applyCdc(Scd2.build(oldV), batch)
+    val rebuilt = Scd2.build(oldV.unionByName(batch))
+    assert(canon(merged) == canon(rebuilt))
+    // the merge closed u1's open row, continued its versions, created u3
+    val rows = canon(merged)
+    assert(rows(("u1", 2L, 200L, Some(300L), 2L, false)))
+    assert(rows(("u1", 4L, 300L, None, 3L, true)))
+    assert(rows(("u3", 6L, 400L, None, 2L, true)))
+    // untouched entities pass through byte-identical
+    assert(rows(("u2", 3L, 150L, None, 1L, true)))
+  }
+
+  test("empty batch is the identity") {
+    val dim = Scd2.build(oldV)
+    assert(canon(Scd2.applyCdc(dim, batch.limit(0))) == canon(dim))
+  }
+}

@@ -541,17 +541,21 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
-    // Document frequency and per-doc rank/size via windows, not
-    // groupBy+re-join: `count over (partition by shingle)` replaces the
-    // dfreq aggregate AND its join back (one exchange instead of two),
-    // and the two per-doc windows (ordered rank, unordered size) share
-    // ONE exchange on the doc id — the whole prefix table builds in
-    // three shuffles of the distinct-shingle set. The df window's
-    // unordered full frame is a single streaming pass per group, so a
-    // hot boilerplate shingle costs task time, never memory.
+    // Document frequency via groupBy+count joined back — NOT a
+    // `count over (partition by shingle)` window. The window form saves
+    // one exchange but funnels every occurrence of a hot boilerplate
+    // shingle (exactly the ones the prefix later excludes) through a
+    // single task BEFORE the prefix can drop them; the aggregate is
+    // map-side combinable, so a shingle in 10⁹ docs collapses to one
+    // row per map partition pre-shuffle, and AQE's skew-join split
+    // covers the join back (dfreq is 1 row per shingle — replicable).
+    // The two per-doc windows (ordered rank, unordered size) still
+    // share ONE exchange on the doc id, whose partitions are bounded
+    // by doc length.
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val wId = Window.partitionBy(col(idCol))
     val prefix = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .join(dfreq, Seq("shingle"))
       .withColumn("_rnk", row_number().over(wId.orderBy(col("_df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(wId))
       .where(col("_rnk") <=
@@ -592,9 +596,16 @@ object Dedup {
     * end)` token spans, `end` exclusive.
     *
     * Scale shape: gram extraction is a pure expression tree (no UDF); the
-    * only corpus-sized shuffle keys on the gram hash for the global
-    * first-occurrence rank — fully spread (hash cardinality ≈ token
-    * count). Docs shorter than k tokens contribute nothing.
+    * global first occurrence per gram is `min(struct(id, start))` — a
+    * MAP-SIDE-COMBINABLE aggregate, so a boilerplate gram with 10⁹
+    * occurrences (a license header, say — exactly what this operator
+    * hunts) collapses to one row per map partition before the shuffle.
+    * The mark is a join back on the gram hash against that 1-row-per-gram
+    * table; AQE's skew-join split handles residual hot grams on the
+    * occurrence side (the build side is single-row-per-key, safely
+    * replicable). No per-gram sort, no single-task funnel — the rank
+    * window this replaced put every occurrence of one gram through ONE
+    * task. Docs shorter than k tokens contribute nothing.
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -605,10 +616,14 @@ object Dedup {
           transform(sequence(lit(0), size(col("_l")) - k),
             i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
           .otherwise(array())).as(Seq("start", "_g")))
-    val w = Window.partitionBy(col("_g")).orderBy(col(idCol), col("start"))
-    grams
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") > 1) // every occurrence but the corpus-first
+    // First occurrence per gram: lowest doc id, then lowest start —
+    // struct ordering compares fields left to right, so min(struct)
+    // IS the (id, start) lexicographic minimum.
+    val first = grams.groupBy(col("_g"))
+      .agg(min(struct(col(idCol), col("start"))).as("_first"))
+    grams.join(first, Seq("_g"))
+      .where(col(idCol) =!= col("_first").getField(idCol) ||
+        col("start") =!= col("_first").getField("start"))
       .select(col(idCol), col("start"), (col("start") + k).as("end"))
   }
 

@@ -32,8 +32,23 @@ object Queries {
     // use `ts` as an ordering key, where long-nanos order == timestamp
     // order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    tsToNanos(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Normalize an events frame's `ts` to the repo-wide epoch-nanos-long
+    * convention. Fixture generations have carried `ts` as TIMESTAMP(NANOS)
+    * (read as long via `nanosAsLong`) or TIMESTAMP(µs)[_NTZ]; every query
+    * and the DuckDB oracles (`epoch_ns(ts)`) assume epoch nanos. The
+    * NTZ→TIMESTAMP cast is value-preserving because every entry point
+    * (Verify/Bench/CLI/SparkSpec) pins the session time zone to UTC.
+    */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
 
   /** Order-insensitive exact sum of a double column: accumulate the
     * scale-4 fixed-point value exactly, cast once to double. DuckDB
@@ -367,12 +382,18 @@ object Queries {
     */
   private def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
                          cntCol: String): DataFrame = {
-    val bounds = hist.groupBy(grpCol)
+    // NULL values are excluded up front: a null valCol would shard to a
+    // null _sh (dropped by the inner join below) while still inflating
+    // _off/tot through the nulls-first shard window — silently shifting
+    // every rank. SQL aggregates/quantiles ignore NULLs, so exclusion is
+    // the semantics every caller wants.
+    val hist0 = hist.where(col(valCol).isNotNull)
+    val bounds = hist0.groupBy(grpCol)
       .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
     val width =
       when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
         .otherwise(lit(1.0))
-    val sharded = hist.join(broadcast(bounds), grpCol)
+    val sharded = hist0.join(broadcast(bounds), grpCol)
       .withColumn("_sh",
         least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
           .cast("int"))
@@ -2452,7 +2473,11 @@ object Queries {
             UNION ALL SELECT 2, 'click', count(*) FROM c
             UNION ALL SELECT 3, 'purchase', count(*) FROM p"""),
     (s, d) => {
-      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      // All min/filter comparisons run on µs-truncated ts (tsMicros
+      // convention): DuckDB timestamps are µs-precision, so comparing raw
+      // nanos here would let a same-µs-later-ns click count only in Spark.
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), tsMicros.as("ts"))
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t0"))
       val c = ev.where(col("event_type") === "click")

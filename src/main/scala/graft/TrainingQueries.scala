@@ -941,7 +941,12 @@ object TrainingQueries {
              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
              FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 2"""),
     (s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tindex-${Integer.toHexString(d.hashCode)}"
+      // applicationId in the path: concurrent harness processes (and
+      // hashCode-colliding sfDirs) must never race on the mode-overwrite
+      // index build. Within one session the path is stable, so the warm
+      // bench run still reuses the built index.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-tindex-" +
+        s"${s.sparkContext.applicationId}-${Integer.toHexString(d.hashCode)}"
       graft.ops.TextIndex.build(t(s, d, "documents"), dir)
       graft.ops.TextIndex.search(s, dir, Seq("merge", "vector"))
     })
@@ -1096,7 +1101,9 @@ object TrainingQueries {
             FROM lineitem WHERE l_orderkey BETWEEN 200 AND 700
             GROUP BY l_returnflag"""),
     (s, d) => {
-      val layout = s"${System.getProperty("java.io.tmpdir")}/graft-skip-${Integer.toHexString(d.hashCode)}"
+      // See qSearchIndexed: applicationId de-races concurrent processes.
+      val layout = s"${System.getProperty("java.io.tmpdir")}/graft-skip-" +
+        s"${s.sparkContext.applicationId}-${Integer.toHexString(d.hashCode)}"
       t(s, d, "lineitem")
         .repartitionByRange(16, col("l_orderkey"))
         .write.mode("overwrite").parquet(layout)

@@ -36,6 +36,14 @@ object Graph {
 
   /** Fixed-point PageRank (see object doc). Returns `(node, rank_ppm)`.
     *
+    * Cache lifetime is CALLER-MANAGED (same contract as
+    * [[graft.ops.Dedup.prefixFilterJoin]]): the returned plan references
+    * the cached edge/degree/node tables, which cannot be unpersisted here
+    * without recomputing them once per power iteration. After
+    * materializing the result, release them with
+    * `spark.catalog.clearCache()` (what Bench does per query) or by
+    * unpersisting via `spark.sharedState.cacheManager`.
+    *
     * @param edges      directed edge list; duplicates collapse
     * @param iters      power-iteration rounds (ranking stabilizes in
     *                   3–10; exact convergence is not the point of an

@@ -30,10 +30,17 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Read an events directory as a stream (parquet file source). */
+  /** Read an events directory as a stream (parquet file source). The
+    * declared schema is taken from the files already present so it always
+    * matches the fixture generation's physical `ts` type (TIMESTAMP(NANOS)
+    * → long via nanosAsLong, or TIMESTAMP(µs)); `ts` is then normalized to
+    * epoch-nanos long ([[graft.Queries.tsToNanos]]).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
+    val fileSchema =
+      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventsSchema)
+    graft.Queries.tsToNanos(spark.readStream.schema(fileSchema).parquet(dir))
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
   }
 

@@ -26,8 +26,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Other differences, by design: `--sql` runs the delegated-query half
   * natively instead of printing "now query your SQLite db". `--database`
-  * falls back to `COUCH_DATABASE`, mirroring `bin/couchwarehouse.bin
-  * .js:4-5`. `--reset` (reference `-r`) wipes the persistent
+  * falls back to `COUCH_DATABASE` and `--url` to `COUCH_URL`, mirroring
+  * `bin/couchwarehouse.bin.js:4-5` (the env URL is consulted only when
+  * `--feed` is absent — `--feed` has no reference analog and must not be
+  * shadowed by ambient environment). `--reset` (reference `-r`) wipes the persistent
   * warehouse/checkpoint dirs before a monitor run. User transforms
   * (reference `--transform`, a JS hook file loaded at
   * `index.js:197-200`): `--transform <fully.qualified.ClassName>` loads a
@@ -117,13 +119,20 @@ object CouchWarehouseCli {
     m.toMap
   }
 
+  /** Env lookup, swappable for tests (a JVM cannot set real env vars). */
+  private[graft] var env: String => Option[String] = k => sys.env.get(k)
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val database = opts.get("database")
-      .orElse(sys.env.get("COUCH_DATABASE"))
+      .orElse(env("COUCH_DATABASE"))
       .getOrElse({ System.err.println("--database (or COUCH_DATABASE) is required"); sys.exit(2); "" })
-    // --url spools CouchDB → chunk dir first; --feed uses an existing one
-    val feed = (opts.get("feed"), opts.get("url")) match {
+    // --url spools CouchDB → chunk dir first; --feed uses an existing one.
+    // COUCH_URL (reference bin/couchwarehouse.bin.js:4) backs --url, but
+    // only when --feed is absent so env never shadows an explicit feed.
+    val urlOpt = opts.get("url")
+      .orElse(if (opts.contains("feed")) None else env("COUCH_URL"))
+    val feed = (opts.get("feed"), urlOpt) match {
       case (Some(f), None) => f
       case (None, Some(u)) =>
         val spoolDir = opts.getOrElse("spool-dir", s"/tmp/graft-spool-$database")

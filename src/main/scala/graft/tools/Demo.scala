@@ -76,7 +76,8 @@ object Demo {
     // Flow 6: as-of join — each event tagged with the user's latest order
     import org.apache.spark.sql.functions.{col, unix_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.Queries.tsToNanos(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select(col("event_id"), col("user_id"), col("ts"))
     val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_custkey"),

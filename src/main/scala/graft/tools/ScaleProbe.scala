@@ -32,6 +32,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (mode == "linear" || mode == "all") linearProbe(spark)
     if (mode == "pairs" || mode == "all") pairsProbe(spark)
+    if (mode == "graph" || mode == "all") graphProbe(spark)
     spark.stop()
   }
 
@@ -91,7 +92,11 @@ object ScaleProbe {
       "q_dedup_semantic", "q_dedup_spans",
       // cluster-consuming argmax: the planted band yields one 1000-doc
       // cluster whose keep-best reduction must stay a single agg
-      "q_dedup_keep_best")
+      "q_dedup_keep_best",
+      // exact-recall PPJoin: the 1,000 identical docs give every prefix
+      // shingle a 1,000-deep bucket (df joined back, never a per-shingle
+      // window) — C(1000,2) candidates must stay bucket-local
+      "q_dedup_prefix")
     try {
       // the listener bus is asynchronous: task-end events can trail the
       // job's return, so settle (quiesce) before resetting and reading
@@ -122,10 +127,58 @@ object ScaleProbe {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** PageRank at 10× edges with a planted skewed in-degree: one node
+    * receiving 100k edges from distinct sources. The per-iteration
+    * groupBy(dst) is map-side combinable, so the hot node must collapse
+    * to one row per map partition pre-shuffle — visible as a bounded
+    * max-task, never a single task absorbing 100k rows per round.
+    */
+  private def graphProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val e1 = orders.join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000000L).as("dst"))
+    val e10 = (0 until 10).map(i =>
+      e1.select((col("src") + lit(i.toLong * 100000000L)).as("src"), col("dst")))
+      .reduce(_ unionByName _)
+    val hot = spark.range(100000).select(
+      (col("id") + 5000000000L).as("src"), lit(9999999999L).as("dst"))
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for ((label, edges) <- Seq("1x" -> e1, "10x+hot" -> e10.unionByName(hot))) {
+        def run() = graft.ops.Graph.pageRankPpm(edges, iters = 3)
+          .write.mode("overwrite").format("noop").save()
+        run(); settle() // warm
+        spark.catalog.clearCache()
+        listener.maxMillis.set(0)
+        val t0 = System.nanoTime()
+        run()
+        val wall = (System.nanoTime() - t0) / 1e9
+        settle()
+        val maxTask = listener.maxMillis.get() / 1e3
+        spark.catalog.clearCache()
+        println(f"GRAPH pagerank $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   private def linearProbe(spark: SparkSession): Unit = {
     val d = "/root/testdata/sf0.1"
     def rep(name: String, idCols: Seq[String], n: Int): DataFrame = {
-      val base = spark.read.parquet(s"$d/$name.parquet")
+      val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/$name.parquet"))
       (0 until n).map { i =>
         idCols.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
       }.reduce(_ unionByName _)
@@ -161,7 +214,7 @@ object ScaleProbe {
         Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev1 = spark.read.parquet(s"$d/events.parquet")
+    val ev1 = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
     val or1 = spark.read.parquet(s"$d/orders.parquet")
     time("asof_1x (100k x 150k)") { prep(ev1, or1) }
     time("asof_10x (1M x 1.5M)") { prep(rep("events", Seq("event_id"), 10),

@@ -42,6 +42,33 @@ class CliSpec extends SparkSpec {
     } finally { couch.stop(); es.stop() }
   }
 
+  test("CLI: COUCH_URL + COUCH_DATABASE env vars drive a flagless run") {
+    // reference bin/couchwarehouse.bin.js:4-5 — both settings come from
+    // the environment; no --url/--database flags at all.
+    val mapper = new ObjectMapper()
+    val sampleChanges = mapper
+      .readTree(new java.io.File("/root/reference/test/samplechanges.txt"))
+      .get("results").elements().asScala.toSeq
+    val couch = new FakeHttp.FakeCouch(sampleChanges)
+    val spool = Files.createTempDirectory("cli-env-spool").toString
+    val saved = CouchWarehouseCli.env
+    try {
+      spark // init the shared session first so the CLI reuses (and keeps) it
+      CouchWarehouseCli.env =
+        Map("COUCH_URL" -> couch.url, "COUCH_DATABASE" -> "cli_env").get
+      CouchWarehouseCli.main(Array("--spool-dir", spool))
+      assert(new java.io.File(spool).listFiles().nonEmpty, "spooled from env URL")
+      assert(spark.sql("SELECT COUNT(*) FROM cli_env").collect()(0).getLong(0) == 99L,
+        "warehouse built for the env-named database")
+      // an explicit --feed must not be shadowed by a lingering COUCH_URL
+      CouchWarehouseCli.main(Array(
+        "--feed", "/root/reference/test/samplechanges.txt",
+        "--database", "cli_env_feed"))
+      assert(spark.sql("SELECT COUNT(*) FROM cli_env_feed")
+        .collect()(0).getLong(0) == 99L)
+    } finally { CouchWarehouseCli.env = saved; couch.stop() }
+  }
+
   test("CLI: --transform loads a Hook reflectively and composes with --drop-fields") {
     spark // reuse (and keep) the shared session
     CouchWarehouseCli.main(Array(

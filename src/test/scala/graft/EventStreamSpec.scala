@@ -28,7 +28,7 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+    val batch = graft.Queries.tsToNanos(spark.read.parquet(eventsDir))
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -95,7 +95,7 @@ class EventStreamSpec extends SparkSpec {
     // batch sessions over the real events table (q_sessionize's lag +
     // cumulative-sum shape, grouped to (start, end, n) per session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+    val ev = graft.Queries.tsToNanos(spark.read.parquet(eventsDir))
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // per-event ms exactly as the streaming path derives it
@@ -123,8 +123,15 @@ class EventStreamSpec extends SparkSpec {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir.toString))
       .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
     q.processAllAvailable()
-    Seq((999999L, java.lang.Long.MAX_VALUE / 2, 999999L, "c", 1.0, "{}"))
+    // the sentinel file's physical ts type must match the fixture file
+    // already in the dir (mixed long/timestamp parquet in one stream dir
+    // fails the scan) — convert when the fixture carries a timestamp
+    val fixtureTs = spark.read.parquet(dir.toString).schema("ts").dataType
+    val sentinel = Seq((999999L, java.lang.Long.MAX_VALUE / 2, 999999L, "c", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    (if (fixtureTs == org.apache.spark.sql.types.LongType) sentinel
+     else sentinel.withColumn("ts",
+       timestamp_micros((col("ts") / 1000).cast("long")).cast(fixtureTs)))
       .coalesce(1).write.mode("append").parquet(dir.toString)
     q.processAllAvailable()
     val streamed = spark.table("sess_parity").as[EventStream.UserSession]
@@ -171,7 +178,7 @@ class EventStreamSpec extends SparkSpec {
 
     // batch twin of the same predicate
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.schema(EventStream.eventsSchema).parquet(eventsDir)
+    val ev = graft.Queries.tsToNanos(spark.read.parquet(eventsDir))
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),

@@ -41,6 +41,23 @@ class MedianHistogramSpec extends SparkSpec {
     assert(m("two") == 2.0)
   }
 
+  test("NULL values are excluded from the rank, not silently rank-shifting") {
+    // Before the shardedCum isNotNull guard, a NULL value dropped its own
+    // histogram row at the shard join but still inflated _off/tot via the
+    // nulls-first shard window — here that would shift n from 3 to 5 and
+    // report the wrong middle. SQL semantics: median over {1,5,9} = 5.
+    val dir = java.nio.file.Files.createTempDirectory("mednull").toString
+    Seq[(String, Long, Option[Double])](
+      ("g", 1L, Some(1.0)), ("g", 2L, None), ("g", 3L, Some(5.0)),
+      ("g", 4L, Some(9.0)), ("g", 5L, None))
+      .toDF("event_type", "event_id", "value")
+      .withColumn("ts", col("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = SparkEntry.queries("q_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("g") == 5.0)
+  }
+
   test("trimmed mean weights partial buckets at the trim boundaries") {
     val dir = java.nio.file.Files.createTempDirectory("trim").toString
     // n=10, trim = ceil(10/10)=1 each side → kept ranks 2..9. The value

@@ -458,8 +458,13 @@ object Dedup {
   }
 
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
-    * |A ∩ B| / |A ∪ B| over distinct word shingles. Intersection via
-    * shingle join, sizes via per-doc distinct counts.
+    * |A ∩ B| / |A ∪ B| over distinct word shingles. Each doc's distinct
+    * shingle set is collected ONCE into an array column; the intersection
+    * is then a codegen'd `array_intersect` per pair — so the pair joins
+    * move |pairs| rows (each carrying one doc-length-bounded set), never
+    * |pairs|×|shingles| exploded rows. Pairs sharing no shingle are
+    * omitted (as a shingle-join intersection would), so callers filtering
+    * `jaccard >= tau` see identical results.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleSize: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
@@ -478,31 +483,26 @@ object Dedup {
     // still applies to it.
     def pairIds = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    // cached: the distinct shingle set feeds three consumers (two sides of
-    // the intersection join + the size table) and is the expensive part.
-    // Caller-managed lifetime (like minhashCandidates' signature cache):
-    // release with df.sparkSession.catalog.clearCache() / sh unpersist when
-    // the result has been materialized. With a precomputed table the
-    // scope prune applies to it directly; otherwise the prune runs on
-    // `docs` BEFORE the explode (never explode what the scope drops).
-    val sh = (precomputedShingles match {
+    val sh = precomputedShingles match {
       case Some(pre) =>
         if (!scopeToPairs) pre else pre.join(pairIds, Seq(idCol), "left_semi")
       case None =>
         val scopedDocs =
           if (!scopeToPairs) docs else docs.join(pairIds, Seq(idCol), "left_semi")
         shingles(scopedDocs, shingleSize, idCol, textCol).distinct()
-    }).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle", "s"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingle", "s2"), Seq("id_b"))
-      .where(col("s") === col("s2"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+    }
+    // One aggregate builds each doc's (set, size); per-group state is
+    // bounded by the doc's shingle count (docs are length-bounded), and
+    // no sort is needed — array_intersect hashes, order-insensitively.
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("_set"), count(lit(1)).as("sz"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .where(col("inter") > 0)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
@@ -526,41 +526,65 @@ object Dedup {
     * naive shingle self-join are exactly the ones prefixes exclude);
     * the length filter `min(|a|,|b|) ≥ tau·max(|a|,|b|)` prunes
     * impossible size ratios before the verify. Survivors are
-    * exact-verified by [[ngramJaccard]] — false positives cost time,
-    * never correctness, so the float-guard slop (−1e-9 before each
-    * ceil) only ever widens the candidate set.
+    * exact-verified by a per-pair set intersection (same arithmetic as
+    * [[ngramJaccard]]) — false positives cost time, never correctness,
+    * so the float-guard slop (−1e-9 before each ceil) only ever widens
+    * the candidate set.
     *
-    * Scale shape: one shuffle on shingle for document frequencies, one
-    * per-doc window for prefix ranks (partition = one doc's shingles,
-    * bounded by doc length), prefix-bucket-local pair join, pair-scoped
-    * verify. Docs with fewer than `shingleSize` tokens have no shingles
-    * and never pair (same domain as every other shingle op here).
+    * Scale shape: each doc's distinct shingle SET is a pure expression
+    * (`array_distinct` over the shingle lambda — no explode+distinct
+    * shuffle); document frequencies are one map-side-combinable
+    * aggregate over the exploded sets — NOT a `count over (partition by
+    * shingle)` window, which would funnel every occurrence of a hot
+    * boilerplate shingle (exactly the ones the prefix later excludes)
+    * through a single task before the prefix could drop them. The
+    * canonical (df asc, shingle) prefix order is an in-memory
+    * `sort_array` per doc (bounded by doc length) after one
+    * groupBy(doc) — replacing per-doc windows; the pair join is
+    * prefix-bucket-local; the verify is one `array_intersect` per
+    * candidate pair against the same cached per-doc sets (rows moved =
+    * |pairs|, never |pairs|×|shingles|). Docs with fewer than
+    * `shingleSize` tokens have no shingles and never pair (same domain
+    * as every other shingle op here).
     * Returns `(id_a, id_b, jaccard)`, id_a < id_b, jaccard ≥ tau.
     */
   def prefixFilterJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    val sh = shingles(docs, shingleSize, idCol, textCol).distinct().cache()
-    // Document frequency via groupBy+count joined back — NOT a
-    // `count over (partition by shingle)` window. The window form saves
-    // one exchange but funnels every occurrence of a hot boilerplate
-    // shingle (exactly the ones the prefix later excludes) through a
-    // single task BEFORE the prefix can drop them; the aggregate is
-    // map-side combinable, so a shingle in 10⁹ docs collapses to one
-    // row per map partition pre-shuffle, and AQE's skew-join split
-    // covers the join back (dfreq is 1 row per shingle — replicable).
-    // The two per-doc windows (ordered rank, unordered size) still
-    // share ONE exchange on the doc id, whose partitions are bounded
-    // by doc length.
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val wId = Window.partitionBy(col(idCol))
-    val prefix = sh
+    // One row per doc: its distinct shingle set + size, built without any
+    // shuffle (the same shingle lambda as [[shingles]], deduped by
+    // array_distinct). Cached: feeds the df aggregate, the ranked-prefix
+    // aggregate, and both sides of the verify. Caller-managed lifetime —
+    // release with spark.catalog.clearCache() after materializing.
+    val docSets = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= shingleSize)
+      .select(col(idCol), array_distinct(transform(
+        sequence(lit(0), size(col("_toks")) - shingleSize),
+        i => concat_ws(" ",
+          (0 until shingleSize).map(j => element_at(col("_toks"), i + j + 1)): _*)
+      )).as("_set"))
+      .withColumn("sz", size(col("_set")))
+      .cache()
+    val exploded = docSets.select(col(idCol), col("sz"),
+      explode(col("_set")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    // Canonical order + prefix: join each shingle to its df (AQE covers
+    // skew; dfreq is 1 row per shingle), collect each doc's
+    // (df, shingle) pairs, sort in memory, keep the prefix of
+    // `sz − ⌈tau·sz⌉ + 1` — posexplode restores the 1-based rank the
+    // positional filter needs.
+    val prefixLen = (col("sz") -
+      ceil(lit(tau) * col("sz") - lit(1e-9)) + 1).cast("int")
+    val prefix = exploded
       .join(dfreq, Seq("shingle"))
-      .withColumn("_rnk", row_number().over(wId.orderBy(col("_df"), col("shingle"))))
-      .withColumn("sz", count(lit(1)).over(wId))
-      .where(col("_rnk") <=
-        col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
-      .select(col(idCol), col("shingle"), col("_rnk"), col("sz"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ranked"),
+        first(col("sz")).as("sz"))
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("_ranked.shingle"), lit(1), prefixLen)))
+      .select(col(idCol), (col("pos") + 1).as("_rnk"),
+        col("col").as("shingle"), col("sz"))
     // Positional filter (PPJoin): a shared prefix shingle at canonical
     // ranks (i, j) bounds the overlap — at most min(i,j)−1 shared
     // shingles can precede it and at most min(sz_a−i, sz_b−j) can follow,
@@ -581,8 +605,18 @@ object Dedup {
           least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >=
           ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
-    ngramJaccard(docs, cands, shingleSize, idCol, textCol,
-        precomputedShingles = Some(sh))
+    // Exact verify against the same cached per-doc sets: one
+    // array_intersect per candidate pair. Zero-intersection pairs cannot
+    // reach here (candidates share a prefix shingle by construction).
+    cands
+      .join(docSets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(docSets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= lit(tau))
   }
 

@@ -492,16 +492,19 @@ object Dedup {
         shingles(scopedDocs, shingleSize, idCol, textCol).distinct()
     }
     // One aggregate builds each doc's (set, size); per-group state is
-    // bounded by the doc's shingle count (docs are length-bounded), and
-    // no sort is needed — array_intersect hashes, order-insensitively.
+    // bounded by the doc's shingle count (docs are length-bounded). The
+    // sort is in-memory per doc and buys the zero-allocation merge-loop
+    // intersect kernel below.
     val sets = sh.groupBy(col(idCol))
-      .agg(collect_list(col("shingle")).as("_set"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("shingle"))).as("_set"),
+        count(lit(1)).as("sz"))
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
         col("sz").as("sz_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
         col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("_sa"), col("_sb")))
       .where(col("inter") > 0)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
@@ -553,20 +556,43 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     // One row per doc: its distinct shingle set + size, built without any
     // shuffle (the same shingle lambda as [[shingles]], deduped by
-    // array_distinct). Cached: feeds the df aggregate, the ranked-prefix
-    // aggregate, and both sides of the verify. Caller-managed lifetime —
-    // release with spark.catalog.clearCache() after materializing.
+    // array_distinct, sorted for the merge-loop verify kernel).
     val docSets = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= shingleSize)
-      .select(col(idCol), array_distinct(transform(
+      .select(col(idCol), sort_array(array_distinct(transform(
         sequence(lit(0), size(col("_toks")) - shingleSize),
         i => concat_ws(" ",
           (0 until shingleSize).map(j => element_at(col("_toks"), i + j + 1)): _*)
-      )).as("_set"))
+      ))).as("_set"))
       .withColumn("sz", size(col("_set")))
+    // Collapse exact-duplicate sets BEFORE any pair work: one
+    // representative per distinct set (group key = md5 of the sorted
+    // set). Boilerplate cliques — the adversarial hot bucket for every
+    // set-similarity join — vanish from the candidate stage entirely
+    // (1,000 mirrored docs become ONE prefix contributor instead of a
+    // 1,000-deep bucket on every prefix shingle), so candidate work
+    // scales with DISTINCT content, and their C(n,2) pairs re-enter
+    // below as output-sized generation with jaccard exactly 1.0 (set
+    // equality). Exactness is preserved: the pigeonhole argument only
+    // needs a consistent global shingle order, and df-over-distinct-sets
+    // is one. Cached (feeds df/prefix/verify/expansion); caller-managed
+    // lifetime — release with spark.catalog.clearCache().
+    val groups = docSets
+      .withColumn("_gk", md5(concat_ws("\u0001", col("_set"))))
+      .groupBy(col("_gk"))
+      .agg(min(col(idCol)).as("_rep"),
+        collect_list(col(idCol)).as("_members"),
+        first(col("_set")).as("_set"), first(col("sz")).as("sz"),
+        count(lit(1)).as("_n"))
       .cache()
-    val exploded = docSets.select(col(idCol), col("sz"),
+    val intra = groups.where(col("_n") > 1)
+      .select(explode(col("_members")).as("id_a"), col("_members"))
+      .select(col("id_a"), explode(col("_members")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+    val reps = groups.select(col("_rep").as(idCol), col("_set"), col("sz"))
+    val exploded = reps.select(col(idCol), col("sz"),
       explode(col("_set")).as("shingle"))
     val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     // Canonical order + prefix: join each shingle to its df (AQE covers
@@ -605,19 +631,42 @@ object Dedup {
           least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >=
           ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
-    // Exact verify against the same cached per-doc sets: one
-    // array_intersect per candidate pair. Zero-intersection pairs cannot
-    // reach here (candidates share a prefix shingle by construction).
-    cands
-      .join(docSets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+    // Exact verify between REPRESENTATIVES: one codegen'd merge-loop
+    // intersect count per candidate pair
+    // ([[graft.functions.SortedIntersectCount]] — the sets are
+    // sort_array'd above precisely for this kernel). The tau filter
+    // references both join sides, so Catalyst folds it into the second
+    // join's condition; the zero-allocation kernel keeps that per-match
+    // evaluation cheap. Zero-intersection pairs cannot reach here
+    // (candidates share a prefix shingle by construction).
+    val repPairs = cands
+      .join(reps.select(col(idCol).as("id_a"), col("_set").as("_sa"),
         col("sz").as("sz_a")), Seq("id_a"))
-      .join(docSets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
+      .join(reps.select(col(idCol).as("id_b"), col("_set").as("_sb"),
         col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("_sa"), col("_sb")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= lit(tau))
+    // Expand each over-tau representative pair to its member cross
+    // product (every member of a group carries the group's exact set, so
+    // the jaccard transfers verbatim), restore the id_a < id_b contract
+    // (member ids need not follow representative order), and add the
+    // intra-group pairs. Both expansions are OUTPUT-sized — the price of
+    // an exact-recall join over a corpus with duplicate cliques is its
+    // own result cardinality, nothing more.
+    val expanded = repPairs
+      .join(groups.select(col("_rep").as("id_a"), col("_members").as("_ma")),
+        Seq("id_a"))
+      .join(groups.select(col("_rep").as("id_b"), col("_members").as("_mb")),
+        Seq("id_b"))
+      .select(explode(col("_ma")).as("a"), col("_mb"), col("jaccard"))
+      .select(col("a"), explode(col("_mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    expanded.unionByName(intra)
   }
 
   /** Marked duplicated k-gram occurrences — the anchor stage of
@@ -652,12 +701,19 @@ object Dedup {
           .otherwise(array())).as(Seq("start", "_g")))
     // First occurrence per gram: lowest doc id, then lowest start —
     // struct ordering compares fields left to right, so min(struct)
-    // IS the (id, start) lexicographic minimum.
+    // IS the (id, start) lexicographic minimum. The aggregate is
+    // map-side combinable (a boilerplate gram with 10⁹ occurrences
+    // collapses to one row per map partition pre-shuffle).
     val first = grams.groupBy(col("_g"))
       .agg(min(struct(col(idCol), col("start"))).as("_first"))
-    grams.join(first, Seq("_g"))
-      .where(col(idCol) =!= col("_first").getField(idCol) ||
-        col("start") =!= col("_first").getField("start"))
+      .select(col("_g"), col("_first").getField(idCol).as(idCol),
+        col("_first").getField("start").as("start"))
+    // Drop the one first-occurrence row per gram via LEFT ANTI on the
+    // FULL (gram, id, start) key — joining `first` back on `_g` alone
+    // would funnel every occurrence of a hot gram through one join
+    // partition; the composite key is near-unique, so the shuffle
+    // spreads evenly no matter how degenerate a gram's frequency is.
+    grams.join(first, Seq("_g", idCol, "start"), "left_anti")
       .select(col(idCol), col("start"), (col("start") + k).as("end"))
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ByteHistogram, MinHashSignature, RepetitionStats, SimHashSignature, TextAnalysis}
+import graft.functions.{ByteHistogram, MinHashSignature, RepetitionStats, SimHashSignature, SortedIntersectCount, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Every custom scalar expression must produce COMPILING generated code:
@@ -21,7 +21,10 @@ class CodegenOnlySpec extends SparkSpec {
       ByteHistogram($"text", 8).as("bh"),
       SimHashSignature($"text", 64).as("sh"),
       MinHashSignature($"text", 4, 3).as("mh"),
-      RepetitionStats(TextAnalysis.tokens($"text")).as("rs"))
+      RepetitionStats(TextAnalysis.tokens($"text")).as("rs"),
+      SortedIntersectCount(
+        sort_array(array_distinct(TextAnalysis.tokens($"text"))),
+        sort_array(array(lit("alpha"), lit("beta"), lit("zeta")))).as("sic"))
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     val generated =
       try q.collect().map(_.toString).sorted.toSeq

@@ -449,8 +449,13 @@ object Dedup {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in [0, 1], got $threshold")
+    // cached: the LSH candidate plan (band self-join + distinct) feeds
+    // the verify's pair-scope prune twice plus the verify join itself —
+    // without the cache that join is recomputed three times. Lifetime is
+    // caller-managed like every pinned table in this module (release via
+    // spark.catalog.clearCache() once the result is materialized).
     val pairs = minhashCandidates(
-      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol)
+      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol).cache()
     val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b")

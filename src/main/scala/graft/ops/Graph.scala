@@ -38,9 +38,9 @@ object Graph {
     *
     * Cache lifetime is CALLER-MANAGED (same contract as
     * [[graft.ops.Dedup.prefixFilterJoin]]): the returned plan references
-    * the cached edge/degree/node tables, which cannot be unpersisted here
-    * without recomputing them once per power iteration. After
-    * materializing the result, release them with
+    * the cached edge / degree-annotated-edge / node tables, which cannot
+    * be unpersisted here without recomputing them once per power
+    * iteration. After materializing the result, release them with
     * `spark.catalog.clearCache()` (what Bench does per query) or by
     * unpersisting via `spark.sharedState.cacheManager`.
     *
@@ -57,13 +57,17 @@ object Graph {
       s"dampingPpm must be in [0, 10^6], got $dampingPpm")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree-annotated edge list, joined ONCE and cached — every power
+    // iteration would otherwise redo the e⋈deg shuffle before touching
+    // the ranks of that round
+    val ed = e.join(deg, "src").cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
-      val sums = e.join(deg, "src")
+      val sums = ed
         .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div deg")).as("s"))

@@ -272,6 +272,29 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterJoin: duplicate cliques keep full pair recall") {
+    // The adversarial corpus shape from SCALE.md, miniaturized: a 40-doc
+    // identical clique plus 5 replica families of 4. An exact-recall join
+    // MUST return every within-clique pair at jaccard exactly 1.0 — the
+    // pre-round-9 implementation silently dropped most of a large
+    // clique's pairs once its prefix-shingle buckets got deep.
+    val clique = (1L to 40L).map(i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"))
+    val families = (0 until 5).flatMap { f =>
+      (0 until 4).map(c =>
+        (100L + f * 10 + c, s"unique$f wordsx$f wordsy$f wordsz$f wordsw$f tail$f"))
+    }
+    val d = (clique ++ families).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(d, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // forced pairs: C(40,2) clique + C(4,2) x 5 families, all at J = 1.0;
+    // clique and family texts share no shingles, so nothing else pairs
+    assert(got.length == 40 * 39 / 2 + 5 * 6, s"got ${got.length} pairs")
+    assert(got.forall(_._3 == 1.0))
+    assert(got.forall(p => p._1 < p._2))
+    assert(got.distinct.length == got.length, "no duplicate pairs")
+  }
+
   test("prefixFilterJoin: tau boundary is inclusive, above-tau excluded") {
     // 3 shingles each, 2 shared -> jaccard exactly 2/4 = 0.5
     val d = Seq(

@@ -67,18 +67,42 @@ object Fuzzy {
     * "aab" deletes to "ab" two ways) so a pair collides once per distinct
     * shared variant, and the pair-level `distinct` runs BEFORE the
     * Levenshtein verify — one DP evaluation per candidate pair.
+    *
+    * Exact-duplicate strings are collapsed BEFORE the variant join (same
+    * shape as `Dedup.prefixFilterJoin`'s duplicate collapse): n identical
+    * strings would otherwise put an n-deep bucket on EVERY shared
+    * variant and go quadratic inside the join; instead they contribute
+    * one representative, their C(n,2) dist-0 pairs are generated
+    * output-sized, and representative pairs expand member×member.
     */
   def editDistanceJoin(df: DataFrame, idCol: String = "id",
                        strCol: String = "s", maxDist: Int = 1): DataFrame = {
-    val v = df.select(col(idCol).as("_fid"), col(strCol).as("_fs"),
-      explode(array_distinct(deletionVariants(col(strCol), maxDist))).as("_v"))
-    v.as("a").join(v.as("b"),
+    val g = df.select(col(idCol).as("_fid"), col(strCol).as("_fs"))
+      .groupBy(col("_fs"))
+      .agg(min(col("_fid")).as("_rep"),
+        collect_list(col("_fid")).as("_mem"), count(lit(1)).as("_n"))
+      .cache()
+    val intra = g.where(col("_n") > 1)
+      .select(explode(col("_mem")).as("id_a"), col("_mem"))
+      .select(col("id_a"), explode(col("_mem")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", lit(0))
+    val v = g.select(col("_rep").as("_fid"), col("_fs"),
+      explode(array_distinct(deletionVariants(col("_fs"), maxDist))).as("_v"))
+    val repPairs = v.as("a").join(v.as("b"),
         col("a._v") === col("b._v") && col("a._fid") < col("b._fid"))
-      .select(col("a._fid").as("id_a"), col("b._fid").as("id_b"),
+      .select(col("a._fid").as("ra"), col("b._fid").as("rb"),
         col("a._fs").as("_sa"), col("b._fs").as("_sb"))
       .distinct()
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .where(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val expanded = repPairs
+      .join(g.select(col("_rep").as("ra"), col("_mem").as("_ma")), Seq("ra"))
+      .join(g.select(col("_rep").as("rb"), col("_mem").as("_mb")), Seq("rb"))
+      .select(explode(col("_ma")).as("a"), col("_mb"), col("dist"))
+      .select(col("a"), explode(col("_mb")).as("b"), col("dist"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("dist"))
+    expanded.unionByName(intra)
   }
 }

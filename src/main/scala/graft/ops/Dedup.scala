@@ -333,14 +333,84 @@ object Dedup {
     * runs exactly ONE Spark job: the labels are lazily local-checkpointed
     * (truncating lineage) and materialized by the convergence aggregate.
     * Only the per-round label SUM reaches the driver.
+    *
+    * Bounded fast path: the edge table must materialize before the loop
+    * anyway (it is cached and drives every round), so its exact count is
+    * free — and when it fits the `localSolveMaxEdges` budget the
+    * components are solved in one driver-side union–find pass instead of
+    * O(log diameter) iterative jobs. This is the same bounded-collect
+    * contract as the centroid tables (a dup-pair graph that survives
+    * Jaccard verification is output-sized, typically orders of magnitude
+    * below the corpus); a 100-TB run whose verified edges exceed the
+    * budget takes the distributed loop unchanged. Both paths compute the
+    * identical unique fixpoint (min node id per component). The gate is
+    * type-guarded: exotic id types fall back to the loop.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+               maxIter: Int = 30, localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    // The raw pair projection caches NARROW (no shuffle): the gate count
+    // materializes it once, the local path collects straight from it, and
+    // only the distributed loop pays for the bidirectional distinct set.
+    val half = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
+    // driver-side orderings exist for the id types this library pairs on
+    // (longs from doc ids, strings from content keys); anything else uses
+    // the distributed loop, whose min() delegates to Catalyst's ordering
+    val idOrd: Option[Ordering[Any]] = pairs.schema(idA).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue()))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case _ => None
+    }
+    val nEdges = half.count()
+    if (idOrd.isDefined && nEdges <= localSolveMaxEdges) {
+      val ord = idOrd.get
+      // Union–find with path-halving; union attaches the LARGER root under
+      // the smaller (by id order), so every root is its component's min id
+      // — the exact fixpoint the distributed loop converges to.
+      val parent = new java.util.HashMap[Any, Any](1 << 16)
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        if (p == null) { parent.put(x, x); return x }
+        while (p != x) {
+          val gp = parent.get(p)
+          parent.put(x, gp) // path halving
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      // one collect job (toLocalIterator would schedule a job per
+      // partition); the localSolveMaxEdges gate bounds the allocation
+      for (r <- half.collect()) {
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      half.unpersist()
+      val idType = pairs.schema(idA).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) {
+        val k = keys.next()
+        rows.add(org.apache.spark.sql.Row(k, find(k)))
+      }
+      return pairs.sparkSession.createDataFrame(rows, schema)
+    }
+    // distributed loop: bidirectional distinct edge set (derived from the
+    // cached half, so the pair plan is not recomputed). Every endpoint
+    // appears as src; the lazy localCheckpoint is materialized by the
+    // first labelSum below.
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    // every endpoint appears as src (edges are bidirectional); the lazy
-    // localCheckpoint is materialized by the first labelSum below
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     // convergence check: labels only ever decrease, so the label sum is
@@ -394,6 +464,7 @@ object Dedup {
         s"[dedup] clusters: NOT converged after $maxIter rounds — " +
           "raise maxIter (labels are not yet per-component minima)")
     edges.unpersist()
+    half.unpersist()
     labels
   }
 

@@ -43,6 +43,28 @@ class DedupAnnSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("clusters: distributed loop (gate off) matches the bounded union-find path") {
+    import spark.implicits._
+    // chain + pair + triangle + singleton-free graph; force both branches
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L),
+      (11L, 12L), (12L, 13L), (11L, 13L))
+      .toDF("id_a", "id_b")
+    val local = graft.ops.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.ops.Dedup.clusters(pairs, localSolveMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(dist(5L) == 1L && dist(13L) == 11L)
+  }
+
+  test("clusters: string ids solve locally with lexicographic min roots") {
+    import spark.implicits._
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.clusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("keepBest: highest score wins per cluster, ties break low, singletons self-keep") {
     import spark.implicits._
     val docs = Seq(

@@ -59,10 +59,14 @@ class PlanAuditSpec extends SparkSpec {
     // every scan must carry an explicit ReadSchema (vectorized parquet
     // batch scan); presence alone is asserted — pruning specifics are
     // query-dependent and audited via tools/Explain. Iterative operators
-    // whose final job reads its own localCheckpoint (ExistingRDD) are
-    // exempt — their parquet reads happened in earlier jobs.
+    // whose final job reads its own localCheckpoint (ExistingRDD) and
+    // bounded-result operators whose final table is built on the driver
+    // after distributed jobs (Dedup.clusters' gated union-find →
+    // LocalTableScan) are exempt — their parquet reads happened in
+    // earlier jobs.
     val offenders = plans.collect {
-      case (n, p) if !p.contains("ReadSchema") && !p.contains("ExistingRDD") => n
+      case (n, p) if !p.contains("ReadSchema") && !p.contains("ExistingRDD") &&
+        !p.contains("LocalTableScan") => n
     }
     assert(offenders.isEmpty, s"no parquet ReadSchema in: $offenders")
   }

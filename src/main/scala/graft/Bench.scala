@@ -13,10 +13,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE default-on (the 100 TB posture: runtime coalescing + skew-join
+    // splits); SPARK_GRAFT_AQE=false measures the no-replanning floor —
+    // at local micro-bench scale AQE's per-stage replanning latency is
+    // measurable while its benefits don't engage (partitions are already
+    // sized to cores and the skew defenses are structural).
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

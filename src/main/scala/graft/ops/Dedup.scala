@@ -137,7 +137,13 @@ object Dedup {
   def minhashCandidates(sig0: DataFrame, numBands: Int = 2,
                         idCol: String = "doc_id",
                         maxBandPopulation: Long = Long.MaxValue): DataFrame = {
-    val sig = sig0.cache()
+    // both band sides read the signatures; respect an existing pin
+    // (pipelines often cache the signature table themselves) instead of
+    // re-caching — CacheManager logs a warning per redundant request
+    val sig =
+      if (sig0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sig0.cache()
+      else sig0
     val bandCols = (0 until numBands).map(b => col(s"band$b"))
     val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
     // the population count + semi-join only enter the plan when the guard
@@ -299,7 +305,11 @@ object Dedup {
                         idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < numBlocks,
       s"recall guarantee needs maxHamming < numBlocks (got $maxHamming >= $numBlocks)")
-    val sig = sig0.cache()
+    // see minhashCandidates: respect a caller's existing pin
+    val sig =
+      if (sig0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sig0.cache()
+      else sig0
     val blocks = sig.select(col(idCol), col("simhash"),
       explode(array((0 until numBlocks).map(k =>
         struct(lit(k).as("blk"), col(s"s$k").as("key"))): _*)).as("b"))

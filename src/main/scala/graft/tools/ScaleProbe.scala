@@ -81,6 +81,23 @@ object ScaleProbe {
     emb10.unionByName(hotEmb).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // customer for the edit-distance join probe: 10× replicas keep their
+    // ORIGINAL names (so every name is a 10-member exact-duplicate group
+    // — the duplicate-collapse path carries the whole corpus), plus a
+    // 1,000-identical-name clique in the probed nation. Without the
+    // collapse, the clique alone puts a 1,000-deep bucket on every
+    // deletion variant of that name (~26 variants × C(1000,2) collisions).
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val cust10 = (0 until 10).map(i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    val hotCust = cust.where(col("c_nationkey") === 1).limit(1)
+      .crossJoin(spark.range(1000).select((col("id") + 900000000L).as("_hk")))
+      .withColumn("c_custkey", col("_hk")).drop("_hk")
+      .withColumn("c_name", lit("Customer#HOTCLIQUE0000"))
+    cust10.unionByName(hotCust).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     // --- probe the scored pair-stage queries at 1× and 10×+hot ---
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
@@ -96,7 +113,12 @@ object ScaleProbe {
       // exact-recall PPJoin: the 1,000 identical docs give every prefix
       // shingle a 1,000-deep bucket (df joined back, never a per-shingle
       // window) — C(1000,2) candidates must stay bucket-local
-      "q_dedup_prefix")
+      "q_dedup_prefix",
+      // symmetric-delete edit-distance join: 10× replicas duplicate every
+      // customer name 10-fold and the planted clique 1,000-fold — all of
+      // it must collapse to one representative per distinct string before
+      // the variant self-join (pairs re-enter output-sized)
+      "q_fuzzy_join")
     try {
       // the listener bus is asynchronous: task-end events can trail the
       // job's return, so settle (quiesce) before resetting and reading
@@ -120,14 +142,21 @@ object ScaleProbe {
         // the timed run must rebuild them itself — same contract as the
         // bench — and earlier queries' leftovers must not squeeze it
         // into eviction-and-recompute stragglers
-        spark.catalog.clearCache()
-        settle()
-        listener.maxMillis.set(0)
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
-        val wall = (System.nanoTime() - t0) / 1e9
-        settle()
-        val maxTask = listener.maxMillis.get() / 1e3
+        // best-of-2 timed runs (same defense as Bench): the host injects
+        // sporadic multi-second stalls uncorrelated with the query, and a
+        // single-shot probe row can absorb one — keep the faster run's
+        // (wall, maxTask) pair so the reading reflects the plan, not the
+        // stall
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
         val rows = fn(spark, dir).count()
         spark.catalog.clearCache()
         println(f"PAIRS $name%-24s $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs rows=$rows")

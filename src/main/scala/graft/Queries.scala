@@ -298,6 +298,37 @@ object Queries {
         .select(col("c_custkey").as("id"), col("c_name").as("s")),
       maxDist = 1))
 
+  /** The radius-2 path of the same join: the oracle enumerates each
+    * unordered deletion pair {i < j} of the ORIGINAL string exactly once
+    * (delete position i first, then position j' ≥ i of the remainder —
+    * original j = j'+1), mirroring [[graft.ops.Fuzzy.deletionVariants]]'
+    * exact-2 expansion; `DISTINCT` collapses variant multiplicity before
+    * the self-join just like the Spark side's `array_distinct`.
+    */
+  private val qFuzzyJoin2 = Q("q_fuzzy_join2",
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+              WHERE c_nationkey = 1),
+            pos AS (SELECT id, s, unnest(range(1, len(s)+1)) AS i FROM c),
+            del1 AS (SELECT id, s, substr(s, 1, i-1) || substr(s, i+1) AS v, i
+                     FROM pos),
+            pos2 AS (SELECT id, s, v, i, unnest(range(1, len(v)+1)) AS j
+                     FROM del1),
+            del2 AS (SELECT id, s, substr(v, 1, j-1) || substr(v, j+1) AS v
+                     FROM pos2 WHERE j >= i),
+            vv AS (SELECT DISTINCT id, s, v FROM (
+              SELECT id, s, s AS v FROM c
+              UNION ALL SELECT id, s, v FROM del1
+              UNION ALL SELECT id, s, v FROM del2)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.s AS sa, b.s AS sb
+              FROM vv a JOIN vv b USING (v) WHERE a.id < b.id)
+            SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+            FROM cand WHERE levenshtein(sa, sb) <= 2"""),
+    (s, d) => graft.ops.Fuzzy.editDistanceJoin(
+      t(s, d, "customer").where(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      maxDist = 2))
+
   private val qCount = Q("q_count",
     Some("SELECT count(*) AS n FROM lineitem"),
     (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")))
@@ -2753,7 +2784,7 @@ object Queries {
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
-    qFuzzyJoin,
+    qFuzzyJoin, qFuzzyJoin2,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qQuantileSketch,
     qMedian,

@@ -16,6 +16,7 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("stages")) { pipelineStages(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("floor")) { floor(spark, sfDir); spark.stop(); return }
     val names = if (args.isEmpty) Seq("q_dedup_pipeline") else args.toSeq
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
@@ -30,6 +31,44 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Decompose the per-query bench floor: scheduling, single-row-group
+    * scan serialization, shuffle, and the effect of a parallelizing
+    * repartition after the scan.
+    */
+  def floor(spark: SparkSession, sfDir: String): Unit = {
+    def time(label: String)(f: => Unit): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: min=${runs.min}%.3f s  runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("noop(range1)") {
+      spark.range(1).write.mode("overwrite").format("noop").save()
+    }
+    time("scan count(lineitem)") { li.agg(count(lit(1))).collect() }
+    time("scan all cols noop") { li.write.mode("overwrite").format("noop").save() }
+    def aggShape(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sq"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sb"),
+        count(lit(1)).as("n"))
+    time("agg_group (1-task scan)") {
+      aggShape(li).write.mode("overwrite").format("noop").save()
+    }
+    time("agg_group (repartition 32)") {
+      aggShape(li.repartition(32)).write.mode("overwrite").format("noop").save()
+    }
+    time("minhash sig (1-task scan)") {
+      graft.ops.Dedup.minhash(docs).write.mode("overwrite").format("noop").save()
+    }
+    time("minhash sig (repartition 32)") {
+      graft.ops.Dedup.minhash(docs.repartition(32))
+        .write.mode("overwrite").format("noop").save()
+    }
   }
 
   /** Time each stage of the near-dedup pipeline separately. */

@@ -644,7 +644,13 @@ object Queries {
           (sum(col("cnt")).over(Window.partitionBy("g").orderBy(c)) * 2
             - col("cnt") + 1).as(s"r$c"))
       }
-      val hx = rankHist("x")
+      // Both histograms are CACHED: each feeds its marginal moments AND
+      // the cross-moment join below, and an uncached plan duplicates the
+      // whole build subtree (scan + shuffles) into every consumer — the
+      // formatted plan showed six lineitem scans. Footprint is bounded
+      // by distinct values per group (never corpus rows); lifetime is
+      // caller-managed like every pinned table here.
+      val hx = rankHist("x").cache()
       val hy = {
         val h = li.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
           .withColumn("_sh", floor(col("y") / 1024.0d)) // monotone in y
@@ -658,7 +664,7 @@ object Queries {
           .join(broadcast(offsets), Seq("g", "_sh"))
           .select(col("g"), col("y"), col("cnt"),
             ((col("_c") + col("_off")) * 2 - col("cnt") + 1).as("ry"))
-      }
+      }.cache()
       // marginal moments straight off each histogram (no row join)
       def marg(h: DataFrame, c: String, sN: String, ssN: String) =
         h.groupBy("g").agg(
@@ -667,14 +673,19 @@ object Queries {
           sum(col("cnt")).as(s"n_$c"))
       val mx = marg(hx, "x", "sx", "sxx")
       val my = marg(hy, "y", "sy", "syy")
-      // cross moment over the joint histogram + the two rank tables
-      val joint = li.groupBy("g", "x", "y").agg(count(lit(1)).as("cxy"))
+      // cross moment straight off the rows: attach rx by broadcast (x's
+      // domain is bounded, so hx is a dimension table) and ry by ONE
+      // (g, y) shuffle join, then one combinable Sum128 per group —
+      // replaces the former (g, x, y) joint-histogram shuffle, whose
+      // per-pair counts added an exchange without shrinking the data
+      // (x×y pairs are near-distinct per row).
+      val cross = li
         .join(broadcast(hx.select(col("g"), col("x"), col("rx"))), Seq("g", "x"))
         .join(hy.select(col("g"), col("y"), col("ry")), Seq("g", "y"))
         .groupBy("g")
-        .agg(Sum128(col("cxy") * col("rx") * col("ry"), 0)
+        .agg(Sum128(col("rx") * col("ry"), 0)
           .cast("double").as("sxy"))
-      mx.join(my, "g").join(joint, "g")
+      mx.join(my, "g").join(cross, "g")
         .select(col("g").as("l_returnflag"), col("n_x").as("n"),
           ((col("n_x") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n_x") * col("sxx") - col("sx") * col("sx")) *

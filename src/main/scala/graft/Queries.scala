@@ -411,6 +411,18 @@ object Queries {
     * in-shard order + shard offsets reproduce the exact global
     * cumulative. Emits `cum` (inclusive) and `tot`.
     */
+  /** Pin a histogram-sized intermediate unless its plan is already
+    * cached (the storageLevel probe consults the shared CacheManager, so
+    * two queries building the identical histogram share one pin with no
+    * re-cache warning). Lifetime is caller-managed: the bench clears
+    * between queries; long-lived sessions release via
+    * `spark.catalog.clearCache()`.
+    */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    else df
+
   private def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
                          cntCol: String): DataFrame = {
     // NULL values are excluded up front: a null valCol would shard to a
@@ -418,6 +430,13 @@ object Queries {
     // _off/tot through the nulls-first shard window — silently shifting
     // every rank. SQL aggregates/quantiles ignore NULLs, so exclusion is
     // the semantics every caller wants.
+    // The histogram subtree appears under several downstream branches in
+    // the FORMATTED plan (bounds + shard assign; per-shard totals + the
+    // final ranked join), but deliberately stays UNPINNED: the physical
+    // planner's ReusedExchange dedupes the identical shuffle subtrees at
+    // runtime, while an explicit cache() inserts a materialization
+    // barrier (measured ~2x slower at sf0.1 across the six stats
+    // queries sharing this helper).
     val hist0 = hist.where(col(valCol).isNotNull)
     val bounds = hist0.groupBy(grpCol)
       .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
@@ -722,7 +741,10 @@ object Queries {
             FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
             GROUP BY event_type"""),
     (s, d) => {
-      val med = histMedian(t(s, d, "events"), "event_type", "value", "med")
+      // med is per-group-tiny and referenced under every branch of the
+      // deviation pass's histogram machinery — pin it so the broadcast
+      // build is the only evaluation of the median subtree.
+      val med = pin(histMedian(t(s, d, "events"), "event_type", "value", "med"))
       val dev = t(s, d, "events").join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("value") - col("med")).cast(DecimalType(18, 4))
@@ -767,12 +789,15 @@ object Queries {
             GROUP BY 1"""),
     (s, d) => {
       val ev = t(s, d, "events")
-      val med = histMedian(ev, "event_type", "value", "med")
+      // pin the tiny per-group tables (see qMad): dev is deliberately NOT
+      // pinned — it is corpus-sized, and with med/mad pinned each of its
+      // two consumers rebuilds it as one scan + one broadcast join.
+      val med = pin(histMedian(ev, "event_type", "value", "med"))
       val dev = ev.join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("value") - col("med")).cast(DecimalType(18, 4))
             .cast("double").as("d"))
-      val mad = histMedian(dev, "event_type", "d", "mad")
+      val mad = pin(histMedian(dev, "event_type", "d", "mad"))
       dev.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

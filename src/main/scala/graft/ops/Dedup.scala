@@ -73,7 +73,12 @@ object Dedup {
                     shingleSize: Int = 3, textCol: String = "text"): DataFrame = {
     val sets = shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
       .distinct()
-    val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    // sizes is per-key-tiny but feeds TWO differently-aliased broadcasts
+    // — without the pin each broadcast rebuilds the whole shingle
+    // explode+distinct subtree (ReusedExchange only dedupes identical
+    // plans, and the aliases differ). The self-join sides below stay
+    // unpinned: they ARE identical subplans and reuse one exchange.
+    val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n")).cache()
     val a = sets.select(col(keyCol).as("key_a"), col("shingle"))
     val b = sets.select(col(keyCol).as("key_b"), col("shingle"))
     a.join(b, "shingle").where(col("key_a") < col("key_b"))

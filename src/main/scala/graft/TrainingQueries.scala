@@ -64,6 +64,44 @@ object TrainingQueries {
              WHERE a.doc_id < b.doc_id"""),
     (s, d) => Dedup.minhashCandidates(Dedup.minhash(t(s, d, "documents"))))
 
+  /** The band-population guard, CLOSED: [[Dedup.minhashCandidates]] with
+    * `maxBandPopulation` diverts oversized (boilerplate) bands out of the
+    * pair join, and the contract says a guarded pipeline MUST route those
+    * bands' members through an exact path or silently lose duplicates.
+    * This query is that contract as an oracle identity: guarded
+    * candidates ∪ same-band pairs within the diverted bands
+    * ([[Dedup.oversizedBands]], broadcast — it is a tiny over-threshold
+    * list) ≡ the unguarded candidate set, so the oracle is verbatim
+    * q_dedup_minhash_pairs'. The fallback join is band-bucket-local like
+    * every pair stage here; at 100 TB the fallback members would route
+    * through exact dedup instead of pairing, but the recall identity
+    * being scored is the same.
+    */
+  private val qDedupGuarded = Q("q_dedup_guarded",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig)
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id"""),
+    (s, d) => {
+      val sig = Dedup.minhash(t(s, d, "documents"))
+      val thr = 2L
+      val guarded = Dedup.minhashCandidates(sig, maxBandPopulation = thr)
+      val over = Dedup.oversizedBands(sig, maxBandPopulation = thr)
+        .select("band")
+      val bands = sig.select(col("doc_id"),
+        explode(array(col("band0"), col("band1"))).as("band"))
+      val hot = bands.join(broadcast(over), Seq("band"))
+      val fallback = hot.as("a")
+        .join(hot.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      guarded.unionByName(fallback).distinct()
+    })
+
   /** Incremental dedup ([[Dedup.incrementalCandidates]]): a 10% "new
     * crawl batch" (doc_id % 10 = 7) deduped against the other 90% via the
     * persisted bucketed band index — the index build is part of the
@@ -1134,6 +1172,35 @@ object TrainingQueries {
       .mkString("\n UNION ALL ")),
     (s, d) => graft.ops.Profile.profile(t(s, d, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+
+  /** The 100-TB profiling shape, scored: [[graft.ops.Profile.approxProfile]]
+    * computes all columns' stats in ONE scan (HLL++ distinct estimates,
+    * rsd 0.02). Exact facts (rows/nulls/extremes) are hash-compared
+    * verbatim; the estimate is certified by a bound boolean against the
+    * exact distinct count (q_approx's pattern — 0.1 is 5 sigma at rsd
+    * 0.02, and HLL is exact at these small cardinalities' low range).
+    */
+  private val qProfileApprox = Q("q_profile_approx",
+    Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           count(*) - count($c) AS n_nulls,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_value,
+           CAST(max($c) AS VARCHAR) AS max_value,
+           TRUE AS nd_in_bound FROM orders""")
+      .mkString("\n UNION ALL ")),
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val ord = t(s, d, "orders")
+      val ap = graft.ops.Profile.approxProfile(ord, cols)
+        .select(col("col_name"), col("n_distinct").as("_approx_nd"))
+      graft.ops.Profile.profile(ord, cols)
+        .join(broadcast(ap), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"),
+          (abs(col("_approx_nd") - col("n_distinct")) <=
+            lit(0.1) * col("n_distinct")).as("nd_in_bound"))
+    })
 
   /** Per-source duplication report: how much of each source is exact-dup
     * content (the fingerprint family of q_dedup_exact, aggregated the way
@@ -2210,7 +2277,7 @@ object TrainingQueries {
     (s, d) => Dedup.nearDedup(t(s, d, "documents"), score = col("n_chars")))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupIncremental,
+    qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupGuarded, qDedupIncremental,
     qDedupClusters,
     qDedupKeepBest, qDedupPipeline, qSourceDrift, qSourceSim,
     qDedupSimhash, qDedupSimhashPairs,
@@ -2226,7 +2293,7 @@ object TrainingQueries {
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qSearchIndexed, qHybridSearch, qVocab, qVocabCoverage,
-    qNovelty, qProfile, qSkipping,
+    qNovelty, qProfile, qProfileApprox, qSkipping,
     qDupRate,
     qCorpusDiff,
     qLmScore, qTokenDiversity, qColloc, qDsir, qQualityModel,

@@ -33,6 +33,7 @@ object ScaleProbe {
     if (mode == "linear" || mode == "all") linearProbe(spark)
     if (mode == "pairs" || mode == "all") pairsProbe(spark)
     if (mode == "graph" || mode == "all") graphProbe(spark)
+    if (mode == "stats" || mode == "all") statsProbe(spark)
     spark.stop()
   }
 
@@ -208,6 +209,60 @@ object ScaleProbe {
         val maxTask = listener.maxMillis.get() / 1e3
         spark.catalog.clearCache()
         println(f"GRAPH pagerank $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Histogram-rank stats under a planted hot group: one event_type
+    * holding HALF the corpus with EVERY value distinct — the shape where
+    * a naive `rank over (partition by group order by value)` funnels a
+    * million distinct values through one task. `shardedCum` claims no
+    * task sees more than ~1/256 of a group's distinct values; this
+    * measures it (wall + max single task at 1× vs 20×+hot).
+    */
+  private def statsProbe(spark: SparkSession): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft-scale-stats"
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val ev10 = (0 until 10).map(i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    // hot group: 10× replicas re-typed into ONE group with all-distinct
+    // values (event_id-derived); adversarial for any per-group rank.
+    val hot = ev10
+      .withColumn("event_id", col("event_id") + lit(2000000000L))
+      .withColumn("event_type", lit("hot_grp"))
+      .withColumn("value", col("event_id").cast("double") / 1000.0d)
+    ev10.unionByName(hot).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for (name <- Seq("q_median", "q_quantiles", "q_mad");
+           (label, dir) <- Seq("1x" -> src, "20x+hot" -> out)) {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        spark.catalog.clearCache()
+        println(f"STATS $name%-16s $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

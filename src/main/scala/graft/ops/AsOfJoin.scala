@@ -25,7 +25,21 @@ import org.apache.spark.sql.functions._
   *
   * Cost is one hash shuffle + sort of |L|+|R| rows regardless of temporal
   * fan-out, the same shape Flink's temporal join and kdb's `aj` use at
-  * scale. Ties: a right row at exactly the left row's timestamp IS
+  * scale — with one caveat: the per-key window puts a key's ENTIRE
+  * timeline through one task, so a degenerate hot key (a bot user with
+  * 10⁹ events, a null-ish default key) becomes one giant straggler. For
+  * such corpora `timeShards > 1` switches to a two-level plan — the
+  * [[graft.Queries]] shardedCum trick applied to time: each key's
+  * timeline splits into time-range blocks (global min/max pre-pass,
+  * broadcast back; block assignment monotone in ts, equal timestamps
+  * never split), the window runs within (key, block), and a CARRY-IN
+  * (the latest right row of every strictly-earlier block — one
+  * map-side-combinable `max(struct)` per (key, block) plus a
+  * block-granularity running window) lifts in-shard results to the full
+  * timeline, bit-identical to the single-window form. Sharding pays two
+  * extra input passes, so it is opt-in rather than the default; the
+  * ScaleProbe `asof` mode measures both forms under a planted hot key.
+  * Ties: a right row at exactly the left row's timestamp IS
   * visible ("at or before" is inclusive); multiple right rows on the same
   * (key, ts) resolve deterministically to the greatest `tieBreak` value.
   *
@@ -46,6 +60,16 @@ object AsOfJoin {
     *                  merge_asof tolerance) — the carried right timestamp
     *                  is checked after the window, so the plan shape (one
     *                  shuffle, no range cross-product) is unchanged
+    * @param timeShards time-range blocks each key's timeline is split
+    *                  into (the hot-key ceiling: no window task sees more
+    *                  than ~1/timeShards of a key's rows). The default 1
+    *                  is the one-pass single-window plan — right whenever
+    *                  per-key activity is bounded (the common case).
+    *                  Sharding costs two extra input passes (bounds +
+    *                  per-shard carry picks), so turn it on when a key
+    *                  can hold a task-breaking share of rows (bot users,
+    *                  null-ish default keys); the ScaleProbe `asof` mode
+    *                  measures the crossover
     */
   def asOf(
       left: DataFrame, right: DataFrame,
@@ -53,9 +77,11 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String], tieBreak: String,
       joinType: String = "inner",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      timeShards: Int = 1): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"as-of join supports inner|left, got $joinType")
+    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
     val leftCols = left.columns.toSeq
     // the right timestamp rides in the carried struct for the tolerance
     // check; pick an internal field name no value column uses
@@ -81,14 +107,89 @@ object AsOfJoin {
         (leftCols.map(c => lnull(c).as(c)) :+
           struct(rightValueCols.map(col) :+ col(rightTs).as(rts): _*).as("_r")): _*)
 
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_pri").asc,
-        col("_r").getField(tieBreak).asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = lTagged.unionByName(rTagged)
-      .select(col("_pri") +: col("_t") +: leftCols.map(col) :+
-        last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
-      .where(col("_pri") === 1)
+    val u = lTagged.unionByName(rTagged)
+    val tb = col("_r").getField(tieBreak)
+    val joined =
+      if (timeShards == 1) {
+        val w = Window.partitionBy(col("_k"))
+          .orderBy(col("_t").asc, col("_pri").asc, tb.asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.select(col("_pri") +: col("_t") +: leftCols.map(col) :+
+          last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
+          .where(col("_pri") === 1)
+      } else {
+        // Shard bounds are PER KEY — a global time range fails exactly on
+        // the corpora that need sharding (a bot key bursting 10⁹ events
+        // in one day of a 5-year corpus lands in ONE global-range shard;
+        // its own [min, max] divides into timeShards no matter how the
+        // burst sits in corpus time). The bounds table is one
+        // map-side-combinable (min, max) per key, joined back with a
+        // SHUFFLE_HASH hint: the hot key's partition streams its rows
+        // through an O(1) hash probe — a sort-merge join would re-sort
+        // the funnel this operator exists to break. Shard assignment
+        // casts ts to double: monotone NON-DECREASING for every
+        // orderable spine type (long nanos beyond 2^53 may collide in
+        // double — collisions only merge adjacent shards, never
+        // reorder), so in-shard order + strictly-earlier carry-in
+        // reproduce the global window exactly. Equal timestamps always
+        // share a shard.
+        val bounds = u.groupBy(col("_k"))
+          .agg(min(col("_t").cast("double")).as("_lo"),
+            max(col("_t").cast("double")).as("_hi"))
+        val width = when(col("_hi") > col("_lo"),
+          (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+        val sharded = u.join(bounds.hint("SHUFFLE_HASH"), Seq("_k"))
+          .withColumn("_sh",
+            least(floor((col("_t").cast("double") - col("_lo")) / width),
+              lit((timeShards - 1).toDouble)).cast("int"))
+          .drop("_lo", "_hi")
+        // Carry-in: the latest right row of every strictly-earlier
+        // shard. The per-(key, shard) pick is a map-side-combinable
+        // max(struct) over the RIGHT side only, whose field order
+        // replicates the window's (ts, tiebreak-nulls-last) tie rule;
+        // the running max windows at SHARD granularity (≤ timeShards
+        // rows per key — never a funnel). Each carry-in then re-enters
+        // the main table as a synthetic first-of-shard row (`_first` 0)
+        // and rides the window's ONE exchange + sort — joining it back
+        // instead would force a second full sort of the corpus for the
+        // sort-merge join.
+        val rightPick = when(col("_pri") === 0,
+          struct(col("_t").as("_pt"), tb.isNull.as("_tbn"),
+            tb.as("_tb"), col("_r").as("_pr")))
+        // one row per EXISTING (key, shard) group — left-only shards
+        // included, so every shard that has readers gets its carry row;
+        // the exclusive frame makes the pick strictly-earlier (max
+        // skips the null picks of right-free shards)
+        val carry = sharded
+          .groupBy(col("_k"), col("_sh"))
+          .agg(max(rightPick).as("_m"))
+          .select(col("_k"), col("_sh"),
+            max(col("_m")).over(Window.partitionBy(col("_k")).orderBy(col("_sh"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+              .getField("_pr").as("_cin"))
+          .where(col("_cin").isNotNull)
+        val carryRows = carry.select(
+          col("_k") +: lit(null).cast(lTagged.schema("_t").dataType).as("_t") +:
+            lit(-1).as("_pri") +:
+            (leftCols.map(c => lnull(c).as(c)) :+ col("_cin").as("_r")) :+
+            col("_sh") :+ lit(0).as("_first"): _*)
+        val w = Window.partitionBy(col("_k"), col("_sh"))
+          .orderBy(col("_first").asc, col("_t").asc, col("_pri").asc,
+            tb.asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sharded.withColumn("_first", lit(1))
+          .unionByName(carryRows)
+          // EXPLICIT redistribution on (key, shard): the bounds join
+          // leaves the data HashPartitioning(key), which SATISFIES the
+          // window's ClusteredDistribution(key, shard) — EnsureRequirements
+          // would elide the exchange and hand the hot key's whole
+          // timeline back to one window task, silently restoring the
+          // funnel this plan exists to break
+          .repartition(col("_k"), col("_sh"))
+          .select(col("_pri") +: col("_t") +: leftCols.map(col) :+
+            last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
+          .where(col("_pri") === 1)
+      }
     val bounded = tolerance match {
       case Some(tol) => joined.withColumn("_rc",
         when(col("_rc").getField(rts) >= col("_t") - tol, col("_rc")))

@@ -34,6 +34,7 @@ object ScaleProbe {
     if (mode == "pairs" || mode == "all") pairsProbe(spark)
     if (mode == "graph" || mode == "all") graphProbe(spark)
     if (mode == "stats" || mode == "all") statsProbe(spark)
+    if (mode == "asof" || mode == "all") asofProbe(spark)
     spark.stop()
   }
 
@@ -209,6 +210,90 @@ object ScaleProbe {
         val maxTask = listener.maxMillis.get() / 1e3
         spark.catalog.clearCache()
         println(f"GRAPH pagerank $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** As-of join under a planted hot key: one user holding a third of the
+    * left timeline (4M events) and 400k right rows — the bot-user shape
+    * that puts an entire timeline through ONE window task in a plain
+    * per-key as-of. Probes both forms: `timeShards = 1` (the legacy
+    * single-window plan) vs the default time-sharded plan, same inputs.
+    */
+  private def asofProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolate the skew behavior: at this corpus size AQE coalesces the
+    // whole shuffle into a few fat partitions (rows are cheap in BYTES
+    // but the window sort is CPU-bound), which hides the per-(key,shard)
+    // spread this probe exists to measure — a real 100 TB shuffle sits
+    // far above the advisory size and never coalesces across it
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    def rep(name: String, idCol: String, n: Int): DataFrame = {
+      val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/$name.parquet"))
+      (0 until n).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+    }
+    val ev10 = rep("events", "event_id", 10)
+    val or10 = rep("orders", "o_orderkey", 10)
+    // hot key: 500k events + 100k orders on ONE user, timestamps spread
+    // over the fixture's date range (ns since epoch, 2024-01-01 + i sec)
+    val t0ns = 1704067200000000000L
+    val hotEv = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      (lit(t0ns) + col("id") * 5000000000L).as("ts"))
+    val hotOrd = spark.range(400000).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(4242424242L).as("o_custkey"),
+      (lit(t0ns) + col("id") * 25000000000L).as("ots"),
+      (col("id") % 1000).cast("double").as("o_totalprice"))
+    // materialize both sides (same policy as pairsProbe): the sharded
+    // plan legitimately scans its input 3x, and probing it against an
+    // unmaterialized 10-way union would charge it 3 union rebuilds a
+    // real table never pays
+    val out = "/tmp/graft-scale-asof"
+    ev10.select(col("event_id"), col("user_id"), col("ts"))
+      .unionByName(hotEv).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/left.parquet")
+    or10.select(col("o_custkey"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+      col("o_orderkey"), col("o_totalprice"))
+      .unionByName(hotOrd.select(col("o_custkey"), col("ots"),
+        col("o_orderkey"), col("o_totalprice")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/right.parquet")
+    val left = spark.read.parquet(s"$out/left.parquet")
+    val right = spark.read.parquet(s"$out/right.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for ((label, shards) <- Seq("1-shard(window)" -> 1, "32-shard" -> 32)) {
+        def run() = graft.ops.AsOfJoin.asOf(left, right, "user_id", "o_custkey",
+          "ts", "ots", Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey", joinType = "left", timeShards = shards)
+          .write.mode("overwrite").format("noop").save()
+        run() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        println(f"ASOF $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -85,6 +85,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("time-sharded form is bit-identical to the single-window form on a hot key") {
+    // one key holding the whole timeline — the shape the (key, shard)
+    // shuffle exists for; dense ts collisions force carry-in reads at
+    // many shard boundaries and tie resolution inside shards
+    val rnd = new scala.util.Random(7)
+    val hq = Seq.fill(900)(("H", rnd.nextInt(300).toLong, rnd.nextInt(1000).toDouble))
+      .toDF("sym", "qts", "px")
+    val ht = Seq.tabulate(600)(i => (i.toLong, "H", rnd.nextInt(300).toLong))
+      .toDF("trade_id", "sym", "tts")
+    def run(shards: Int) = AsOfJoin.asOf(ht, hq, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px", joinType = "left", timeShards = shards)
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(run(32) == run(1))
+  }
+
   test("tolerance: matches older than leftTs - tol null out (left) or drop (inner)") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 50L))
       .toDF("trade_id", "sym", "tts")

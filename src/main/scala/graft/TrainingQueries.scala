@@ -302,6 +302,31 @@ object TrainingQueries {
           (col("recall") >= 0.5).as("recall_ok"))
     })
 
+  /** EXACT directed set-CONTAINMENT join ([[Dedup.containmentJoin]],
+    * quote/subset detection): all ordered doc pairs whose shingle
+    * containment `|Sa∩Sb|/|Sa|` clears 0.8. The oracle is the
+    * declarative GROUND TRUTH — an unrestricted all-ordered-pairs
+    * shingle join — so the hash match IS the exact-recall proof, the
+    * same contract as q_dedup_prefix. Asymmetric complement of that
+    * join: a short document fully quoted inside a long one has
+    * containment 1.0 at arbitrarily small Jaccard, so no symmetric
+    * threshold finds it.
+    */
+  private val qContainment = Q("q_containment",
+    Some(s"""WITH $toksCte, $shinglesCte,
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+               FROM dsh a JOIN dsh b
+                 ON b.shingle = a.shingle AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2),
+             j AS (SELECT id_a, id_b,
+                 CAST(n AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+               FROM inter JOIN sizes sa ON sa.doc_id = id_a)
+             SELECT id_a, id_b, containment FROM j
+             WHERE containment >= 0.8e0"""),
+    (s, d) => Dedup.containmentJoin(t(s, d, "documents"), tau = 0.8))
+
   private val qDedupPrefix = Q("q_dedup_prefix",
     Some(s"""WITH $toksCte, $shinglesCte,
              dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -874,6 +899,75 @@ object TrainingQueries {
         col("_pr").as("punct_ratio"),
         (least(col("_len") / lit(500.0), lit(1.0))
           * (lit(1.0) - least(col("_pr") * 5, lit(1.0)))).as("quality")))
+
+  /** Tokenizer fertility by language: bytes-per-token and
+    * tokens-per-word over the corpus — the tokenizer-budget planning
+    * numbers (a language whose fertility runs high pays more sequence
+    * length per word of content). Integer-exact sums (one
+    * map-side-combinable aggregate over ~#langs groups — nothing hot at
+    * any scale); each ratio is ONE double division of exact longs, so
+    * both engines produce the identical IEEE result.
+    */
+  private val qFertility = Q("q_fertility",
+    Some("""WITH t AS (SELECT lang, octet_length(encode(text)) AS nb,
+              len(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS nw,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 \t\n\f\r]')) AS nt
+              FROM documents)
+            SELECT lang, CAST(sum(nb) AS BIGINT) AS n_bytes,
+              CAST(sum(nw) AS BIGINT) AS n_words,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS bytes_per_token,
+              CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility
+            FROM t GROUP BY lang"""),
+    (s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(octet_length(col("text"))).as("n_bytes"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_words"),
+        sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_tokens"))
+      .select(col("lang"), col("n_bytes"), col("n_words"), col("n_tokens"),
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility")))
+
+  /** Quality-filter threshold sweep: per source, the ppm of documents
+    * retained at quality >= 0.25 / 0.5 / 0.75 (q_quality's exact score)
+    * — the curve a pipeline reads to SET the filter threshold before
+    * committing to it (per-source retention at the candidate cut
+    * points). One pass, conditional map-side-combinable sums; ppm in
+    * exact integer fixed point. The 0.25/0.5/0.75 literals are exact
+    * binary doubles, so the threshold compare cannot straddle engines.
+    */
+  private val qQualitySweep = Q("q_quality_sweep",
+    Some("""WITH q0 AS (SELECT source, length(text) AS len,
+              length(regexp_replace(text, '[a-z0-9 \t\n\f\r]', '', 'g')) AS pl
+              FROM documents),
+            q1 AS (SELECT source,
+              least(len / 500.0, 1.0)
+                * (1.0 - least(pl * 1.0 / greatest(len, 1) * 5, 1.0)) AS q
+              FROM q0)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN q >= 0.25e0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS keep25_ppm,
+              CAST(sum(CASE WHEN q >= 0.5e0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS keep50_ppm,
+              CAST(sum(CASE WHEN q >= 0.75e0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS keep75_ppm
+            FROM q1 GROUP BY source"""),
+    (s, d) => t(s, d, "documents")
+      .withColumn("_len", length(col("text")))
+      .withColumn("_pl",
+        length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", "")))
+      .withColumn("_pr",
+        col("_pl").cast("double") / greatest(col("_len"), lit(1)).cast("double"))
+      .withColumn("_q", least(col("_len") / lit(500.0), lit(1.0))
+        * (lit(1.0) - least(col("_pr") * 5, lit(1.0))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_q") >= 0.25, 1L).otherwise(0L)).as("_k25"),
+        sum(when(col("_q") >= 0.5, 1L).otherwise(0L)).as("_k50"),
+        sum(when(col("_q") >= 0.75, 1L).otherwise(0L)).as("_k75"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(_k25 * 1000000 div n_docs AS BIGINT)").as("keep25_ppm"),
+        expr("CAST(_k50 * 1000000 div n_docs AS BIGINT)").as("keep50_ppm"),
+        expr("CAST(_k75 * 1000000 div n_docs AS BIGINT)").as("keep75_ppm")))
 
   private val qTokenCount = Q("q_token_count",
     Some("""SELECT doc_id,
@@ -2287,7 +2381,8 @@ object TrainingQueries {
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr, qAnnMulti,
     qAnnRecall,
-    qDedupPrefix,
+    qDedupPrefix, qContainment,
+    qFertility, qQualitySweep,
     qSampleHash, qSampleSplit, qSplitGrouped,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
     qEpochOrder,

@@ -642,13 +642,30 @@ object Dedup {
     * as every other shingle op here).
     * Returns `(id_a, id_b, jaccard)`, id_a < id_b, jaccard ≥ tau.
     */
-  def prefixFilterJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    // One row per doc: its distinct shingle set + size, built without any
-    // shuffle (the same shingle lambda as [[shingles]], deduped by
-    // array_distinct, sorted for the merge-loop verify kernel).
-    val docSets = docs
+  /** Shared front half of the exact set-similarity joins
+    * ([[prefixFilterJoin]], [[containmentJoin]]): one row per DISTINCT
+    * shingle set.
+    *
+    * Per doc, the distinct word-shingle set is a pure expression
+    * (`array_distinct` over the shingle lambda — no explode+distinct
+    * shuffle), sorted for the merge-loop verify kernel. Exact-duplicate
+    * sets are then collapsed to one representative (group key = md5 of
+    * the sorted set): boilerplate cliques — the adversarial hot bucket
+    * for every set-similarity join — vanish from the candidate stage
+    * entirely (1,000 mirrored docs become ONE prefix contributor instead
+    * of a 1,000-deep bucket on every prefix shingle), so candidate work
+    * scales with DISTINCT content, and their pairs re-enter as
+    * OUTPUT-sized expansion with similarity exactly 1.0 (set equality).
+    * Exactness is preserved: the pigeonhole arguments only need a
+    * consistent global shingle order, and df-over-distinct-sets is one.
+    *
+    * Returns `(_gk, _rep, _members, _set, sz, _n)`, CACHED (feeds
+    * df/prefix/verify/expansion); caller-managed lifetime — release with
+    * `spark.catalog.clearCache()`.
+    */
+  private def collapsedShingleGroups(docs: DataFrame, shingleSize: Int,
+                                     idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= shingleSize)
       .select(col(idCol), sort_array(array_distinct(transform(
@@ -657,19 +674,6 @@ object Dedup {
           (0 until shingleSize).map(j => element_at(col("_toks"), i + j + 1)): _*)
       ))).as("_set"))
       .withColumn("sz", size(col("_set")))
-    // Collapse exact-duplicate sets BEFORE any pair work: one
-    // representative per distinct set (group key = md5 of the sorted
-    // set). Boilerplate cliques — the adversarial hot bucket for every
-    // set-similarity join — vanish from the candidate stage entirely
-    // (1,000 mirrored docs become ONE prefix contributor instead of a
-    // 1,000-deep bucket on every prefix shingle), so candidate work
-    // scales with DISTINCT content, and their C(n,2) pairs re-enter
-    // below as output-sized generation with jaccard exactly 1.0 (set
-    // equality). Exactness is preserved: the pigeonhole argument only
-    // needs a consistent global shingle order, and df-over-distinct-sets
-    // is one. Cached (feeds df/prefix/verify/expansion); caller-managed
-    // lifetime — release with spark.catalog.clearCache().
-    val groups = docSets
       .withColumn("_gk", md5(concat_ws("\u0001", col("_set"))))
       .groupBy(col("_gk"))
       .agg(min(col(idCol)).as("_rep"),
@@ -677,6 +681,106 @@ object Dedup {
         first(col("_set")).as("_set"), first(col("sz")).as("sz"),
         count(lit(1)).as("_n"))
       .cache()
+
+  /** EXACT set-CONTAINMENT join (directed): all ordered doc pairs
+    * `(a, b)`, `a != b`, with `|Sa∩Sb| / |Sa| >= tau` over word
+    * `shingleSize`-shingle sets — quote/subset detection, the asymmetric
+    * complement of [[prefixFilterJoin]]'s Jaccard (a short document fully
+    * quoted inside a long one has containment 1.0 but arbitrarily small
+    * Jaccard, so no symmetric-threshold join can find it).
+    *
+    * Prefix filter on the PROBE side: containment >= tau needs overlap
+    * alpha = ceil(tau*|Sa|), so a's first `|Sa| - alpha + 1` shingles in
+    * the canonical (df asc, shingle) order must hit Sb — candidates are
+    * a's prefix joined against the full exploded sets. Unlike the Jaccard
+    * join, the INDEX side cannot be prefix-pruned: b may contain an
+    * arbitrarily small a, so any of b's shingles can be the witness (the
+    * known lower bound for exact containment joins — prefix work is
+    * O(probe prefix x df)). Three exactness-safe prunes cut candidates:
+    * the probe prefix holds each doc's RAREST shingles (hot boilerplate
+    * keys are exactly the ones excluded), the size filter
+    * `|Sb| >= ceil(tau*|Sa|)` (overlap <= |Sb|) drops impossible pairs,
+    * and the positional bound `min(i,j) + min(|Sa|-i, |Sb|-j) >= alpha`
+    * (<= min(i,j) shared shingles up to a match at canonical ranks i,j,
+    * <= min of the remainders after) proves under-tau pairs before the
+    * verify. Survivors are exact-verified with the same zero-allocation
+    * merge-loop intersect kernel; duplicate-set collapse + OUTPUT-sized
+    * directed expansion as in [[prefixFilterJoin]] (intra-group pairs
+    * have containment 1.0 both ways). False positives from the -1e-9
+    * ceil guards cost time, never correctness.
+    *
+    * Returns `(id_a, id_b, containment)`, id_a != id_b (both directions
+    * reported independently when both clear tau), containment >= tau.
+    */
+  def containmentJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val groups = collapsedShingleGroups(docs, shingleSize, idCol, textCol)
+    val intra = groups.where(col("_n") > 1)
+      .select(explode(col("_members")).as("id_a"), col("_members"))
+      .select(col("id_a"), explode(col("_members")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("containment", lit(1.0))
+    val reps = groups.select(col("_rep").as(idCol), col("_set"), col("sz"))
+    val exploded = reps.select(col(idCol), col("sz"),
+      explode(col("_set")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    // Canonical (df asc, shingle) rank for EVERY shingle of every rep:
+    // the index side needs full ranked lists (see scaladoc), the probe
+    // side slices its prefix from the same table — one df join + one
+    // groupBy(doc) sort_array, no per-doc window.
+    val ranked = exploded
+      .join(dfreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ranked"),
+        first(col("sz")).as("sz"))
+    val full = ranked
+      .select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+        posexplode(col("_ranked.shingle")))
+      .select(col("id_b"), (col("pos") + 1).as("_j"),
+        col("col").as("shingle"), col("sz_b"))
+    val alpha = ceil(lit(tau) * col("sz") - lit(1e-9))
+    val prefix = ranked
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("_ranked.shingle"), lit(1),
+          (col("sz") - alpha + 1).cast("int"))))
+      .select(col(idCol).as("id_a"), (col("pos") + 1).as("_i"),
+        col("col").as("shingle"), col("sz").as("sz_a"))
+    val alphaA = ceil(lit(tau) * col("sz_a") - lit(1e-9))
+    val cands = prefix
+      .join(full, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= alphaA &&
+        least(col("_i"), col("_j")) +
+          least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >= alphaA)
+      .select("id_a", "id_b").distinct()
+    val verified = cands
+      .join(reps.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(reps.select(col(idCol).as("id_b"), col("_set").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.SortedIntersectCount(col("_sa"), col("_sb")).cast("double") /
+          col("sz_a").cast("double")).as("containment"))
+      .where(col("containment") >= lit(tau))
+    // Directed expansion: every member of a's group has exactly Sa and
+    // every member of b's group exactly Sb, so the containment transfers
+    // verbatim to the ordered member cross product (groups are disjoint,
+    // so a != b is structural). OUTPUT-sized, like the Jaccard join's.
+    val expanded = verified
+      .join(groups.select(col("_rep").as("id_a"), col("_members").as("_ma")),
+        Seq("id_a"))
+      .join(groups.select(col("_rep").as("id_b"), col("_members").as("_mb")),
+        Seq("id_b"))
+      .select(explode(col("_ma")).as("a"), col("_mb"), col("containment"))
+      .select(col("a").as("id_a"), explode(col("_mb")).as("id_b"),
+        col("containment"))
+    expanded.unionByName(intra)
+  }
+
+  def prefixFilterJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val groups = collapsedShingleGroups(docs, shingleSize, idCol, textCol)
     val intra = groups.where(col("_n") > 1)
       .select(explode(col("_members")).as("id_a"), col("_members"))
       .select(col("id_a"), explode(col("_members")).as("id_b"))

@@ -329,6 +329,73 @@ class DedupAnnSpec extends SparkSpec {
     assert(Dedup.prefixFilterJoin(d, tau = 0.51).collect().isEmpty)
   }
 
+  // local ground truth for containmentJoin: the same ws tokenization +
+  // 3-shingle sets as the engine (TextAnalysis.tokens mirror), brute over
+  // every ORDERED pair
+  private def containmentTruth(docs: Seq[(Long, String)], tau: Double) = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.trim.split("[ \t\n\f\r]+").toSeq.sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for ((a, sa) <- sets; (b, sb) <- sets if a != b;
+          c = (sa & sb).size.toDouble / sa.size if c >= tau)
+      yield (a, b, c)).toSet
+  }
+
+  test("containmentJoin equals brute-force ordered-pair ground truth") {
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (tau <- Seq(0.5, 0.9)) {
+      val truth = containmentTruth(docs, tau)
+      val got = Dedup.containmentJoin(corpus, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == truth, s"tau=$tau: got $got, want $truth")
+      assert(truth.nonEmpty)
+    }
+  }
+
+  test("containmentJoin finds a quote invisible to the Jaccard join") {
+    // doc 1 is quoted verbatim inside doc 2, which is ~4x longer: the
+    // directed containment 1 -> 2 is exactly 1.0 while the Jaccard is
+    // far below it — the asymmetric case the symmetric join cannot see.
+    val host = "alpha bravo charlie delta echo " +
+      "foxtrot golf hotel india juliett kilo lima mike november oscar " +
+      "papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val d = Seq(
+      (1L, "foxtrot golf hotel india juliett"),
+      (2L, host)
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(d, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    assert(Dedup.prefixFilterJoin(d, tau = 0.9).collect().isEmpty)
+  }
+
+  test("containmentJoin: duplicate cliques report both directions") {
+    val clique = (1L to 12L).map(i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel"))
+    val lone = Seq((100L, "unrelated words entirely disjoint from those"))
+    val d = (clique ++ lone).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(d, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 12 * 11, s"got ${got.length} ordered pairs")
+    assert(got.forall(_._3 == 1.0))
+    assert(got.forall(p => p._1 != p._2))
+    assert(got.distinct.length == got.length, "no duplicate ordered pairs")
+  }
+
+  test("containmentJoin: tau boundary is inclusive, above-tau excluded") {
+    // a has 3 shingles, 2 of them inside b -> containment(a->b) = 2/3
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 x1 x2 x3 x4 x5 x6")
+    ).toDF("doc_id", "text")
+    val twoThirds = 2.0 / 3.0
+    val at = Dedup.containmentJoin(d, tau = twoThirds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(at == Set((1L, 2L, twoThirds)), s"got $at")
+    assert(Dedup.containmentJoin(d, tau = 0.67).collect().isEmpty)
+  }
+
   test("bruteTopKBatch matches per-query bruteTopK for every query") {
     val queries = vecs.where($"vec_id".isin(0L, 1L, 3L))
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))

@@ -120,7 +120,13 @@ object ScaleProbe {
       // customer name 10-fold and the planted clique 1,000-fold — all of
       // it must collapse to one representative per distinct string before
       // the variant self-join (pairs re-enter output-sized)
-      "q_fuzzy_join")
+      "q_fuzzy_join",
+      // directed containment join: the 1,000-doc clique collapses to one
+      // representative (its C(1000,2) ordered pairs re-enter output-sized)
+      // and the 10x replicas collapse 10-fold, so probe-prefix x full-index
+      // candidate work must track DISTINCT content — the full index side
+      // (irreducible for exact containment) is the edge under test
+      "q_containment")
     try {
       // the listener bus is asynchronous: task-end events can trail the
       // job's return, so settle (quiesce) before resetting and reading

@@ -669,7 +669,7 @@ object Queries {
       // formatted plan showed six lineitem scans. Footprint is bounded
       // by distinct values per group (never corpus rows); lifetime is
       // caller-managed like every pinned table here.
-      val hx = rankHist("x").cache()
+      val hx = pin(rankHist("x"))
       val hy = {
         val h = li.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
           .withColumn("_sh", floor(col("y") / 1024.0d)) // monotone in y
@@ -683,7 +683,7 @@ object Queries {
           .join(broadcast(offsets), Seq("g", "_sh"))
           .select(col("g"), col("y"), col("cnt"),
             ((col("_c") + col("_off")) * 2 - col("cnt") + 1).as("ry"))
-      }.cache()
+      }.transform(pin)
       // marginal moments straight off each histogram (no row join)
       def marg(h: DataFrame, c: String, sN: String, ssN: String) =
         h.groupBy("g").agg(

@@ -1032,7 +1032,7 @@ object TrainingQueries {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .join(broadcast(terms), Seq("token"))
-        .cache()
+        .transform(graft.ops.Caching.cached)
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1115,7 +1115,7 @@ object TrainingQueries {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .join(broadcast(terms), Seq("token"))
-        .cache()
+        .transform(graft.ops.Caching.cached)
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       tf.join(broadcast(df), Seq("token"))
@@ -1535,7 +1535,7 @@ object TrainingQueries {
                  AS jaccard_est
              FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1"""),
     (s, d) => {
-      val sig = Dedup.minhash(t(s, d, "documents")).cache()
+      val sig = Dedup.minhash(t(s, d, "documents")).transform(graft.ops.Caching.cached)
       val a = sig.select(col("doc_id").as("id_a"),
         col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
       val b = sig.select(col("doc_id").as("id_b"),
@@ -1732,7 +1732,7 @@ object TrainingQueries {
       val tok = t(s, d, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .cache()
+        .transform(graft.ops.Caching.cached)
       val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
       val tot = tok.agg(count(lit(1)).as("t"))
       tok.join(broadcast(uni), Seq("token"))
@@ -1821,7 +1821,7 @@ object TrainingQueries {
           "transform(sequence(0, size(l) - 2), i -> struct(l[i] as x, l[i + 1] as y))"))
           .as("p"))
         .select(col("p.x").as("x"), col("p.y").as("y"))
-        .cache()
+        .transform(graft.ops.Caching.cached)
       val bgc = bg.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
         .where(col("cxy") >= 5)
       val s1 = uni.withColumnRenamed("token", "x").withColumnRenamed("c", "cx")
@@ -1867,7 +1867,7 @@ object TrainingQueries {
         substring(col("_h"), 1, hexChars).as("p0"),
         substring(col("_h"), 9, hexChars).as("p1"),
         substring(col("_h"), 17, hexChars).as("p2"))
-    val bench = hp.where(col("doc_id") < benchBelow).cache()
+    val bench = hp.where(col("doc_id") < benchBelow).transform(graft.ops.Caching.cached)
     val s0 = bench.select("p0").distinct()
     val s1 = bench.select("p1").distinct()
     val s2 = bench.select("p2").distinct()
@@ -1933,7 +1933,7 @@ object TrainingQueries {
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .select(col("doc_id"), col("is_tgt"),
         TextAnalysis.featureBucket(col("token"), buckets).as("b"))
-      .cache()
+      .transform(graft.ops.Caching.cached)
     val raw = tok.groupBy("b").agg(count(lit(1)).as("raw_c"))
     val tgt = tok.where(col("is_tgt")).groupBy("b").agg(count(lit(1)).as("tgt_c"))
     val tots = tok.agg(
@@ -2133,7 +2133,7 @@ object TrainingQueries {
       .select(col("source"),
         TextAnalysis.featureBucket(col("token"), buckets).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
-      .cache()
+      .transform(graft.ops.Caching.cached)
     val srcTot = cells.groupBy("source").agg(sum(col("c")).as("src_t"))
     val allBucket = cells.groupBy("b").agg(sum(col("c")).as("all_c"))
     val allTot = cells.agg(sum(col("c")).as("all_t"))
@@ -2295,7 +2295,7 @@ object TrainingQueries {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .join(broadcast(terms), Seq("token"))
-        .cache()
+        .transform(graft.ops.Caching.cached)
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfT = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       val lex = tf.join(broadcast(dfT), Seq("token"))

@@ -78,7 +78,7 @@ object Dedup {
     // explode+distinct subtree (ReusedExchange only dedupes identical
     // plans, and the aliases differ). The self-join sides below stay
     // unpinned: they ARE identical subplans and reuse one exchange.
-    val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n")).cache()
+    val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n")).transform(Caching.cached)
     val a = sets.select(col(keyCol).as("key_a"), col("shingle"))
     val b = sets.select(col(keyCol).as("key_b"), col("shingle"))
     a.join(b, "shingle").where(col("key_a") < col("key_b"))
@@ -144,11 +144,8 @@ object Dedup {
                         maxBandPopulation: Long = Long.MaxValue): DataFrame = {
     // both band sides read the signatures; respect an existing pin
     // (pipelines often cache the signature table themselves) instead of
-    // re-caching — CacheManager logs a warning per redundant request
-    val sig =
-      if (sig0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        sig0.cache()
-      else sig0
+    // re-caching
+    val sig = Caching.cached(sig0)
     val bandCols = (0 until numBands).map(b => col(s"band$b"))
     val bands = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
     // the population count + semi-join only enter the plan when the guard
@@ -248,7 +245,7 @@ object Dedup {
     val bandCols = (0 until numHashes / 2).map(b => col(s"band$b"))
     // cached: feeds the index join AND the batch self-join
     val newBands = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("band")).cache()
+      .select(col(idCol), explode(array(bandCols: _*)).as("band")).transform(Caching.cached)
     val index = spark.table(indexTable)
     val newVsOld = newBands.as("n")
       .join(index.as("o"), col("n.band") === col("o.band"))
@@ -311,10 +308,7 @@ object Dedup {
     require(maxHamming < numBlocks,
       s"recall guarantee needs maxHamming < numBlocks (got $maxHamming >= $numBlocks)")
     // see minhashCandidates: respect a caller's existing pin
-    val sig =
-      if (sig0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        sig0.cache()
-      else sig0
+    val sig = Caching.cached(sig0)
     val blocks = sig.select(col(idCol), col("simhash"),
       explode(array((0 until numBlocks).map(k =>
         struct(lit(k).as("blk"), col(s"s$k").as("key"))): _*)).as("b"))
@@ -366,7 +360,7 @@ object Dedup {
     // The raw pair projection caches NARROW (no shuffle): the gate count
     // materializes it once, the local path collects straight from it, and
     // only the distributed loop pays for the bidirectional distinct set.
-    val half = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
+    val half = pairs.select(col(idA).as("src"), col(idB).as("dst")).transform(Caching.cached)
     // driver-side orderings exist for the id types this library pairs on
     // (longs from doc ids, strings from content keys); anything else uses
     // the distributed loop, whose min() delegates to Catalyst's ordering
@@ -425,7 +419,7 @@ object Dedup {
     // appears as src; the lazy localCheckpoint is materialized by the
     // first labelSum below.
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().transform(Caching.cached)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     // convergence check: labels only ever decrease, so the label sum is
@@ -541,7 +535,7 @@ object Dedup {
     // caller-managed like every pinned table in this module (release via
     // spark.catalog.clearCache() once the result is materialized).
     val pairs = minhashCandidates(
-      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol).cache()
+      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol).transform(Caching.cached)
     val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b")
@@ -680,7 +674,7 @@ object Dedup {
         collect_list(col(idCol)).as("_members"),
         first(col("_set")).as("_set"), first(col("sz")).as("sz"),
         count(lit(1)).as("_n"))
-      .cache()
+      .transform(Caching.cached)
 
   /** EXACT set-CONTAINMENT join (directed): all ordered doc pairs
     * `(a, b)`, `a != b`, with `|Sa∩Sb| / |Sa| >= tau` over word

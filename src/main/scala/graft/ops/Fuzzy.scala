@@ -81,7 +81,7 @@ object Fuzzy {
       .groupBy(col("_fs"))
       .agg(min(col("_fid")).as("_rep"),
         collect_list(col("_fid")).as("_mem"), count(lit(1)).as("_n"))
-      .cache()
+      .transform(Caching.cached)
     val intra = g.where(col("_n") > 1)
       .select(explode(col("_mem")).as("id_a"), col("_mem"))
       .select(col("id_a"), explode(col("_mem")).as("id_b"))

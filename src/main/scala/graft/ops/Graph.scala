@@ -56,14 +56,14 @@ object Graph {
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 10^6], got $dampingPpm")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+      .distinct().transform(Caching.cached)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // degree-annotated edge list, joined ONCE and cached — every power
     // iteration would otherwise redo the e⋈deg shuffle before touching
     // the ranks of that round
-    val ed = e.join(deg, "src").cache()
+    val ed = e.join(deg, "src").transform(Caching.cached)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct().transform(Caching.cached)
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {

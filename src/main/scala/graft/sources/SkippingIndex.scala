@@ -118,9 +118,26 @@ object SkippingIndex {
     manifest(spark, dir)
   }
 
-  /** The persisted manifest ([[ColStats]] schema). */
-  def manifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(manifestDir(dir))
+  /** The persisted manifest ([[ColStats]] schema). The underscore prefix
+    * that hides `_skipping` from Spark's directory scans also makes Spark
+    * ignore it as a READ root (with an "All paths were ignored" warning),
+    * so the manifest is read by its explicit part files instead.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(manifestDir(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString)
+      .sorted
+    require(parts.nonEmpty, s"no manifest files under ${manifestDir(dir)}")
+    spark.read.parquet(parts: _*)
+  }
 
   /** Footer scan of one file → one [[ColStats]] per requested column. */
   private def fileStats(path: String, conf: Configuration,

@@ -2713,6 +2713,80 @@ object Queries {
         .limit(20)
     })
 
+  /** HITS hubs and authorities ([[graft.ops.Graph.hitsPpm]], 2 rounds)
+    * over the same customer→supplier purchase graph as q_pagerank: who
+    * buys from the best-sourced suppliers (hubs) vs who is bought from by
+    * the broadest buyers (authorities) — the two orderings PageRank's
+    * single score conflates. Exact integer ppm with max-normalization, so
+    * the oracle (the mutual recurrence unrolled as two CTE rounds with
+    * scalar-subquery maxima) hash-matches bit-for-bit. Scale shape: per
+    * round one join + groupBy in each direction; normalizing maxima are
+    * 1-row scalar broadcasts.
+    */
+  private val qHits = Q("q_hits", {
+    def round(i: Int) = s"""
+            ar$i AS (SELECT dst AS node, SUM(h) AS ar
+              FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+            a$i AS (SELECT node,
+              CAST(ar * 1000000 // (SELECT max(ar) FROM ar$i) AS BIGINT) AS a
+              FROM ar$i),
+            hr$i AS (SELECT src AS node, SUM(a) AS hr
+              FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+            h$i AS (SELECT node,
+              CAST(hr * 1000000 // (SELECT max(hr) FROM hr$i) AS BIGINT) AS h
+              FROM hr$i)"""
+    Some(s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+              l_suppkey + 1000000000 AS dst
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+            ${round(1)}, ${round(2)}
+            SELECT n.node, coalesce(h2.h, 0) AS hub_ppm,
+              coalesce(a2.a, 0) AS auth_ppm
+            FROM nodes n LEFT JOIN h2 ON h2.node = n.node
+            LEFT JOIN a2 ON a2.node = n.node
+            ORDER BY auth_ppm DESC, hub_ppm DESC, n.node LIMIT 20""")
+  },
+    (s, d) => {
+      val edges = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+      graft.ops.Graph.hitsPpm(edges, iters = 2)
+        .orderBy(col("auth_ppm").desc, col("hub_ppm").desc, col("node"))
+        .limit(20)
+    })
+
+  /** Overlapping-interval coalescing ([[graft.ops.Intervals.coalesce]]):
+    * each event opens a 30-minute activity lease `[ts, ts+30min]` per
+    * user; merging the overlapping leases yields the user's maximal
+    * covered windows — the gaps-and-islands running-max pattern (NOT
+    * `lag(end)`: an interval contained in an earlier one must extend
+    * nothing). One shuffle on user_id; both windows ride that sort.
+    */
+  private val qIntervalMerge = Q("q_interval_merge",
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_ns(ts) AS s,
+              epoch_ns(ts) + 1800000000000 AS e FROM events),
+            m AS (SELECT user_id, event_id, s, e,
+              CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                   THEN 1 ELSE 0 END AS ns
+              FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            isl AS (SELECT user_id, s, e,
+              CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+              FROM m)
+            SELECT user_id, island, min(s) AS start_ns, max(e) AS end_ns,
+              count(*) AS n_rows
+            FROM isl GROUP BY user_id, island"""),
+    (s, d) => graft.ops.Intervals.coalesce(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          col("ts").as("start_ns"),
+          (col("ts") + 1800000000000L).as("end_ns")),
+        "user_id", "start_ns", "end_ns", "event_id")
+      .select("user_id", "island", "start_ns", "end_ns", "n_rows"))
+
   /** CDC batch merged into an existing SCD2 history
     * ([[graft.ops.Scd2.applyCdc]]): the dimension built from pre-cutoff
     * events has the post-cutoff batch applied — closing open intervals
@@ -2837,7 +2911,7 @@ object Queries {
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize,
     qFunnel, qRetention, qGapfill, qRegression,
-    qPagerank, qScd2Merge, qIntegrity)
+    qPagerank, qHits, qIntervalMerge, qScd2Merge, qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

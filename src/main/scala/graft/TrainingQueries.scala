@@ -805,6 +805,47 @@ object TrainingQueries {
         shardCol = "lang", orderCol = "doc_id", sizeCol = "n_tok", budget = 512L)
       .select("doc_id", "lang", "n_tok", "bin"))
 
+  /** Packing-efficiency report over [[qPack]]'s bin assignment: per
+    * shard (lang), how well the 512-token contexts actually fill —
+    * bin count, token mass, utilization ppm, and the bins a single
+    * oversized document overflows. This is the read-out that SETS the
+    * context budget / pre-chunking policy before a packing run commits
+    * (overflow bins mean documents that needed [[qChunk]]'s chunking
+    * first). One extra map-side-combinable aggregation over the packed
+    * assignment — no new shuffle shape; utilization arithmetic in
+    * decimal(38,0)/HUGEINT so the ppm is exact at 10^13-token shards.
+    */
+  private val qPackStats = Q("q_pack_stats",
+    Some("""WITH s AS (SELECT doc_id, lang,
+              len(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS n_tok
+              FROM documents),
+            p AS (SELECT lang, n_tok,
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                // 512 AS bin
+              FROM s),
+            b AS (SELECT lang, bin, CAST(SUM(n_tok) AS BIGINT) AS bin_tok
+              FROM p GROUP BY 1, 2)
+            SELECT lang, count(*) AS n_bins,
+              CAST(SUM(bin_tok) AS BIGINT) AS total_tokens,
+              CAST(SUM(bin_tok) * 1000000 // (count(*) * 512) AS BIGINT) AS util_ppm,
+              CAST(SUM(CASE WHEN bin_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                AS overflow_bins
+            FROM b GROUP BY lang"""),
+    (s, d) => graft.ops.Sampling.packSequences(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        shardCol = "lang", orderCol = "doc_id", sizeCol = "n_tok", budget = 512L)
+      .groupBy("lang", "bin").agg(sum(col("n_tok")).as("bin_tok"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_tok")).as("total_tokens"),
+        sum(when(col("bin_tok") > 512L, 1L).otherwise(0L)).as("overflow_bins"))
+      .select(col("lang"), col("n_bins"), col("total_tokens"),
+        expr("""cast((cast(1000000 as decimal(38,0)) * total_tokens)
+               div (n_bins * 512) as bigint)""").as("util_ppm"),
+        col("overflow_bins")))
+
   /** Fixed-window document chunking with overlap
     * ([[graft.ops.Sampling.chunkDocuments]]): 40-token chunks, 8 tokens of
     * carried context (stride 32) — the sequence-prep step before packing.
@@ -2384,7 +2425,7 @@ object TrainingQueries {
     qDedupPrefix, qContainment,
     qFertility, qQualitySweep,
     qSampleHash, qSampleSplit, qSplitGrouped,
-    qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qChunk,
+    qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qPackStats, qChunk,
     qEpochOrder,
     qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qSearchIndexed, qHybridSearch, qVocab, qVocabCoverage,

@@ -43,4 +43,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == ranks(3))
   }
+
+  private def hits(iters: Int): Map[String, (Long, Long)] =
+    Graph.hitsPpm(edges, iters)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS round 1 matches the integer recurrence exactly") {
+    // araw: A = h(B)+h(C)+h(D) = 3e6 ; B = h(C) = 1e6 ; C = h(B) = 1e6
+    // auth = araw·10^6 div 3e6 → A 1000000, B 333333, C 333333
+    // hraw: B = a(A)+a(C) = 1333333 ; C = 1333333 ; D = a(A) = 1000000
+    // hub = hraw·10^6 div 1333333 → B 1000000, C 1000000, D 750000
+    val h1 = hits(1)
+    assert(h1("A") == (0L, 1000000L)) // no out-edges: pure authority
+    assert(h1("B") == (1000000L, 333333L))
+    assert(h1("C") == (1000000L, 333333L))
+    assert(h1("D") == (750000L, 0L)) // no in-edges: pure hub
+  }
+
+  test("HITS separates hubs from authorities where PageRank cannot") {
+    val h2 = hits(2)
+    // A is the top authority but a zero hub; D the reverse
+    assert(h2("A")._2 == 1000000L && h2("A")._1 == 0L)
+    assert(h2("D")._2 == 0L && h2("D")._1 > 0L)
+    // B and C are symmetric by construction
+    assert(h2("B") == h2("C"))
+  }
+
+  test("HITS is invariant under input partitioning and edge duplication") {
+    val dup = edges.union(edges).repartition(7)
+    val a = Graph.hitsPpm(dup, 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == hits(2))
+  }
 }

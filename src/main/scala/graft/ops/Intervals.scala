@@ -26,27 +26,93 @@ object Intervals {
     * Returns one row per island: `(key, island, start, end, n_rows)`
     * with `island` numbering islands 1..k per key in time order.
     *
-    * Scale shape: ONE shuffle on the key; both windows (running max,
-    * island prefix-sum) ride that single per-key sort. Per-key row
-    * counts bound the window task — for bot-key/firehose corpora where
-    * one key carries a stage-stalling share, the same time-sharded
-    * carry-in rewrite documented for the as-of join
-    * ([[AsOfJoin]], SCALE.md) applies: shard by time range, carry each
-    * shard's running max into the next as one extra row per (key, shard).
+    * Scale shape: the default (`timeShards = 1`) is ONE shuffle on the
+    * key, both windows riding that single per-key sort — optimal until a
+    * degenerate hot key (a bot user with 10⁹ leases) funnels its whole
+    * timeline through one window task. `timeShards > 1` is the as-of
+    * join's time-sharded escape ([[AsOfJoin]]) applied to the coalesce's
+    * running carries: each key's timeline splits into per-key time-range
+    * blocks (start-bound pre-pass, SHUFFLE_HASH joined back; equal
+    * starts never split), the running-max and island windows run within
+    * (key, shard), and two shard-granularity carries — the max end of
+    * all strictly-earlier shards, and the count of islands opened in
+    * them — lift in-shard results to the full timeline, bit-identical to
+    * the single-window form (islands keep their exact numbering).
+    * Sharding pays the carry tables and a second pass over the marked
+    * rows, so it is opt-in; the ScaleProbe `intervals` mode measures
+    * both forms under a planted hot key.
     */
   def coalesce(df: DataFrame, keyCol: String, startCol: String,
-               endCol: String, tieCol: String): DataFrame = {
-    val ord: Seq[Column] = Seq(col(startCol), col(endCol), col(tieCol))
-    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
-    val prevMax = max(col(endCol))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    df
-      .withColumn("_new",
-        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
-      .withColumn("island", sum(col("_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(keyCol), col("island"))
-      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
-        count(lit(1)).as("n_rows"))
+               endCol: String, tieCol: String,
+               timeShards: Int = 1): DataFrame = {
+    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
+    val s = col(startCol)
+    val e = col(endCol)
+    if (timeShards == 1) {
+      val ord: Seq[Column] = Seq(s, e, col(tieCol))
+      val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      df
+        .withColumn("_new", when(prevMax.isNull || s > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum(col("_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(keyCol), col("island"))
+        .agg(min(s).as(startCol), max(e).as(endCol), count(lit(1)).as("n_rows"))
+    } else {
+      // Shard bounds are PER KEY, on the window's primary sort key
+      // (start): assignment is monotone in start and equal starts share
+      // a shard, so shard concatenation in (_sh) order reproduces the
+      // global (start, end, tie) order exactly. Double-cast monotonicity
+      // caveats as in AsOfJoin (collisions only merge adjacent shards).
+      val bounds = df.groupBy(col(keyCol))
+        .agg(min(s.cast("double")).as("_lo"), max(s.cast("double")).as("_hi"))
+      val width = when(col("_hi") > col("_lo"),
+        (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+      val sharded = df.join(bounds.hint("SHUFFLE_HASH"), Seq(keyCol))
+        .withColumn("_sh",
+          least(floor((s.cast("double") - col("_lo")) / width),
+            lit((timeShards - 1).toDouble)).cast("int"))
+        .drop("_lo", "_hi")
+        // EXPLICIT redistribution on (key, shard): the bounds join leaves
+        // HashPartitioning(key), which SATISFIES the (key, shard) window's
+        // clustering — EnsureRequirements would elide the exchange and
+        // silently restore the funnel this plan exists to break (the
+        // AsOfJoin lesson, SCALE.md asof probe).
+        .repartition(col(keyCol), col("_sh"))
+      // Carry 1: the max end of every strictly-earlier shard — per-shard
+      // max is map-side-combinable, the running max windows at SHARD
+      // granularity (≤ timeShards rows per key, never a funnel).
+      val shardOrder = Window.partitionBy(col(keyCol)).orderBy(col("_sh"))
+      val carry = sharded.groupBy(col(keyCol), col("_sh")).agg(max(e).as("_me"))
+        .select(col(keyCol), col("_sh"),
+          max(col("_me")).over(shardOrder.rowsBetween(Window.unboundedPreceding, -1))
+            .as("_cm"))
+      val wLoc = Window.partitionBy(col(keyCol), col("_sh"))
+        .orderBy(s, e, col(tieCol))
+      // In-shard marking against the LIFTED running max: greatest(...)
+      // skips nulls, so a carry-free first shard degrades to the local rule.
+      val marked = sharded.join(carry.hint("SHUFFLE_HASH"), Seq(keyCol, "_sh"))
+        .withColumn("_pm", greatest(
+          max(e).over(wLoc.rowsBetween(Window.unboundedPreceding, -1)),
+          col("_cm")))
+        .withColumn("_new", when(col("_pm").isNull || s > col("_pm"), 1L)
+          .otherwise(0L))
+        .withColumn("_li", sum(col("_new"))
+          .over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Carry 2: islands opened in strictly-earlier shards (per-shard
+      // count = the monotone _li's max — map-side-combinable; running sum
+      // again at shard granularity). A row continuing the previous
+      // shard's open island has _li = 0 and lands exactly on that
+      // island's id (_off), keeping the 1..k numbering bit-identical.
+      val offs = marked.groupBy(col(keyCol), col("_sh")).agg(max(col("_li")).as("_ni"))
+        .select(col(keyCol), col("_sh"),
+          org.apache.spark.sql.functions.coalesce(
+            sum(col("_ni")).over(shardOrder.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("_off"))
+      marked.join(offs.hint("SHUFFLE_HASH"), Seq(keyCol, "_sh"))
+        .withColumn("island", col("_off") + col("_li"))
+        .groupBy(col(keyCol), col("island"))
+        .agg(min(s).as(startCol), max(e).as(endCol), count(lit(1)).as("n_rows"))
+    }
   }
 }

@@ -35,6 +35,7 @@ object ScaleProbe {
     if (mode == "graph" || mode == "all") graphProbe(spark)
     if (mode == "stats" || mode == "all") statsProbe(spark)
     if (mode == "asof" || mode == "all") asofProbe(spark)
+    if (mode == "intervals" || mode == "all") intervalsProbe(spark)
     spark.stop()
   }
 
@@ -300,6 +301,70 @@ object ScaleProbe {
           (w, listener.maxMillis.get() / 1e3)
         }.minBy(_._1)
         println(f"ASOF $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Interval coalescing under a planted bot key: one user holding 4M
+    * 30-minute leases across the timeline — the shape where the default
+    * per-key gaps-and-islands window funnels the whole timeline through
+    * one sort task. Measures [[graft.ops.Intervals.coalesce]] at
+    * `timeShards` 1 vs 32 (wall + max single task), plus an output-sum
+    * fingerprint proving the two forms agree.
+    */
+  private def intervalsProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    val hot = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      (lit(t0ns) + col("id") * 5000000000L).as("ts"))
+    val out = "/tmp/graft-scale-intervals"
+    ev10.unionByName(hot)
+      .select(col("user_id"), col("event_id"), col("ts").as("s"),
+        (col("ts") + 1800000000000L).as("e"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/iv.parquet")
+    val iv = spark.read.parquet(s"$out/iv.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for ((label, shards) <- Seq("1-shard(window)" -> 1, "32-shard" -> 32)) {
+        def run() = graft.ops.Intervals
+          .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards)
+          .write.mode("overwrite").format("noop").save()
+        run() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        val fp = graft.ops.Intervals
+          .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards)
+          .agg(sum(expr("island + s % 1000000007 + e % 1000000007 + n_rows")).as("fp"))
+          .collect()(0).getLong(0)
+        println(f"INTERVALS $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

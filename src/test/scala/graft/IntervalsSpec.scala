@@ -40,6 +40,45 @@ class IntervalsSpec extends SparkSpec {
       ("b", 1L, 0L, 100L, 1L)))
   }
 
+  test("time-sharded form is bit-identical to the single window") {
+    // 400 intervals per key over two keys, alternating long overlappers
+    // and short gapped ones so islands repeatedly open, extend through
+    // containment, and close across shard boundaries
+    val rows = for {
+      k <- Seq("hot", "cold")
+      i <- 0L until 400L
+    } yield {
+      val base = i * 10
+      if (i % 3 == 0) (k, base, base + 25, i) // overlaps the next two
+      else if (i % 3 == 1) (k, base, base + 3, i) // contained
+      else (k, base + 7, base + 8, i) // contained in the %3==0 umbrella
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val single = merge(rows)
+    for (shards <- Seq(2, 7, 32, 1000)) {
+      val sharded = Intervals.coalesce(df, "k", "s", "e", "id", timeShards = shards)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      assert(sharded == single, s"timeShards=$shards diverged")
+    }
+  }
+
+  test("sharded form handles an island spanning every shard") {
+    // one umbrella interval covers the whole timeline; every later
+    // interval continues island 1 no matter which shard it lands in
+    val rows = ("k", 0L, 10000L, 0L) +:
+      (1L until 100L).map(i => ("k", i * 100, i * 100 + 1, i))
+    val out = Intervals.coalesce(rows.toDF("k", "s", "e", "id"),
+      "k", "s", "e", "id", timeShards = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(out == Set(("k", 1L, 0L, 10000L, 100L)))
+  }
+
   test("result is invariant under input partitioning") {
     val rows = (0L until 200L).map(i => ("k", i * 7 % 500, i * 7 % 500 + 10, i))
     val base = merge(rows)

@@ -911,6 +911,55 @@ object Queries {
           sum(col("k"))).as("trimmed_mean"))
     })
 
+  /** 10% winsorized mean per group — the robust location stat that CLAMPS
+    * the tails instead of dropping them (q_trimmed_mean's complement; the
+    * estimator of choice when tail MASS matters but tail VALUES are
+    * noise): ranks 1..r1 are replaced by the value at rank r1+1, ranks
+    * r2+1..n by the value at rank r2, then the plain mean. Same
+    * histogram-rank scale shape as the trimmed mean — one histogram
+    * shuffle, ranks over DISTINCT values only ([[shardedCum]]), the
+    * clamp values picked as conditional minima over covering buckets (no
+    * extra pass); all accumulation on the decimal(18,4) grid, one final
+    * cast to double, so the oracle hash-matches bit-for-bit.
+    */
+  private val qWinsorized = Q("q_winsorized",
+    Some("""WITH ranked AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM events)
+            SELECT event_type,
+              CAST(SUM(CASE WHEN rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10
+                     THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                + ((n + 9) // 10)
+                  * CAST(MIN(CASE WHEN rn = (n + 9) // 10 + 1 THEN value END) AS DECIMAL(18,4))
+                + ((n + 9) // 10)
+                  * CAST(MIN(CASE WHEN rn = n - (n + 9) // 10 THEN value END) AS DECIMAL(18,4))
+                AS DOUBLE) / n AS winsorized_mean
+            FROM ranked GROUP BY event_type, n"""),
+    (s, d) => {
+      val hist = t(s, d, "events")
+        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+        col("event_type"), col("value"), col("c"),
+        (col("cum") - col("c")).as("lo"), // bucket covers ranks lo+1..hi
+        col("cum").as("hi"), col("tot").as("n"))
+      val r1 = expr("(n + 9) div 10"); val r2 = expr("n - (n + 9) div 10")
+      val k = greatest(least(col("hi"), r2) - greatest(col("lo"), r1), lit(0L))
+      ranked
+        .groupBy("event_type")
+        .agg(
+          sum(col("value").cast(DecimalType(18, 4)) * k).as("_mid"),
+          // covering bucket of rank r1+1 / r2 = first bucket whose hi
+          // reaches that rank (buckets are value-ordered)
+          min(when(col("hi") >= r1 + 1, col("value"))).as("_lov"),
+          min(when(col("hi") >= r2, col("value"))).as("_hiv"),
+          max(col("n")).as("_n"))
+        .select(col("event_type"),
+          ((col("_mid")
+            + expr("(_n + 9) div 10") * col("_lov").cast(DecimalType(18, 4))
+            + expr("(_n + 9) div 10") * col("_hiv").cast(DecimalType(18, 4)))
+            .cast("double") / col("_n")).as("winsorized_mean"))
+    })
+
   private val qRollup = Q("q_rollup",
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -2898,7 +2947,8 @@ object Queries {
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
     qRollup, qCube, qGroupingSets, qPivot, qUnpivot, qApprox, qQuantileSketch,
     qMedian,
-    qQuantiles, qScd2, qSnapshotAsof, qMad, qOutliers, qTrimmedMean, qWeightedMedian,
+    qQuantiles, qScd2, qSnapshotAsof, qMad, qOutliers, qTrimmedMean, qWinsorized,
+    qWeightedMedian,
     qWeightedQuantiles, qMode, qSpearman, qHistogram,
     qCorr, qDistinctKmv, qHeavyHitters, qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ6,
     qTpchQ18, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ13, qTpchQ14, qTpchQ17,

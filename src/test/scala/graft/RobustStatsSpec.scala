@@ -61,4 +61,32 @@ class RobustStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(got("s") - math.sqrt(3.0) / 2) < 1e-12)
   }
+
+  private def evDir(rows: (String, Double)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("rstats-ev").toString
+    rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("winsorized mean: tails clamp to the surviving rank values") {
+    // n=10, r1=1: rank 1 (0) clamps to rank-2 value 1, rank 10 (1000) to
+    // rank-9 value 8 → mean (1 + Σ1..8 + 8)/10 = 4.5
+    val dir = evDir(("g" -> 0.0) +: (1 to 8).map(i => "g" -> i.toDouble)
+      :+ ("g" -> 1000.0): _*)
+    val r = SparkEntry.queries("q_winsorized")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("g") == 4.5)
+  }
+
+  test("winsorized mean: a duplicate-value bucket spanning the clamp ranks") {
+    // n=10: 0, 5×8, 100 — the 5-bucket covers ranks 2..9, so it is both
+    // clamp source and middle mass → mean (5 + 5·8 + 5)/10 = 5.0
+    val dir = evDir(("t" -> 0.0) +: Seq.fill(8)("t" -> 5.0)
+      :+ ("t" -> 100.0): _*)
+    val r = SparkEntry.queries("q_winsorized")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("t") == 5.0)
+  }
 }

@@ -327,6 +327,30 @@ object TrainingQueries {
              WHERE containment >= 0.8e0"""),
     (s, d) => Dedup.containmentJoin(t(s, d, "documents"), tau = 0.8))
 
+  /** Jaccard similarity search ([[Dedup.similarDocs]]): the 10 documents
+    * most shingle-similar to doc 7 — "find this doc's near-duplicates",
+    * the interactive single-probe form of the all-pairs joins above.
+    * Entirely map-side (query set broadcast, merge-loop intersect per
+    * doc) + one TakeOrderedAndProject; the oracle is the declarative
+    * per-doc intersection ground truth.
+    */
+  private val qSimilarDocs = Q("q_similar_docs",
+    Some(s"""WITH $toksCte, $shinglesCte,
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+             q AS (SELECT shingle FROM dsh WHERE doc_id = 7),
+             qsz AS (SELECT count(*) AS qn FROM q),
+             inter AS (SELECT d.doc_id, count(*) AS n
+               FROM dsh d JOIN q ON q.shingle = d.shingle
+               WHERE d.doc_id <> 7 GROUP BY 1)
+             SELECT doc_id,
+               CAST(n AS DOUBLE) / CAST(sz + qn - n AS DOUBLE) AS jaccard
+             FROM inter JOIN sizes USING (doc_id) CROSS JOIN qsz
+             ORDER BY jaccard DESC, doc_id LIMIT 10"""),
+    (s, d) => Dedup.similarDocs(
+      t(s, d, "documents"),
+      t(s, d, "documents").where(col("doc_id") === 7), k = 10))
+
   private val qDedupPrefix = Q("q_dedup_prefix",
     Some(s"""WITH $toksCte, $shinglesCte,
              dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -2422,7 +2446,7 @@ object TrainingQueries {
     qAnnTopk, qAnnIvf, qAnnIvfSearch,
     qAnnIvfProbe2, qAnnLsh, qAnnPq, qAnnPqSearch, qAnnInt8, qMmr, qAnnMulti,
     qAnnRecall,
-    qDedupPrefix, qContainment,
+    qDedupPrefix, qContainment, qSimilarDocs,
     qFertility, qQualitySweep,
     qSampleHash, qSampleSplit, qSplitGrouped,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qPackStats, qChunk,

@@ -657,8 +657,13 @@ object Dedup {
     * df/prefix/verify/expansion); caller-managed lifetime — release with
     * `spark.catalog.clearCache()`.
     */
-  private def collapsedShingleGroups(docs: DataFrame, shingleSize: Int,
-                                     idCol: String, textCol: String): DataFrame =
+  /** Per-doc sorted distinct word-shingle set as a pure expression tree —
+    * `(idCol, _set, sz)`, no explode+distinct shuffle; docs shorter than
+    * `shingleSize` tokens have no shingles and are excluded (the shared
+    * domain rule of every shingle op here).
+    */
+  private def shingleSets(docs: DataFrame, shingleSize: Int,
+                          idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= shingleSize)
@@ -668,6 +673,51 @@ object Dedup {
           (0 until shingleSize).map(j => element_at(col("_toks"), i + j + 1)): _*)
       ))).as("_set"))
       .withColumn("sz", size(col("_set")))
+
+  /** Jaccard similarity SEARCH: the top-`k` documents most similar to ONE
+    * query document ("find the near-duplicates of this doc" — the lexical
+    * complement of [[graft.ops.Ann.bruteTopK]]'s vector search, and the
+    * interactive single-probe form of [[prefixFilterJoin]]'s all-pairs
+    * join). Entirely map-side: each corpus doc's sorted distinct shingle
+    * set is a pure expression, the query doc's set broadcasts as the
+    * 1-row side of a crossJoin, and the intersection is the
+    * zero-allocation [[graft.functions.SortedIntersectCount]] merge
+    * loop — no shuffle at all until `TakeOrderedAndProject` picks the
+    * top-k. Zero-overlap docs are dropped before ranking (their Jaccard
+    * is 0 and a 100 TB corpus is mostly them); the query doc itself is
+    * excluded by id.
+    *
+    * `query` must be a 1-row DataFrame `[idCol, textCol]` (enforced like
+    * [[graft.ops.Ann.searchIvfIndex]] — a multi-row query would mix
+    * probes into one meaningless top-k).
+    *
+    * Returns `(idCol, jaccard)`, ranked `(jaccard desc, idCol)`.
+    */
+  def similarDocs(docs: DataFrame, query: DataFrame, k: Int,
+                  shingleSize: Int = 3, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.limit(2).count() == 1,
+      "similarDocs expects a 1-row query DataFrame [id, text]; " +
+        "multi-row queries would mix probes and top-k results")
+    val q = shingleSets(query, shingleSize, idCol, textCol)
+      .select(col(idCol).as("_qid"), col("_set").as("_qs"), col("sz").as("_qsz"))
+    shingleSets(docs, shingleSize, idCol, textCol)
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("_qid"))
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("_set"), col("_qs")))
+      .where(col("_inter") > 0)
+      .select(col(idCol),
+        (col("_inter").cast("double") /
+          (col("sz") + col("_qsz") - col("_inter")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def collapsedShingleGroups(docs: DataFrame, shingleSize: Int,
+                                     idCol: String, textCol: String): DataFrame =
+    shingleSets(docs, shingleSize, idCol, textCol)
       .withColumn("_gk", md5(concat_ws("\u0001", col("_set"))))
       .groupBy(col("_gk"))
       .agg(min(col(idCol)).as("_rep"),

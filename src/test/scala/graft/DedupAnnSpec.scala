@@ -715,4 +715,28 @@ class DedupAnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(10L, 20L, 21L), "lowest id survives each near-dup set")
   }
+
+  test("similarDocs: exact Jaccard ranking against one query doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "the quick brown fox sat still all day long"),  // partial overlap
+      (4L, "completely different words entirely here now"), // zero overlap
+      (5L, "the quick brown fox jumps over the lazy dog")  // exact copy of 1
+    ).toDF("doc_id", "text")
+    val q = docs.where(col("doc_id") === 1)
+    val got = Dedup.similarDocs(docs, q, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // exact copy ranks first at 1.0; zero-overlap doc 4 and the query doc
+    // itself are absent
+    assert(got.head == (5L -> 1.0))
+    assert(got.map(_._1).toSeq == Seq(5L, 2L, 3L))
+    // doc 2 shares 6 of its 7 shingles with doc 1 (7 each, union 8)
+    assert(math.abs(got(1)._2 - 6.0 / 8.0) < 1e-12)
+
+    // multi-row query is rejected up front
+    intercept[IllegalArgumentException] {
+      Dedup.similarDocs(docs, docs.where(col("doc_id") <= 2), k = 3)
+    }
+  }
 }

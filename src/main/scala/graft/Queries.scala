@@ -423,7 +423,7 @@ object Queries {
       df.cache()
     else df
 
-  private def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
+  private[graft] def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
                          cntCol: String): DataFrame = {
     // NULL values are excluded up front: a null valCol would shard to a
     // null _sh (dropped by the inner join below) while still inflating

@@ -965,6 +965,53 @@ object TrainingQueries {
         (least(col("_len") / lit(500.0), lit(1.0))
           * (lit(1.0) - least(col("_pr") * 5, lit(1.0)))).as("quality")))
 
+  /** Within-source percentile-rank normalization of the C9 quality
+    * score (quantile normalization): each doc's score maps to its
+    * ties-inclusive percentile ppm inside its source — the
+    * threshold-free way to compare or filter docs ACROSS sources whose
+    * raw score distributions differ (a fixed cutoff keeps wildly
+    * different fractions per source; "top 20% of each source" does
+    * not). Scale shape: one (source, score) histogram, ranks over
+    * DISTINCT scores via [[graft.Queries.shardedCum]] (no per-doc rank
+    * window — the stats family's shape), joined back on the exact
+    * (source, score) key both engines compute bit-identically;
+    * percentile arithmetic widened to decimal(38,0)/HUGEINT so the ppm
+    * stays exact at 10¹³-doc sources.
+    */
+  private val qQualityPctl = Q("q_quality_pctl",
+    Some("""WITH q0 AS (SELECT doc_id, source, length(text) AS len,
+              length(regexp_replace(text, '[a-z0-9 \t\n\f\r]', '', 'g')) AS pl
+              FROM documents),
+            q1 AS (SELECT doc_id, source,
+              pl * 1.0 / greatest(len, 1) AS pr, len FROM q0),
+            scored AS (SELECT doc_id, source,
+              least(len / 500.0, 1.0) * (1.0 - least(pr * 5, 1.0)) AS quality
+              FROM q1)
+            SELECT doc_id, source, quality,
+              CAST(CAST(count(*) OVER (PARTITION BY source ORDER BY quality
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                * 1000000
+                // count(*) OVER (PARTITION BY source) AS BIGINT) AS pctl_ppm
+            FROM scored"""),
+    (s, d) => {
+      val scored = t(s, d, "documents")
+        .withColumn("_len", length(col("text")))
+        .withColumn("_pl",
+          length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", "")))
+        .withColumn("_pr",
+          col("_pl").cast("double") / greatest(col("_len"), lit(1)).cast("double"))
+        .select(col("doc_id"), col("source"),
+          (least(col("_len") / lit(500.0), lit(1.0))
+            * (lit(1.0) - least(col("_pr") * 5, lit(1.0)))).as("quality"))
+      val hist = scored.groupBy("source", "quality").agg(count(lit(1)).as("c"))
+      val ranked = graft.Queries.shardedCum(hist, "source", "quality", "c")
+        .select(col("source"), col("quality"), col("cum"), col("tot"))
+      scored.join(ranked, Seq("source", "quality"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          expr("""cast((cast(cum as decimal(38,0)) * 1000000) div tot
+                 as bigint)""").as("pctl_ppm"))
+    })
+
   /** Tokenizer fertility by language: bytes-per-token and
     * tokens-per-word over the corpus — the tokenizer-budget planning
     * numbers (a language whose fertility runs high pays more sequence
@@ -2451,7 +2498,7 @@ object TrainingQueries {
     qSampleHash, qSampleSplit, qSplitGrouped,
     qSampleWeighted, qSampleMixture, qSampleStratified, qPack, qPackStats, qChunk,
     qEpochOrder,
-    qLangId, qQuality, qTokenCount, qFingerprint, qMediaMeta,
+    qLangId, qQuality, qQualityPctl, qTokenCount, qFingerprint, qMediaMeta,
     qSearchTfidf, qSearchBm25, qSearchIndexed, qHybridSearch, qVocab, qVocabCoverage,
     qNovelty, qProfile, qProfileApprox, qSkipping,
     qDupRate,

@@ -80,6 +80,22 @@ class RobustStatsSpec extends SparkSpec {
     assert(r("g") == 4.5)
   }
 
+  test("quality percentile: ties-inclusive ppm ranks within each source") {
+    // all-lowercase text → punct_ratio 0 → quality = len/500 exactly
+    val dir = java.nio.file.Files.createTempDirectory("rstats-doc").toString
+    Seq(
+      (1L, "src1", "a" * 100), (2L, "src1", "b" * 100), // tied at 0.2
+      (3L, "src1", "c" * 200), (4L, "src1", "d" * 300),
+      (5L, "src2", "e" * 400)                           // own source: top
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_quality_pctl")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // src1 cums over 4 docs: ties at 0.2 → 2/4, then 3/4, 4/4
+    assert(got == Map(1L -> 500000L, 2L -> 500000L, 3L -> 750000L,
+      4L -> 1000000L, 5L -> 1000000L))
+  }
+
   test("winsorized mean: a duplicate-value bucket spanning the clamp ranks") {
     // n=10: 0, 5×8, 100 — the 5-bucket covers ranks 2..9, so it is both
     // clamp source and middle mass → mean (5 + 5·8 + 5)/10 = 5.0

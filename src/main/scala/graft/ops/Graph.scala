@@ -114,15 +114,25 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a")).limit(0)
     for (_ <- 1 to iters) {
+      // each raw table is PINNED before its scalar max: the max agg and
+      // the normalize projection both consume it, and every later
+      // iteration's plan embeds it twice more — unpinned, the recompute
+      // doubles per consumer and the plan tree grows exponentially in
+      // `iters` (measured 16 s vs 0.8 s at two iterations, sf0.1). Two
+      // longs per node per iteration — the standard lineage-truncation
+      // pattern for iterative algorithms; lifetime is caller-managed as
+      // in [[pageRankPpm]].
       val araw = e
         .join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+        .transform(Caching.cached)
       auth = araw
         .crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
         .select(col("node"), expr("ar * 1000000 div am").as("a"))
       val hraw = e
         .join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
+        .transform(Caching.cached)
       hub = hraw
         .crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
         .select(col("node"), expr("hr * 1000000 div hm").as("h"))

@@ -114,7 +114,11 @@ object SkippingIndex {
         val c = conf.value
         paths.flatMap(p => fileStats(p, c, wanted))
       }
-    stats.write.mode("overwrite").parquet(manifestDir(dir))
+    // the manifest is files × cols rows of fixed width — metadata, not
+    // data: land it as ONE file (footer reads stay parallel above; a
+    // 32-way write of a KB-scale table costs task+file overhead every
+    // read pays back)
+    stats.coalesce(1).write.mode("overwrite").parquet(manifestDir(dir))
     manifest(spark, dir)
   }
 

@@ -67,13 +67,20 @@ object Graph {
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
+      // accumulation widened to decimal(38,0) (the oracle's HUGEINT): a
+      // hub with 10^9+ in-links pushes Σ contrib — and the ×damping
+      // product on it — past a long, and ranks themselves grow with
+      // in-degree round over round; a wrapped long would silently
+      // diverge from the exact oracle at crawl-graph scale
       val sums = ed
         .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div deg")).as("s"))
+        .agg(sum(expr("cast(r div deg as decimal(38,0))")).as("s"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .selectExpr("node",
-          s"CAST($base + ($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) div 1000000 AS BIGINT) AS rank_ppm")
+          s"""CAST($base + (CAST($dampingPpm AS DECIMAL(38,0))
+             * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 1000000
+             AS BIGINT) AS rank_ppm""")
     }
     ranks
   }
@@ -124,18 +131,28 @@ object Graph {
       // in [[pageRankPpm]].
       val araw = e
         .join(hub.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
         .transform(Caching.cached)
+      // normalization widened to decimal(38,0): `ar` is bounded by
+      // 10^6 × max in-degree, so the ×10^6 would overflow a long once a
+      // node's in-degree passes ~9×10^6 — real at crawl-graph scale.
+      // The oracle's HUGEINT sum mirrors the widening exactly.
       auth = araw
         .crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
-        .select(col("node"), expr("ar * 1000000 div am").as("a"))
+        .select(col("node"),
+          expr("cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint)")
+            .as("a"))
       val hraw = e
         .join(auth.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
         .transform(Caching.cached)
       hub = hraw
         .crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
-        .select(col("node"), expr("hr * 1000000 div hm").as("h"))
+        .select(col("node"),
+          expr("cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint)")
+            .as("h"))
     }
     nodes
       .join(hub, Seq("node"), "left")

@@ -1077,9 +1077,9 @@ object TrainingQueries {
         sum(when(col("_q") >= 0.5, 1L).otherwise(0L)).as("_k50"),
         sum(when(col("_q") >= 0.75, 1L).otherwise(0L)).as("_k75"))
       .select(col("source"), col("n_docs"),
-        expr("CAST(_k25 * 1000000 div n_docs AS BIGINT)").as("keep25_ppm"),
-        expr("CAST(_k50 * 1000000 div n_docs AS BIGINT)").as("keep50_ppm"),
-        expr("CAST(_k75 * 1000000 div n_docs AS BIGINT)").as("keep75_ppm")))
+        expr("CAST((CAST(_k25 AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)").as("keep25_ppm"),
+        expr("CAST((CAST(_k50 AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)").as("keep50_ppm"),
+        expr("CAST((CAST(_k75 AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)").as("keep75_ppm")))
 
   private val qTokenCount = Q("q_token_count",
     Some("""SELECT doc_id,
@@ -1463,7 +1463,7 @@ object TrainingQueries {
         .crossJoin(broadcast(total))
         .groupBy("k")
         .agg(max(col("cum")).as("covered"),
-          expr("CAST(max(cum) * 1000000 div max(total) AS BIGINT)")
+          expr("CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000) div max(total) AS BIGINT)")
             .as("coverage_ppm"))
     })
 
@@ -1490,7 +1490,7 @@ object TrainingQueries {
                LEFT JOIN c USING (shingle) WHERE c.shingle IS NULL)
              SELECT (SELECT count(*) FROM b) AS n_batch,
                CAST(n_novel AS BIGINT) AS n_novel,
-               CAST(n_novel * 1000000 // (SELECT count(*) FROM b) AS BIGINT)
+               CAST(CAST(n_novel AS HUGEINT) * 1000000 // (SELECT count(*) FROM b) AS BIGINT)
                  AS novelty_ppm
              FROM nov"""),
     (s, d) => {
@@ -1507,7 +1507,7 @@ object TrainingQueries {
           sum(col("_b") * (lit(1) - col("_c"))).as("n_novel"))
         .where(col("n_batch") > 0) // guard the div; n_batch>0 on any fixture
         .select(col("n_batch"), col("n_novel"),
-          expr("CAST(n_novel * 1000000 div n_batch AS BIGINT)").as("novelty_ppm"))
+          expr("CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000) div n_batch AS BIGINT)").as("novelty_ppm"))
     })
 
   /** Benchmark decontamination: flag corpus documents sharing any word

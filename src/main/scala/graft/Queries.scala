@@ -411,17 +411,13 @@ object Queries {
     * in-shard order + shard offsets reproduce the exact global
     * cumulative. Emits `cum` (inclusive) and `tot`.
     */
-  /** Pin a histogram-sized intermediate unless its plan is already
-    * cached (the storageLevel probe consults the shared CacheManager, so
-    * two queries building the identical histogram share one pin with no
-    * re-cache warning). Lifetime is caller-managed: the bench clears
-    * between queries; long-lived sessions release via
+  /** Pin a histogram-sized intermediate: [[graft.ops.Caching.cached]]
+    * (idempotent — two queries building the identical histogram share
+    * one pin with no re-cache warning). Lifetime is caller-managed: the
+    * bench clears between queries; long-lived sessions release via
     * `spark.catalog.clearCache()`.
     */
-  private def pin(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    else df
+  private def pin(df: DataFrame): DataFrame = graft.ops.Caching.cached(df)
 
   private[graft] def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
                          cntCol: String): DataFrame = {
@@ -927,13 +923,14 @@ object Queries {
               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
               count(*) OVER (PARTITION BY event_type) AS n FROM events)
             SELECT event_type,
+              CASE WHEN n = 1 THEN MIN(value) ELSE
               CAST(SUM(CASE WHEN rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10
                      THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
                 + ((n + 9) // 10)
                   * CAST(MIN(CASE WHEN rn = (n + 9) // 10 + 1 THEN value END) AS DECIMAL(18,4))
                 + ((n + 9) // 10)
                   * CAST(MIN(CASE WHEN rn = n - (n + 9) // 10 THEN value END) AS DECIMAL(18,4))
-                AS DOUBLE) / n AS winsorized_mean
+                AS DOUBLE) / n END AS winsorized_mean
             FROM ranked GROUP BY event_type, n"""),
     (s, d) => {
       val hist = t(s, d, "events")
@@ -952,12 +949,16 @@ object Queries {
           // reaches that rank (buckets are value-ordered)
           min(when(col("hi") >= r1 + 1, col("value"))).as("_lov"),
           min(when(col("hi") >= r2, col("value"))).as("_hiv"),
+          min(col("value")).as("_minv"),
           max(col("n")).as("_n"))
         .select(col("event_type"),
-          ((col("_mid")
-            + expr("(_n + 9) div 10") * col("_lov").cast(DecimalType(18, 4))
-            + expr("(_n + 9) div 10") * col("_hiv").cast(DecimalType(18, 4)))
-            .cast("double") / col("_n")).as("winsorized_mean"))
+          // n = 1 cannot winsorize (rank r1+1 = 2 does not exist, so the
+          // clamp formula would yield NULL): the mean IS the value
+          when(col("_n") === 1, col("_minv"))
+            .otherwise((col("_mid")
+              + expr("(_n + 9) div 10") * col("_lov").cast(DecimalType(18, 4))
+              + expr("(_n + 9) div 10") * col("_hiv").cast(DecimalType(18, 4)))
+              .cast("double") / col("_n")).as("winsorized_mean"))
     })
 
   private val qRollup = Q("q_rollup",

@@ -700,7 +700,13 @@ object Dedup {
     require(query.limit(2).count() == 1,
       "similarDocs expects a 1-row query DataFrame [id, text]; " +
         "multi-row queries would mix probes and top-k results")
-    val q = shingleSets(query, shingleSize, idCol, textCol)
+    val qs = shingleSets(query, shingleSize, idCol, textCol)
+    // fail LOUDLY on a shingle-less query doc — silently returning zero
+    // rows would be indistinguishable from "no similar docs exist"
+    require(qs.limit(1).count() == 1,
+      s"query document has fewer than $shingleSize tokens — " +
+        "no shingles to probe with")
+    val q = qs
       .select(col(idCol).as("_qid"), col("_set").as("_qs"), col("sz").as("_qsz"))
     shingleSets(docs, shingleSize, idCol, textCol)
       .crossJoin(broadcast(q))

@@ -113,12 +113,18 @@ object Graph {
     */
   def hitsPpm(edges: DataFrame, iters: Int, srcCol: String = "src",
               dstCol: String = "dst"): DataFrame = {
-    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    // ≤ 30: HITS orderings stabilize in well under 20 rounds, and each
+    // round pins two node-sized tables (see the loop comment) — a large
+    // iteration count is a storage bill, not extra precision
+    require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Caching.cached)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().transform(Caching.cached)
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+    // compile-time placeholder only: iters >= 1 guarantees the loop
+    // assigns auth before anything reads it (authority has no defined
+    // pre-iteration state in HITS)
     var auth = nodes.select(col("node"), lit(0L).as("a")).limit(0)
     for (_ <- 1 to iters) {
       // each raw table is PINNED before its scalar max: the max agg and

@@ -43,7 +43,7 @@ object PrefixProbe {
           (0 until shingleSize).map(j => element_at(col("_toks"), i + j + 1)): _*)
       ))).as("_set"))
       .withColumn("sz", size(col("_set")))
-      .withColumn("_gk", md5(concat_ws("", col("_set"))))
+      .withColumn("_gk", md5(concat_ws("\u0001", col("_set"))))
       .groupBy(col("_gk"))
       .agg(min(col("doc_id")).as("_rep"),
         collect_list(col("doc_id")).as("_members"),

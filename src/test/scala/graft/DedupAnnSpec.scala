@@ -738,5 +738,10 @@ class DedupAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.similarDocs(docs, docs.where(col("doc_id") <= 2), k = 3)
     }
+    // a query doc too short to shingle fails loudly, not with 0 rows
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.similarDocs(docs, short, k = 3)
+    }
   }
 }

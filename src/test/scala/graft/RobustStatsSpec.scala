@@ -80,6 +80,15 @@ class RobustStatsSpec extends SparkSpec {
     assert(r("g") == 4.5)
   }
 
+  test("winsorized mean: a single-row group returns its value, not NULL") {
+    val dir = evDir(("solo" -> 42.5), ("g" -> 1.0), ("g" -> 2.0), ("g" -> 3.0))
+    val r = SparkEntry.queries("q_winsorized")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("solo") == 42.5)
+    // n=3: r1=1, r2=2 → rank 1 clamps to rank-2 value 2, rank 3 to 2
+    assert(r("g") == (2.0 + 2.0 + 2.0) / 3)
+  }
+
   test("quality percentile: ties-inclusive ppm ranks within each source") {
     // all-lowercase text → punct_ratio 0 → quality = len/500 exactly
     val dir = java.nio.file.Files.createTempDirectory("rstats-doc").toString

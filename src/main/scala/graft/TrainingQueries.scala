@@ -2240,6 +2240,9 @@ object TrainingQueries {
     */
   def sourceDrift(docs: DataFrame, buckets: Int = 1024): DataFrame = {
     val cells = docs
+      // docs with no source are outside per-source monitoring (the
+      // streaming twin filters identically)
+      .where(col("source").isNotNull)
       .select(col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .select(col("source"),
@@ -2268,7 +2271,7 @@ object TrainingQueries {
   private val qSourceDrift = Q("q_source_drift",
     Some("""WITH tok AS (SELECT source,
               unnest(string_split(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')), ' ')) AS token
-              FROM documents),
+              FROM documents WHERE source IS NOT NULL),
             tb AS (SELECT source,
                 CAST(concat('0x', substr(md5(token), 1, 6)) AS BIGINT) % 1024 AS b
               FROM tok),

@@ -46,6 +46,10 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
       return
     }
     val partial = batch
+      // docs with no source are outside per-source monitoring (the
+      // batch twin filters identically); a null key would NPE the
+      // deterministic sort at persist time and wedge the stream
+      .where(col(sourceCol).isNotNull)
       .select(col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col("source"),
@@ -81,12 +85,24 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
     }
   }
 
-  /** `(appliedBatchId, cells)`; (-1, empty) before the first batch. */
+  /** `(appliedBatchId, cells)`; (-1, empty) before the first batch. The
+    * header also pins the bucket count the cells were hashed with —
+    * restarting with a different `buckets` would vector-add two
+    * incompatible feature spaces into silently wrong TVDs, so it fails
+    * loudly instead (the [[SketchMaintenance]] dimension-guard rule).
+    */
   private def readState(): (Long, Map[(String, Long), Long]) =
     if (!Files.exists(file)) (-1L, Map.empty)
     else {
       val lines = Files.readAllLines(file, StandardCharsets.UTF_8)
-      val applied = lines.get(0).toLong
+      val header = lines.get(0).split("\t")
+      val applied = header(0).toLong
+      if (header.length > 1 && header(1).toInt != buckets)
+        throw new IllegalStateException(
+          s"drift state at $file was built with ${header(1)} buckets but " +
+            s"this instance uses $buckets — merging the two feature " +
+            s"spaces would be silently wrong. Delete $file to rebuild, " +
+            "or restore the original bucket count.")
       val cells = (1 until lines.size).map { i =>
         // keys are sanitized on write: tabs cannot appear in `source`
         val Array(s, b, c) = lines.get(i).split("\t", 3)
@@ -98,7 +114,7 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
   private def write(batchId: Long, cells: Map[(String, Long), Long]): Unit = {
     Files.createDirectories(Paths.get(dir))
     val sb = new StringBuilder
-    sb.append(batchId).append('\n')
+    sb.append(batchId).append('\t').append(buckets).append('\n')
     // deterministic order — the persisted file is diffable across runs
     cells.toSeq.sortBy { case ((s, b), _) => (s, b) }.foreach { case ((s, b), c) =>
       require(!s.contains('\t') && !s.contains('\n'),

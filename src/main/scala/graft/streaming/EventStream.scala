@@ -41,7 +41,10 @@ object EventStream {
     val fileSchema =
       scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventsSchema)
     graft.Queries.tsToNanos(spark.readStream.schema(fileSchema).parquet(dir))
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      // EXACT integer ns→µs truncation: `col / 1000` is double division,
+      // and epoch-nanos exceed 2^53 — the double round-trip lands
+      // boundary events in the wrong window vs the batch twins' `div`
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 5-minute windows per event type with a 10-minute watermark:
@@ -65,11 +68,19 @@ object EventStream {
   /** Streaming exact dedup by event_id within the watermark horizon —
     * at-least-once upstream becomes exactly-once counts downstream
     * (the streaming analog of the reference's REPLACE-by-PK idempotence).
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates("event_id")`:
+    * the plain form only evicts state when the event-time column is part
+    * of the dedup key, so keying on id alone would retain one state
+    * entry per distinct id FOREVER — unbounded state on a high-rate
+    * feed. The within-watermark form keys on id and still expires each
+    * entry once the watermark passes it, which is exactly the
+    * re-delivery horizon at-least-once sources need.
     */
   def dedupCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("event_time", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
 
@@ -139,6 +150,17 @@ object EventStream {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // The single-open-session state assumes an admissible (non-late) row
+    // can always merge into the open session: with gap ≥ the 10-minute
+    // watermark delay, any in-horizon row sits within gap of the open
+    // session's span, so the batch window would merge it too. A gap
+    // SMALLER than the delay breaks that (a row 7 minutes before the
+    // open session's start is admissible but batch-splits at gap 5) and
+    // needs island-list state — [[StreamIntervals]]'s design — instead.
+    require(gapMinutes >= 10,
+      s"gapMinutes must be >= the 10-minute watermark delay (got " +
+        s"$gapMinutes): smaller gaps need open-island-list state " +
+        "(see StreamIntervals) for batch parity")
     val gapMs = gapMinutes * 60000L
     events
       .withWatermark("event_time", "10 minutes")

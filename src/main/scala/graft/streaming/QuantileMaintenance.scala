@@ -50,9 +50,19 @@ final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
       .agg(QuantileSketchAgg(col(valCol), k).as("sk"))
       .collect()(0).getSeq[Double](0).toArray
     val partial = QuantileSketch.fromEvalArray(arr, k)
+    // merge into a FRESH sketch at the configured k: the receiving
+    // buffer's k governs compaction, and a deserialized state sketch
+    // only carries a level0-length HEURISTIC for k — merging into it
+    // directly could silently compact at a k far below the configured
+    // one (precision loss the error bound would book but the operator
+    // never intended)
     val merged = state match {
-      case Some(s) => s.mergeIn(partial); s
-      case None    => partial
+      case Some(s) =>
+        val target = new QuantileSketch(k)
+        target.mergeIn(s)
+        target.mergeIn(partial)
+        target
+      case None => partial
     }
     write(batchId, merged.serialize())
   }

@@ -53,6 +53,7 @@ final class StreamIngest(
   private val schemas = scala.collection.mutable.LinkedHashMap.empty[String, DocSchema]
   loadSchemas()
   recoverState()
+  verifyBucketCount()
   bootstrapAggIfNeeded()
 
   def discoveredSchemas: Map[String, DocSchema] = schemas.toMap
@@ -80,8 +81,33 @@ final class StreamIngest(
     * is megabytes. Size so one bucket ≈ a comfortable task read
     * (table_bytes / buckets ≲ a few hundred MB at target scale).
     */
-  private val stateBuckets: Int =
+  // lazy: read in the constructor-body guard, which runs before plain
+  // vals declared here would initialize
+  private lazy val stateBuckets: Int =
     spark.conf.getOption("graft.state.buckets").map(_.toInt).getOrElse(64)
+
+  /** The bucket count the persisted state was written with. Changing
+    * `graft.state.buckets` against existing state would hash an update
+    * for id X into a bucket its current row does not live in — the
+    * touched-bucket merge would never read the old row, and BOTH
+    * versions would survive as silent duplicates. Guarded like
+    * [[SketchMaintenance]] guards sketch dimensions: fail loudly at
+    * construction.
+    */
+  // def, not val: the constructor-body guard runs before later vals init
+  private def bucketMeta = Paths.get(s"$warehouseDir/_state_buckets")
+
+  private def verifyBucketCount(): Unit =
+    if (Files.exists(bucketMeta)) {
+      val persisted = Files.readString(bucketMeta).trim.toInt
+      if (persisted != stateBuckets)
+        throw new IllegalStateException(
+          s"state was bucketed with $persisted buckets but " +
+            s"graft.state.buckets=$stateBuckets — a different count strands " +
+            "existing rows in buckets the merge never probes (silent " +
+            "duplicate ids). Restore the original setting or rebuild the " +
+            "warehouse.")
+    }
 
   private def bucketCol = pmod(crc32(col("id")), lit(stateBuckets)).cast("int")
 
@@ -108,14 +134,9 @@ final class StreamIngest(
         case None => batch
       }
       // LWW per id, tombstones RETAINED (deletes survive replays; a doc
-      // re-created after deletion wins via its higher seq).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("seqNum").desc)
-      val state0 = merged
-        .where(!col("id").startsWith("_design"))
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .drop("_rn")
+      // re-created after deletion wins via its higher seq) — the exact
+      // semantic of the shared CDC compaction
+      val state0 = Compact.latestChanges(merged)
       // the maintained aggregate reads `state` too — cache so the LWW
       // window runs once, and release before the bucket swap
       val state = if (maintainAgg.isDefined) state0.cache() else state0
@@ -125,7 +146,7 @@ final class StreamIngest(
         writeBuckets(state)
       } finally if (maintainAgg.isDefined) { state.unpersist(); () }
 
-      publish()
+      publishWith(Some(batch))
       advanceCheckpoint(batch)
     } finally batch.unpersist()
   }
@@ -266,6 +287,8 @@ final class StreamIngest(
     deleteRecursively(staging)
     state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
     Files.createDirectories(root)
+    if (!Files.exists(bucketMeta))
+      Files.writeString(bucketMeta, stateBuckets.toString)
     val listing = Files.list(staging)
     try {
       val buckets = listing.iterator()
@@ -323,18 +346,54 @@ final class StreamIngest(
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     StreamIngest.deleteRecursively(p)
 
-  private def existingState(): Option[DataFrame] =
-    if (Files.exists(Paths.get(stateDir)))
-      Some(spark.read.parquet(stateDir))
-    else None
+  /** The persisted state table, when at least one bucket has landed. The
+    * bucket check (not a bare directory-exists) keeps an all-filtered
+    * first batch — which creates the state root but moves no buckets —
+    * from poisoning every later read with an unreadable empty directory.
+    */
+  private def existingState(): Option[DataFrame] = {
+    val root = Paths.get(stateDir)
+    val hasBuckets = Files.isDirectory(root) && {
+      val listing = Files.list(root)
+      try {
+        val it = listing.iterator()
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.startsWith("_bucket=")
+        found
+      } finally listing.close()
+    }
+    if (hasBuckets) Some(spark.read.parquet(stateDir)) else None
+  }
 
-  /** Re-register flattened per-type views over the live rows. */
-  def publish(): Unit = existingState().foreach { st =>
+  /** docTypes ever published, cached so the per-batch path never rescans
+    * the full state (None until the first publish seeds it — from state
+    * on restart, from the batch alone on a fresh warehouse).
+    */
+  private var knownTypes: Option[Set[String]] = None
+
+  private def typesOf(df: DataFrame, splitField: String): Set[String] =
+    df.where(!col("deleted"))
+      .select(Split.docType(splitField, col("doc")).as("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Re-register flattened per-type views over the live rows. The
+    * external form scans state for the type set once and caches it;
+    * [[applyBatch]] extends the cache from the (tiny, cached) batch
+    * instead — per-batch publish cost stays O(touched types), never a
+    * full-state scan per trigger. A type whose last doc is deleted keeps
+    * its (now empty) view — known types never un-publish.
+    */
+  def publish(): Unit = publishWith(None)
+
+  private def publishWith(batch: Option[DataFrame]): Unit = existingState().foreach { st =>
     val live = st.where(!col("deleted"))
     val types = opts.split match {
       case Some(f) =>
-        live.select(Split.docType(f, col("doc")).as("t")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
+        val seeded = knownTypes.getOrElse(typesOf(live, f))
+        val all = batch.map(b => seeded ++ typesOf(b, f)).getOrElse(seeded)
+        knownTypes = Some(all)
+        all.toSeq.sorted
       case None => Seq(Split.DefaultType)
     }
     types.foreach { t =>

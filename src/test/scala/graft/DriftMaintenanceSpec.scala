@@ -46,4 +46,26 @@ class DriftMaintenanceSpec extends SparkSpec {
     val bad = Seq((1L, "x y", "tab\there")).toDF("doc_id", "text", "source")
     intercept[IllegalArgumentException] { dm.applyBatch(bad, 0L) }
   }
+
+  test("null-source docs are outside monitoring, matching the batch twin") {
+    val dir = Files.createTempDirectory("drift-maint-null").toString
+    val dm = new DriftMaintenance(dir, buckets = 64)
+    val withNull = b1.unionByName(
+      Seq((9L, "orphan words here", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "source"))
+    dm.applyBatch(withNull, 0L) // must not NPE or wedge
+    val batch = TrainingQueries.sourceDrift(withNull, buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dm.drift() == batch)
+    assert(!dm.drift().keySet.contains(null))
+  }
+
+  test("restarting with a different bucket count fails loudly") {
+    val dir = Files.createTempDirectory("drift-maint-buckets").toString
+    new DriftMaintenance(dir, buckets = 64).applyBatch(b1, 0L)
+    val e = intercept[IllegalStateException] {
+      new DriftMaintenance(dir, buckets = 32).drift()
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
 }

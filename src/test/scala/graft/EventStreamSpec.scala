@@ -29,7 +29,7 @@ class EventStreamSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = graft.Queries.tsToNanos(spark.read.parquet(eventsDir))
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
@@ -100,7 +100,7 @@ class EventStreamSpec extends SparkSpec {
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // per-event ms exactly as the streaming path derives it
     // (ns -> truncate to us -> truncate to ms), BEFORE any aggregation
-    val ems = ((col("ts") / 1000).cast("long") / 1000).cast("long")
+    val ems = expr("(ts div 1000) div 1000")
     val batchSessions = ev
       .withColumn("ems", ems)
       .withColumn("prev_ms", lag(col("ems"), 1).over(byUser))
@@ -131,7 +131,7 @@ class EventStreamSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     (if (fixtureTs == org.apache.spark.sql.types.LongType) sentinel
      else sentinel.withColumn("ts",
-       timestamp_micros((col("ts") / 1000).cast("long")).cast(fixtureTs)))
+       timestamp_micros(expr("ts div 1000")).cast(fixtureTs)))
       .coalesce(1).write.mode("append").parquet(dir.toString)
     q.processAllAvailable()
     val streamed = spark.table("sess_parity").as[EventStream.UserSession]
@@ -179,7 +179,7 @@ class EventStreamSpec extends SparkSpec {
     // batch twin of the same predicate
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.Queries.tsToNanos(spark.read.parquet(eventsDir))
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("event_time").as("click_time"))

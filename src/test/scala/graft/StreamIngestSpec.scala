@@ -262,4 +262,35 @@ class StreamIngestSpec extends SparkSpec {
     restarted.publish()
     assert(spark.sql("SELECT COUNT(*) FROM cdb").collect()(0).getLong(0) == 2L)
   }
+
+  test("an all-filtered first batch does not poison the state directory") {
+    val wh = tempDir("empty-wh")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "edb"), wh)
+    val empty = ChangeFeed.fromLines(spark.createDataset(Seq.empty[String])(
+      org.apache.spark.sql.Encoders.STRING).toDF("value"), "value")
+    ingest.applyBatch(empty, 0L) // no rows -> no buckets land
+    // the warehouse must still accept a real batch afterwards
+    val real = ChangeFeed.fromLines(spark.createDataset(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1-r","name":"Ada","score":1}""")))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value"), "value")
+    ingest.applyBatch(real, 1L)
+    ingest.publish()
+    assert(spark.sql("SELECT COUNT(*) FROM edb").collect()(0).getLong(0) == 1L)
+  }
+
+  test("restarting with a different bucket count fails loudly, not silently") {
+    val wh = tempDir("buckets-wh")
+    val ingest = new StreamIngest(spark, WarehouseOptions(database = "bdb"), wh)
+    val batch = ChangeFeed.fromLines(spark.createDataset(Seq(
+      change(1, "a", """{"_id":"a","_rev":"1-r","name":"Ada","score":1}""")))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value"), "value")
+    ingest.applyBatch(batch, 0L)
+    spark.conf.set("graft.state.buckets", "128")
+    try {
+      val e = intercept[IllegalStateException] {
+        new StreamIngest(spark, WarehouseOptions(database = "bdb"), wh)
+      }
+      assert(e.getMessage.contains("bucket"))
+    } finally spark.conf.unset("graft.state.buckets")
+  }
 }

@@ -58,7 +58,7 @@ class StreamIntervalsSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.Queries.tsToNanos(spark.read.parquet(eventsFile))
     // per-event ms exactly as the streaming path derives it
-    val ems = ((col("ts") / 1000).cast("long") / 1000).cast("long")
+    val ems = expr("(ts div 1000) div 1000")
     val batch = graft.ops.Intervals.coalesce(
         ev.select(col("user_id"), col("event_id"), ems.as("s"),
           (ems + 1800000L).as("e")),
@@ -81,7 +81,7 @@ class StreamIntervalsSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     (if (fixtureTs == org.apache.spark.sql.types.LongType) sentinel
      else sentinel.withColumn("ts",
-       timestamp_micros((col("ts") / 1000).cast("long")).cast(fixtureTs)))
+       timestamp_micros(expr("ts div 1000")).cast(fixtureTs)))
       .coalesce(1).write.mode("append").parquet(dir.toString)
     q.processAllAvailable()
     val streamed = spark.table("iv_parity").as[StreamIntervals.KeyIsland]

@@ -83,6 +83,14 @@ object AsOfJoin {
       s"as-of join supports inner|left, got $joinType")
     require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
     val leftCols = left.columns.toSeq
+    // internal spine/carry names; a left column with one of these names
+    // would become an ambiguous reference deep inside the plan — fail
+    // with the actual story instead
+    val reserved = Set("_k", "_t", "_pri", "_r", "_sh", "_first", "_lo", "_hi")
+    val clash = leftCols.filter(reserved)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} collide with as-of internal " +
+        s"names (${reserved.mkString(", ")}) — rename them before the join")
     // the right timestamp rides in the carried struct for the tolerance
     // check; pick an internal field name no value column uses
     val rts = Iterator.from(0).map(i => s"_graft_rts$i")

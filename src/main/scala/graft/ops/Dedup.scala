@@ -422,17 +422,13 @@ object Dedup {
       .distinct().transform(Caching.cached)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
-    // convergence check: labels only ever decrease, so the label sum is
-    // strictly decreasing until the fixpoint — one cheap aggregate per
-    // round instead of a join + count against the previous labels. This
-    // aggregate is also what materializes the round's checkpoint, so the
-    // whole round is a single job.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(coalesce(
-        sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
+    // convergence check: count the rows whose label CHANGED this round —
+    // exact for every orderable id type. (The previous label-sum trick
+    // silently broke on non-numeric string ids: the decimal cast nulled
+    // every label, the sum read 0 each round, and the loop exited
+    // "converged" after one propagation.) The changed flag rides the
+    // round's own projection, so the count is still the single job that
+    // materializes the round's checkpoint.
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -446,24 +442,26 @@ object Dedup {
       // missing (cannot happen at a fixpoint precursor, but harmless).
       val parent = labels
         .select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll"))
+      val newLbl = least(
+        col("cluster_id"),
+        coalesce(col("nbl_min"), col("cluster_id")),
+        coalesce(col("ll"), col("cluster_id")))
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(parent, Seq("cluster_id"), "left")
-        .select(col("doc_id"),
-          least(
-            col("cluster_id"),
-            coalesce(col("nbl_min"), col("cluster_id")),
-            coalesce(col("ll"), col("cluster_id")))
-            .as("cluster_id"))
+        .select(col("doc_id"), newLbl.as("_new"),
+          (newLbl =!= col("cluster_id")).as("_chg"))
+        .withColumnRenamed("_new", "cluster_id")
         .localCheckpoint(false)
-      val nextSum = labelSum(next)
+      val changed = next
+        .agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)))
+        .collect()(0).getLong(0)
       // the superseded round's checkpoint blocks are dead once `next` is
       // materialized — release them instead of accumulating O(log diameter)
       // cached label tables for the life of the session
       labels.unpersist(false)
-      labels = next
-      done = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      labels = next.drop("_chg")
+      done = changed == 0
       iter += 1
     }
     if (!done)
@@ -498,10 +496,14 @@ object Dedup {
                idCol: String = "doc_id"): DataFrame = {
     val scored = docs.select(col(idCol), score.as("_score"))
     val labeled = clusterLabels.join(scored, Seq(idCol))
+    // (score desc, id asc) as ONE combinable agg: negate the SCORE (a
+    // numeric by contract) and take the min struct — negating the id
+    // would null out (ANSI off) or crash (ANSI on) on string ids, which
+    // the content-keyed pipelines legitimately use
     val best = labeled
       .groupBy("cluster_id")
-      .agg(max(struct(col("_score").as("s"), (-col(idCol)).as("nid"))).as("m"))
-      .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
+      .agg(min(struct((-col("_score")).as("ns"), col(idCol).as("kid"))).as("m"))
+      .select(col("cluster_id"), col("m.kid").as("keep_id"))
     docs.select(col(idCol))
       .join(clusterLabels, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
@@ -539,7 +541,10 @@ object Dedup {
     val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b")
-    keepBest(docs, clusters(verified), score, idCol)
+    // clusters() emits its canonical "doc_id" column name; align it with
+    // the caller's id column before the keep join
+    keepBest(docs, clusters(verified).withColumnRenamed("doc_id", idCol),
+      score, idCol)
   }
 
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):

@@ -61,9 +61,31 @@ object Mango {
 
   /** Compile a Mango selector evaluated directly against a raw JSON doc
     * column (pre-flatten, source-pushdown position).
+    *
+    * `$type` over the scalar JSON types is rejected here:
+    * `get_json_object` erases them (42, "42" and true all arrive as
+    * bare text), so a compiled test could only lie. Container/null
+    * checks survive (brackets and SQL NULL are preserved); for full
+    * `$type` semantics use [[evalDoc]] — the position the DSv2 reader
+    * filters in anyway — or the flattened typed columns.
     */
-  def compileOnJson(selectorJson: String, doc: Column): Column =
+  def compileOnJson(selectorJson: String, doc: Column): Column = {
+    val root = parse(selectorJson)
+    def scalarType(n: JsonNode): Boolean = {
+      val it = n.properties().asScala
+      n.isObject && it.exists { e =>
+        (e.getKey == "$type" &&
+          Set("number", "boolean", "string")(e.getValue.asText)) ||
+          scalarType(e.getValue)
+      } || (n.isArray && n.elements().asScala.exists(scalarType))
+    }
+    if (scalarType(root))
+      throw MangoException(
+        "$type number/boolean/string cannot be compiled against raw JSON " +
+          "(get_json_object erases scalar types) — use Mango.evalDoc or " +
+          "the flattened typed columns")
     compile(selectorJson, jsonResolver(doc))
+  }
 
   def compile(selectorJson: String, resolve: FieldResolver): Column = {
     val root =
@@ -174,7 +196,12 @@ object Mango {
         case "null"    => c.isNull
         case other     => throw MangoException(s"unsupported $$type: $other")
       }
-    case "$not"    => !compileOp(c, v.fieldNames().asScala.next(), v.elements().asScala.next())
+    // negate the CONJUNCTION of every condition in the argument (the
+    // document-side evaluator's semantics) — negating only the first
+    // entry would silently drop the rest of a multi-condition $not
+    case "$not"    => !v.properties().asScala
+      .map(f => compileOp(c, f.getKey, f.getValue))
+      .reduceOption(_ && _).getOrElse(lit(true))
     case other     => throw MangoException(s"unsupported operator $other")
   }
 
@@ -214,6 +241,12 @@ object Mango {
     else if (v.isIntegralNumber) v.asLong
     else if (v.isNumber) v.asDouble
     else if (v.isNull) null
+    // array/object literals compare against their compact JSON text —
+    // the warehouse's §1.2 storage form for arrays (Jackson's asText
+    // would silently yield "" for containers and match empty strings);
+    // the document-side evaluator compares the parsed nodes deeply, so
+    // the two agree up to JSON formatting of the stored value
+    else if (v.isContainerNode) v.toString
     else v.asText
 
   // ------------------------------------------------------------------
@@ -313,5 +346,9 @@ object Mango {
     if (a.isNumber && b.isNumber) Some(java.lang.Double.compare(a.asDouble, b.asDouble))
     else if (a.isTextual && b.isTextual) Some(a.asText.compareTo(b.asText))
     else if (a.isBoolean && b.isBoolean) Some(java.lang.Boolean.compare(a.asBoolean, b.asBoolean))
+    // container equality is deep (Jackson node equals); ordering between
+    // containers stays undefined, so only $eq/$ne/$in can match them
+    else if ((a.isArray && b.isArray) || (a.isObject && b.isObject))
+      if (a == b) Some(0) else None
     else None
 }

@@ -716,6 +716,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(kept == Set(10L, 20L, 21L), "lowest id survives each near-dup set")
   }
 
+  test("clusters: string ids converge in the DISTRIBUTED loop too") {
+    // force the distributed path (gate 0): a 5-node chain needs several
+    // pointer-doubling rounds — the old label-SUM convergence check
+    // nulled string labels under the decimal cast and declared
+    // convergence after ONE round, silently splitting this chain
+    val pairs = Seq(("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, localSolveMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
+  }
+
+  test("keepBest and nearDedup work with string ids and a custom id column") {
+    val docs = Seq(
+      ("k1", "the quick brown fox jumps over the lazy dog entirely"),
+      ("k2", "the quick brown fox jumps over the lazy dog entirely"),
+      ("k9", "absolutely unrelated content lives here on its own")
+    ).toDF("key", "body")
+    // keep the LONGEST text per cluster; ids are strings (the old argmax
+    // negated the id column, which nulls out on strings and kept
+    // everything)
+    val out = graft.ops.Dedup.nearDedup(docs, length(col("body")),
+        idCol = "key", textCol = "body")
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out("k1") == ("k1", true))  // tie on length -> lowest id keeps
+    assert(out("k2") == ("k1", false))
+    assert(out("k9") == ("k9", true))
+  }
+
   test("similarDocs: exact Jaccard ranking against one query doc") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -195,6 +195,47 @@ class MangoSpec extends SparkSpec {
       == Seq("o2", "o4"))
   }
 
+  test("multi-condition field $not negates the whole conjunction") {
+    // !(age>20 && age<40): only c (30) satisfies both and is excluded;
+    // negating only the FIRST condition ($gt) would wrongly exclude d (40)
+    assert(ids("""{"age":{"$not":{"$gt":20,"$lt":40}}}""") == Seq("a", "b", "d"))
+    // parity with the document-side evaluator
+    val sel = Mango.parse("""{"age":{"$not":{"$gt":20,"$lt":40}}}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    def doc(age: Int) = mapper.readTree(s"""{"age":$age}""")
+    assert(Mango.evalDoc(sel, doc(10)) && Mango.evalDoc(sel, doc(40))
+      && !Mango.evalDoc(sel, doc(30)))
+  }
+
+  test("array-literal equality matches the stored JSON-string form") {
+    import spark.implicits._
+    val adf = Seq(("x", """["a","b"]"""), ("y", """["a"]"""), ("z", ""))
+      .toDF("id", "tags")
+    def aids(sel: String) =
+      adf.where(Mango.compile(sel)).select("id")
+        .collect().map(_.getString(0)).sorted.toSeq
+    // Jackson compact text of the selector array equals to_json's output
+    assert(aids("""{"tags":["a","b"]}""") == Seq("x"))
+    // the old asText fallthrough compiled this to === "" and matched z
+    assert(aids("""{"tags":{"$in":[["a"]]}}""") == Seq("y"))
+    // evalDoc agrees: deep node equality
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(Mango.evalDoc(Mango.parse("""{"tags":["a","b"]}"""),
+      mapper.readTree("""{"tags":["a","b"]}""")))
+    assert(!Mango.evalDoc(Mango.parse("""{"tags":["a","b"]}"""),
+      mapper.readTree("""{"tags":["a"]}""")))
+  }
+
+  test("compileOnJson rejects scalar $type (raw text erases JSON types)") {
+    import org.apache.spark.sql.functions.col
+    intercept[MangoException] {
+      Mango.compileOnJson("""{"age":{"$type":"number"}}""", col("doc"))
+    }
+    // container/null checks survive: brackets and SQL NULL are preserved
+    Mango.compileOnJson("""{"tags":{"$type":"array"}}""", col("doc"))
+    Mango.compileOnJson("""{"age":{"$type":"null"}}""", col("doc"))
+  }
+
   test("$type predicates survive CODEGEN_ONLY (functions.typeof 4.1.2 " +
        "codegen emits the type name unquoted and always falls back)") {
     import spark.implicits._

@@ -29,6 +29,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression {
 
   require(numHashes >= 1 && numHashes <= 4, "1..4 x 32-bit slices of one md5")
+  require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -57,6 +58,17 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Per-thread MD5 instance shared by the hashing expressions: a
+  * per-ROW `MessageDigest.getInstance` pays a synchronized JCA provider
+  * lookup plus an allocation on the corpus-scan hot path. Callers must
+  * `reset()` before each digest (both loops already do).
+  */
+private[functions] object Md5Pool {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = { val m = tl.get(); m.reset(); m }
+}
+
 object MinHashSignature {
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -67,7 +79,7 @@ object MinHashSignature {
     val text = input.toString
     val toks = Tokenize.tokens(text)
     if (toks.length < shingleSize) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Pool.get()
     val mins = Array.fill[String](numHashes)(null)
     var i = 0
     while (i + shingleSize <= toks.length) {

@@ -54,7 +54,7 @@ object SimHashSignature {
     val text = input.toString
     val toks = Tokenize.tokens(text)
     val votes = new Array[Int](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Pool.get()
     var i = 0
     while (i < toks.length) {
       md.reset()

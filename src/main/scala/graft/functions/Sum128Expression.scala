@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, Expression, If, IsNull, Literal, ShiftRight}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, BinaryExpression, BitwiseAnd, EvalMode, Expression, If, IsNull, Literal, ShiftRight}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -65,15 +65,20 @@ case class Sum128(
   override lazy val updateExpressions: Seq[Expression] = {
     val x = If(IsNull(child), Literal(0L), child) // SUM skips NULLs
     val t = Add(lo, BitwiseAnd(x, mask)) // ≤ 2^33, never overflows
+    // hi-limb adds are EXPLICITLY ANSI: the 2^95-capacity guarantee is
+    // "raise, never wrap", and a default Add inherits the session's
+    // eval mode (silent wrap with ansi.enabled=false — the default)
     Seq(
-      Add(Add(hi, ShiftRight(x, thirtyTwo)), ShiftRight(t, thirtyTwo)),
+      Add(Add(hi, ShiftRight(x, thirtyTwo), EvalMode.ANSI),
+        ShiftRight(t, thirtyTwo), EvalMode.ANSI),
       BitwiseAnd(t, mask))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     val t = Add(lo.left, lo.right) // both < 2^32
     Seq(
-      Add(Add(hi.left, hi.right), ShiftRight(t, thirtyTwo)),
+      Add(Add(hi.left, hi.right, EvalMode.ANSI),
+        ShiftRight(t, thirtyTwo), EvalMode.ANSI),
       BitwiseAnd(t, mask))
   }
 

@@ -135,8 +135,10 @@ object TextAnalysis {
       greatest(tokenCount(text), lit(1)).cast("double")
   }
 
-  /** Composite quality score in [0,1]: favors mid-length docs with low
-    * punctuation noise and a sane stopword rate.
+  /** Composite quality score in [0,1]: favors longer docs (saturating at
+    * 500 chars) with low punctuation noise. [[stopwordRatio]] is a
+    * separate standalone signal — it is deliberately NOT folded in here
+    * (the q_quality oracle pins this two-factor formula).
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))

@@ -78,10 +78,19 @@ object CosineSimilarity {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Register as SQL function `cosine_similarity`. */
+  /** Register as SQL function `cosine_similarity` (same arity error
+    * behavior as the [[graft.GraftExtensions]] registration — a raw
+    * `exprs(1)` would surface wrong arity as IndexOutOfBounds from
+    * inside the registry).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_similarity(a, b) takes 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      },
       "built-in")
 }

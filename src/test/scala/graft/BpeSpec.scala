@@ -87,6 +87,23 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("non-BMP characters stay whole code points, never lone surrogates") {
+    import spark.implicits._
+    // two DIFFERENT astral characters: a per-UTF-16-unit split would
+    // emit lone surrogates that UTF8String corrupts to '?', conflating
+    // them into identical token streams
+    val docs = Seq("𝕏 cat", "😀 cat").toDF("text")
+    val toks = docs
+      .select(BpeTokenizer.encode(col("text"), Seq.empty).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(toks(0) != toks(1), "distinct emoji must tokenize distinctly")
+    assert(toks.flatten.forall(t => !t.contains("?")),
+      s"no replacement chars expected, got ${toks.map(_.mkString("|")).mkString(" / ")}")
+    // the astral char survives as one whole symbol and round-trips
+    assert(toks(0).head.startsWith("𝕏"))
+    assert(toks(1).head.startsWith("😀"))
+  }
+
   test("generated code compiles (CODEGEN_ONLY) and matches interpreted eval") {
     val merges = BpeTokenizer.learnFromCorpus(docs, numMerges = 6)
     val q = docs.select(BpeTokenizer.encode(col("text"), merges).as("toks"))

@@ -2485,12 +2485,145 @@ object TrainingQueries {
              FROM f JOIN best b USING (cluster_id)"""),
     (s, d) => Dedup.nearDedup(t(s, d, "documents"), score = col("n_chars")))
 
+  /** Semantic decontamination (C84): the embedding-space complement of the
+    * n-gram decontam pair (C18 exact / C41 Bloom) — a paraphrased benchmark
+    * item shares no 8-gram with its source but sits next to it in
+    * embedding space. Corpus = `vec_id >= 8`, benchmark = the 8 held-out
+    * vectors; a doc is flagged when its max cosine against ANY benchmark
+    * vector reaches the 0.25 threshold (exact binary double — the compare
+    * cannot straddle engines).
+    *
+    * Scale shape: [[graft.ops.Ann.maxCosineVs]] folds the broadcast-bounded
+    * benchmark set into ONE map-side pass (zero shuffle, zero row
+    * amplification — the oracle's crossJoin formulation amplifies ×|bench|
+    * and re-groups, which at 100 TB would shuffle the corpus once per
+    * flagging run); the readout aggregate is map-side-combinable into
+    * <= |labels| rows. Exactness: the cosine kernel is the documented
+    * bit-identical twin of the oracle's `list_dot_product` tree, and max
+    * over IEEE doubles is order-independent.
+    */
+  private val qDecontamSemantic = Q("q_decontam_semantic",
+    Some("""WITH b AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+              FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings WHERE vec_id >= 8),
+            m AS (SELECT c.vec_id, c.label,
+                max(list_dot_product(ev, bv)
+                  / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(bv, bv)))) AS mc
+              FROM c CROSS JOIN b GROUP BY 1, 2)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN mc >= 0.25e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              CAST(sum(CASE WHEN mc >= 0.25e0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+            FROM m GROUP BY label"""),
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bench = emb.where(col("vec_id") < 8).select(col("embedding").as("qv"))
+      Ann.maxCosineVs(emb.where(col("vec_id") >= 8), bench)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("max_cos") >= 0.25, 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("label"), col("n_docs"), col("n_flagged"),
+          expr("CAST((CAST(n_flagged AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)")
+            .as("flagged_ppm"))
+    })
+
+  /** Temperature-scaled source mixture rates (C85) — the α-sampling rule
+    * multilingual/multi-source LM training uses to up-weight small sources
+    * (p_i ∝ mass_i^α, Lample & Conneau 2019 §3.1): the table a sampler
+    * reads to draw the training mixture. Rates at α = 1 (raw), 0.5, and
+    * 0.25, in ppm.
+    *
+    * Exactness across engines without libm pow: mass^0.5 is ONE
+    * correctly-rounded IEEE sqrt (bit-identical in any IEEE engine) and
+    * mass^0.25 is sqrt∘sqrt (two correctly-rounded steps on identical
+    * inputs — still deterministic); the ×10⁶/×10¹² pre-scaling keeps three
+    * fractional digits through the floor, and everything after the floor
+    * is exact integer/decimal(38,0) arithmetic. Scale shape: one
+    * map-side-combinable aggregate into <= |sources| rows; the totals are
+    * a 1-row broadcast.
+    */
+  private val qMixRates = Q("q_mix_rates",
+    Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs, mass,
+                CAST(floor(sqrt(CAST(mass AS DOUBLE) * 1e6)) AS BIGINT) AS w5,
+                CAST(floor(sqrt(sqrt(CAST(mass AS DOUBLE) * 1e12))) AS BIGINT) AS w25
+              FROM s),
+            tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tm,
+                CAST(sum(w5) AS BIGINT) AS t5, CAST(sum(w25) AS BIGINT) AS t25
+              FROM w)
+            SELECT source, n_docs, mass,
+              CAST(CAST(mass AS HUGEINT) * 1000000 // tm AS BIGINT) AS raw_ppm,
+              CAST(CAST(w5 AS HUGEINT) * 1000000 // t5 AS BIGINT) AS alpha5_ppm,
+              CAST(CAST(w25 AS HUGEINT) * 1000000 // t25 AS BIGINT) AS alpha25_ppm
+            FROM w CROSS JOIN tot"""),
+    (s, d) => {
+      val w = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+        .withColumn("w5",
+          floor(sqrt(col("mass").cast("double") * lit(1e6))).cast("long"))
+        .withColumn("w25",
+          floor(sqrt(sqrt(col("mass").cast("double") * lit(1e12)))).cast("long"))
+      val tot = w.agg(sum(col("mass")).as("tm"),
+        sum(col("w5")).as("t5"), sum(col("w25")).as("t25"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("mass"),
+          expr("CAST((CAST(mass AS DECIMAL(38,0)) * 1000000) div tm AS BIGINT)")
+            .as("raw_ppm"),
+          expr("CAST((CAST(w5 AS DECIMAL(38,0)) * 1000000) div t5 AS BIGINT)")
+            .as("alpha5_ppm"),
+          expr("CAST((CAST(w25 AS DECIMAL(38,0)) * 1000000) div t25 AS BIGINT)")
+            .as("alpha25_ppm"))
+    })
+
+  /** Cross-source duplication matrix (C86,
+    * [[graft.ops.Dedup.crossSourceMatrix]]): verified near-dup pairs
+    * (LSH block → Jaccard >= 0.6) attributed to unordered source pairs —
+    * the report that finds mirror sites (off-diagonal cells) and
+    * within-source boilerplate (diagonal cells) before any dedup commit.
+    * The oracle assembles the already-oracled band + verify CTEs and joins
+    * each pair side to its source; `least/greatest` on ASCII source names
+    * order identically in both engines.
+    */
+  private val qDupMatrix = Q("q_dup_matrix",
+    Some(s"""WITH $toksCte, $shinglesCte, $sigCte,
+             bands AS (
+               SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+               UNION ALL
+               SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+             pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band)
+               WHERE a.doc_id < b.doc_id),
+             dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+             inter AS (SELECT p.id_a, p.id_b, count(*) AS n
+               FROM pairs p
+               JOIN dsh a ON a.doc_id = p.id_a
+               JOIN dsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             verified AS (SELECT id_a, id_b FROM inter
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(n AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.6),
+             sp AS (SELECT da.source AS sa, db.source AS sb
+               FROM verified v
+               JOIN documents da ON da.doc_id = v.id_a
+               JOIN documents db ON db.doc_id = v.id_b)
+             SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+             FROM sp GROUP BY 1, 2"""),
+    (s, d) => Dedup.crossSourceMatrix(t(s, d, "documents")))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupMinhashPairs, qDedupGuarded, qDedupIncremental,
     qDedupClusters,
     qDedupKeepBest, qDedupPipeline, qSourceDrift, qSourceSim,
     qDedupSimhash, qDedupSimhashPairs,
-    qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qCurate,
+    qNgramJaccard, qMinhashEst, qDecontam, qDecontamBloom, qDecontamSemantic,
+    qCurate, qMixRates, qDupMatrix,
     qDedupEmbed, qDedupEmbedPairs,
     qDedupSemantic, qDedupSpans,
     qAnnTopk, qAnnIvf, qAnnIvfSearch,

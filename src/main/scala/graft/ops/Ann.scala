@@ -137,6 +137,34 @@ object Ann {
       schema)
   }
 
+  /** Every vector's max cosine against a bounded reference set — the scan
+    * shape of embedding-space decontamination (is any benchmark item
+    * semantically too close to this training doc?). The reference table is
+    * collected driver-side (its boundedness is the caller's contract — the
+    * same tiny-table premise as [[assign]]'s centroids: an eval suite is
+    * thousands of rows, never corpus-sized) and folded over as an array
+    * literal, so the whole computation is ONE map-side pass: zero shuffle,
+    * zero row amplification — a crossJoin + groupBy(max) formulation would
+    * amplify the corpus ×|benchmark| and re-shuffle it on its own id for
+    * the max. A null vector gets a null `max_cos`.
+    *
+    * Output: every column of `vectors` plus `outCol` (double). Real
+    * cosines are >= -1 (the kernel maps zero norms to 0.0), so the -2.0
+    * seed always loses to the first reference vector.
+    */
+  def maxCosineVs(vectors: DataFrame, benchmark: DataFrame,
+                  vecCol: String = "embedding", benchVecCol: String = "qv",
+                  outCol: String = "max_cos"): DataFrame = {
+    val rows = benchmark.select(col(benchVecCol)).collect()
+    require(rows.nonEmpty, "maxCosineVs requires a non-empty benchmark set")
+    val bench: Seq[Seq[Float]] = rows.toSeq.map(_.getSeq[Float](0))
+    val best = aggregate(
+      typedLit(bench),
+      lit(-2.0),
+      (acc, b) => greatest(acc, graft.functions.CosineSimilarity(col(vecCol), b)))
+    vectors.withColumn(outCol, when(col(vecCol).isNotNull, best))
+  }
+
   /** Assign every vector to its nearest centroid (argmax cosine; ties →
     * lowest centroid id). The centroid table is collected driver-side
     * (k×dim by contract — the same tiny-table premise as

@@ -547,6 +547,45 @@ object Dedup {
       score, idCol)
   }
 
+  /** Cross-source duplication matrix: how much of each source pair's
+    * content is shared — the attribution report a curation pipeline reads
+    * before deciding WHICH source to drop or down-weight (a mirror site
+    * shows up as one loud off-diagonal cell; within-source boilerplate as
+    * a diagonal one). Pairs are [[minhashCandidates]] blocked and
+    * Jaccard-VERIFIED (>= `threshold`, [[ngramJaccard]]) — band collisions
+    * never inflate a cell — then each side looks up its source and the
+    * unordered (source_a <= source_b) cell counts the pair.
+    *
+    * Scale shape: everything between the two corpus passes (signatures +
+    * the source lookup join) is pair-scoped; the verified pair set is a
+    * vanishing corpus fraction, so the two id-keyed lookup joins move
+    * |pairs| rows against the corpus's unique-id side, and the final
+    * aggregate is map-side-combinable into <= |sources|² cells. The pinned
+    * candidate table's lifetime is caller-managed ([[nearDedup]]'s
+    * contract).
+    */
+  def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.6,
+                        shingleSize: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        srcCol: String = "source"): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in [0, 1], got $threshold")
+    val pairs = minhashCandidates(
+      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol)
+      .transform(Caching.cached)
+    val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val src = docs.select(col(idCol), col(srcCol))
+    verified
+      .join(src.select(col(idCol).as("id_a"), col(srcCol).as("_sa")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(srcCol).as("_sb")), Seq("id_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):
     * |A ∩ B| / |A ∪ B| over distinct word shingles. Each doc's distinct
     * shingle set is collected ONCE into an array column; the intersection

@@ -69,8 +69,11 @@ object Bench {
       }
       val dt = (1 to 2).map(_ => run()).min
       // Drop any cache a query pinned (e.g. LSH signature tables) so later
-      // queries aren't squeezed by stale storage memory.
+      // queries aren't squeezed by stale storage memory. clearCache only
+      // covers CacheManager entries; localCheckpoint blocks (iterative
+      // ops: PageRank/HITS/clusters) are RDD-level and need the sweep.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       dt
     }
     // The host occasionally injects 15-35s stalls unrelated to the query

@@ -458,8 +458,11 @@ object Dedup {
         .collect()(0).getLong(0)
       // the superseded round's checkpoint blocks are dead once `next` is
       // materialized — release them instead of accumulating O(log diameter)
-      // cached label tables for the life of the session
-      labels.unpersist(false)
+      // cached label tables for the life of the session. NB: this must go
+      // through [[Checkpoints.release]] — `Dataset.unpersist` only talks
+      // to the CacheManager and is a silent no-op on localCheckpoint'ed
+      // frames (their blocks are RDD-level).
+      Checkpoints.release(labels)
       labels = next.drop("_chg")
       done = changed == 0
       iter += 1

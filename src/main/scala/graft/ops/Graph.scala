@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   * exactly one join of edges⋈ranks on `src` followed by one groupBy on
   * `dst` — the textbook Spark PageRank schedule. Rank tables carry two
   * longs per node; nothing driver-side ever scales with the graph.
-  * Lineage grows linearly with `iters` — fine for the ranking-typical
-  * 3–10 rounds; checkpoint externally for deep power iterations.
+  * Each round is `localCheckpoint`ed and the superseded round's blocks
+  * are released immediately ([[Checkpoints.release]]), so lineage depth
+  * and pinned storage are both FLAT in `iters` — deep power iterations
+  * cost iterations, not memory or analyzer time.
   */
 object Graph {
 
@@ -41,8 +43,10 @@ object Graph {
     * the cached edge / degree-annotated-edge / node tables, which cannot
     * be unpersisted here without recomputing them once per power
     * iteration. After materializing the result, release them with
-    * `spark.catalog.clearCache()` (what Bench does per query) or by
-    * unpersisting via `spark.sharedState.cacheManager`.
+    * `spark.catalog.clearCache()` plus an RDD sweep
+    * (`sc.getPersistentRDDs.values.foreach(_.unpersist(false))` — the
+    * final round's localCheckpoint blocks are RDD-level and invisible to
+    * `clearCache`; Bench does both per query).
     *
     * @param edges      directed edge list; duplicates collapse
     * @param iters      power-iteration rounds (ranking stabilizes in
@@ -66,6 +70,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().transform(Caching.cached)
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    // previous round's checkpoint — released once the next round has
+    // materialized (its only reader), keeping pinned blocks flat in iters
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       // accumulation widened to decimal(38,0) (the oracle's HUGEINT): a
       // hub with 10^9+ in-links pushes Σ contrib — and the ×damping
@@ -76,11 +83,19 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("cast(r div deg as decimal(38,0))")).as("s"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      val next = nodes.join(sums, Seq("node"), "left")
         .selectExpr("node",
           s"""CAST($base + (CAST($dampingPpm AS DECIMAL(38,0))
              * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 1000000
              AS BIGINT) AS rank_ppm""")
+        .localCheckpoint(false)
+      // one count job materializes the round (column pruning cannot reach
+      // inside a LogicalRDD, so this computes + pins the full table) and
+      // truncates lineage — the analyzer never sees more than one round
+      next.count()
+      if (prevCkpt != null) Checkpoints.release(prevCkpt)
+      prevCkpt = next
+      ranks = next
     }
     ranks
   }
@@ -104,18 +119,23 @@ object Graph {
     *
     * Scale shape: per round exactly one edges⋈hub join + groupBy(dst)
     * and one edges⋈auth join + groupBy(src) — the PageRank schedule run
-    * in both directions; the normalizing max is a 1-row scalar broadcast
-    * (never a data-sized collect). Nodes with no in-edges read
-    * `auth_ppm = 0`, no out-edges `hub_ppm = 0`. Cache lifetime is
-    * caller-managed, as in [[pageRankPpm]].
+    * in both directions. Each direction's raw-sum table is
+    * `localCheckpoint`ed and its normalizing max is computed by the SAME
+    * job that materializes the checkpoint (a 1-row driver scalar folded
+    * back in as a literal — never a data-sized collect, and no
+    * crossJoin/broadcast stage in downstream plans); superseded rounds
+    * are released immediately, so pinned storage and lineage depth are
+    * flat in `iters`. Nodes with no in-edges read `auth_ppm = 0`, no
+    * out-edges `hub_ppm = 0`. Cache lifetime of the final round + edge /
+    * node pins is caller-managed, as in [[pageRankPpm]].
     *
     * Returns `(node, hub_ppm, auth_ppm)`.
     */
   def hitsPpm(edges: DataFrame, iters: Int, srcCol: String = "src",
               dstCol: String = "dst"): DataFrame = {
-    // ≤ 30: HITS orderings stabilize in well under 20 rounds, and each
-    // round pins two node-sized tables (see the loop comment) — a large
-    // iteration count is a storage bill, not extra precision
+    // ≤ 30: HITS orderings stabilize in well under 20 rounds; pinned
+    // storage is flat in iters (superseded rounds are released), so the
+    // cap just bounds wasted compute, not memory
     require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Caching.cached)
@@ -126,39 +146,51 @@ object Graph {
     // assigns auth before anything reads it (authority has no defined
     // pre-iteration state in HITS)
     var auth = nodes.select(col("node"), lit(0L).as("a")).limit(0)
-    for (_ <- 1 to iters) {
-      // each raw table is PINNED before its scalar max: the max agg and
-      // the normalize projection both consume it, and every later
-      // iteration's plan embeds it twice more — unpinned, the recompute
-      // doubles per consumer and the plan tree grows exponentially in
-      // `iters` (measured 16 s vs 0.8 s at two iterations, sf0.1). Two
-      // longs per node per iteration — the standard lineage-truncation
-      // pattern for iterative algorithms; lifetime is caller-managed as
-      // in [[pageRankPpm]].
+    // decimal(38,0) max as a literal column; an empty raw table (no
+    // edges) yields a NULL max → NULL normalized scores over an empty
+    // frame, which the final coalesce folds to 0 — same as before
+    def scalarLit(r: org.apache.spark.sql.Row): org.apache.spark.sql.Column =
+      (if (r.isNullAt(0)) lit(null) else lit(r.getDecimal(0))).cast("decimal(38,0)")
+    var lastHraw: DataFrame = null
+    for (i <- 1 to iters) {
+      // each raw table is localCheckpoint'ed (lazy) and materialized by
+      // its own scalar-max job below: unpinned, every later iteration's
+      // plan embeds it twice more — the recompute doubles per consumer
+      // and the plan tree grows exponentially in `iters` (measured 16 s
+      // vs 0.8 s at two iterations, sf0.1). Two longs per node, with the
+      // superseded direction released as soon as its last reader runs —
+      // pinned blocks stay flat in iters.
       val araw = e
         .join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
-        .transform(Caching.cached)
+        .localCheckpoint(false)
       // normalization widened to decimal(38,0): `ar` is bounded by
       // 10^6 × max in-degree, so the ×10^6 would overflow a long once a
       // node's in-degree passes ~9×10^6 — real at crawl-graph scale.
-      // The oracle's HUGEINT sum mirrors the widening exactly.
-      auth = araw
-        .crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
-        .select(col("node"),
-          expr("cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint)")
-            .as("a"))
+      // The oracle's HUGEINT sum mirrors the widening exactly. The max
+      // job doubles as the checkpoint materializer: one scan computes
+      // and pins the table AND returns the 1-row scalar.
+      val am = scalarLit(araw.agg(max(col("ar"))).collect()(0))
+      // hub_{i-1}'s backing table had exactly one remaining reader — the
+      // araw job that just ran
+      if (lastHraw != null) Checkpoints.release(lastHraw)
+      auth = araw.withColumn("am", am)
+        .selectExpr("node",
+          "cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint) as a")
       val hraw = e
         .join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
-        .transform(Caching.cached)
-      hub = hraw
-        .crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
-        .select(col("node"),
-          expr("cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint)")
-            .as("h"))
+        .localCheckpoint(false)
+      val hm = scalarLit(hraw.agg(max(col("hr"))).collect()(0))
+      // auth_i's only reader was the hraw job — unless this is the final
+      // round, where the caller's output still projects from araw
+      if (i < iters) Checkpoints.release(araw)
+      hub = hraw.withColumn("hm", hm)
+        .selectExpr("node",
+          "cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint) as h")
+      lastHraw = hraw
     }
     nodes
       .join(hub, Seq("node"), "left")

@@ -75,4 +75,40 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(a == hits(2))
   }
+
+  // superseded per-round checkpoints must be RELEASED, not accumulated:
+  // the pinned-block footprint after a deep run must equal a shallow
+  // run's — i.e. flat in iters (VERDICT r9 #5). Released at the RDD
+  // level (localCheckpoint blocks are invisible to CacheManager), so we
+  // count sc.getPersistentRDDs entries that still hold blocks.
+  private def sweep(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+  private def livePins(): Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("PageRank pins stay flat across iteration depth (no superseded pins)") {
+    sweep()
+    Graph.pageRankPpm(edges, 3).collect()
+    val shallow = livePins()
+    sweep()
+    Graph.pageRankPpm(edges, 10).collect()
+    val deep = livePins()
+    sweep()
+    assert(deep == shallow,
+      s"pinned RDDs grew with iters: 3-iter=$shallow, 10-iter=$deep")
+  }
+
+  test("HITS pins stay flat across iteration depth (no superseded pins)") {
+    sweep()
+    Graph.hitsPpm(edges, 2).collect()
+    val shallow = livePins()
+    sweep()
+    Graph.hitsPpm(edges, 8).collect()
+    val deep = livePins()
+    sweep()
+    assert(deep == shallow,
+      s"pinned RDDs grew with iters: 2-iter=$shallow, 8-iter=$deep")
+  }
 }

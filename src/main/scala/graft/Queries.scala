@@ -1417,9 +1417,15 @@ object Queries {
       .select("user_id", "event_id", "event_type"))
 
   /** Sessionization (batch form): split each user's event stream into
-    * sessions at >30-minute gaps — lag + cumulative-sum window pattern,
-    * one shuffle on user_id. (`ts` is epoch-nanos in Spark — see `t()` —
-    * and a nanos timestamp in DuckDB; `epoch_ns` aligns them.)
+    * sessions at >30-minute gaps. Expressed as interval algebra
+    * ([[graft.ops.Sessionize.viaIntervals]]): each event holds a
+    * `[ts, ts+gap]` lease and a session is a maximal island of
+    * overlapping leases — so the query rides
+    * [[graft.ops.Intervals.coalesce]] and inherits its probed
+    * `timeShards` hot-key escape (SCALE.md sessions probe) instead of
+    * the one-task-per-user lag window. (`ts` is epoch-nanos in Spark —
+    * see `t()` — and a nanos timestamp in DuckDB; `epoch_ns` aligns
+    * them; the oracle keeps the equivalent lag + cumulative-sum form.)
     */
   private val qSessionize = Q("q_sessionize",
     Some("""WITH marked AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -1433,19 +1439,11 @@ object Queries {
             SELECT user_id, session_id, count(*) AS n_events,
               (max(tns) - min(tns)) // 1000000000 AS duration_s
             FROM sessions GROUP BY user_id, session_id"""),
-    (s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_s",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_s")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          expr("(max(ts) - min(ts)) div 1000000000").as("duration_s"))
-    })
+    (s, d) => graft.ops.Sessionize
+      .viaIntervals(t(s, d, "events"), "user_id", "ts", "event_id",
+        gap = 1800000000000L)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(session_end - session_start) div 1000000000").as("duration_s")))
 
   /** Full outer join: per-nation customer vs supplier counts, each side
     * filtered so some nations appear on only one side. Counts are

@@ -36,6 +36,7 @@ object ScaleProbe {
     if (mode == "stats" || mode == "all") statsProbe(spark)
     if (mode == "asof" || mode == "all") asofProbe(spark)
     if (mode == "intervals" || mode == "all") intervalsProbe(spark)
+    if (mode == "sessions" || mode == "all") sessionsProbe(spark)
     spark.stop()
   }
 
@@ -365,6 +366,78 @@ object ScaleProbe {
           .agg(sum(expr("island + s % 1000000007 + e % 1000000007 + n_rows")).as("fp"))
           .collect()(0).getLong(0)
         println(f"INTERVALS $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Gap sessionization under a planted bot user: one user holding 4M
+    * events at 5 s spacing with a 30-minute gap rule — the shape where
+    * the classic lag + cumulative-sum window puts that user's entire
+    * timeline through ONE sort task. q_sessionize rides
+    * [[graft.ops.Sessionize.viaIntervals]] (= Intervals.coalesce on
+    * `[ts, ts+gap]` leases), so this measures the same operator the
+    * scored query runs, at `timeShards` 1 vs 32, with an output-sum
+    * fingerprint proving the sharded form is bit-identical.
+    */
+  private def sessionsProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    // 4M events, 5 s apart: every ~360 consecutive events form one
+    // session (30-min gap never fires within the run), ~11k sessions —
+    // the realistic always-on bot, not a single giant session
+    val hot = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      // 5 s spacing plus a >30-min silence every 360 events so sessions
+      // actually split inside the bot timeline
+      expr(s"$t0ns + id * 5000000000 + (id div 360) * 2000000000000")
+        .as("ts"))
+    val out = "/tmp/graft-scale-sessions"
+    ev10.unionByName(hot).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for ((label, shards) <- Seq("1-shard(window)" -> 1, "32-shard" -> 32)) {
+        def run() = graft.ops.Sessionize
+          .viaIntervals(ev, "user_id", "ts", "event_id",
+            gap = 1800000000000L, timeShards = shards)
+          .write.mode("overwrite").format("noop").save()
+        run() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        val fp = graft.ops.Sessionize
+          .viaIntervals(ev, "user_id", "ts", "event_id",
+            gap = 1800000000000L, timeShards = shards)
+          .agg(sum(expr("session_id + n_events + session_start % 1000000007" +
+            " + session_end % 1000000007")).as("fp"))
+          .collect()(0).getLong(0)
+        println(f"SESSIONS $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -20,15 +20,75 @@ object Scd2 {
     * a lead window for interval ends, a rank for version numbers.
     * `tsCol`/`tieCol` order versions (the tie key makes the ordering —
     * and therefore the history — deterministic under same-ts versions).
+    *
+    * Scale shape: the default (`timeShards = 1`) rides one per-entity
+    * window sort — optimal until a degenerate hot entity (a bot user
+    * with 10⁹ versions) funnels its whole history through one task.
+    * `timeShards > 1` is the [[Intervals.coalesce]] escape applied to
+    * this window's two carries: each entity's history splits into
+    * per-entity time blocks on `tsCol` (equal timestamps never split,
+    * so shard concatenation reproduces the `(ts, tie)` order exactly),
+    * the lead/row_number windows run within (entity, shard), and two
+    * shard-granularity carries lift local results to the full history —
+    * a running row-count offset continues version numbers, and the next
+    * non-empty shard's first timestamp closes each shard's last
+    * interval (NULL only for the globally last version, which is also
+    * what `is_current` tests). Bit-identical to the single-window form;
+    * opt-in because the carries cost two extra shard-key joins
+    * (ScaleProbe `carry` mode measures both under a planted bot).
     */
   def build(versions: DataFrame, entityCol: String = "user_id",
-            tieCol: String = "event_id", tsCol: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
-    versions.select(col(entityCol), col(tieCol),
-      col(tsCol).as("valid_from"),
-      lead(col(tsCol), 1).over(w).as("valid_to"),
-      row_number().over(w).cast("long").as("version"),
-      lead(col(tsCol), 1).over(w).isNull.as("is_current"))
+            tieCol: String = "event_id", tsCol: String = "ts",
+            timeShards: Int = 1): DataFrame = {
+    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
+    if (timeShards == 1) {
+      val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+      versions.select(col(entityCol), col(tieCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"),
+        lead(col(tsCol), 1).over(w).isNull.as("is_current"))
+    } else {
+      val ts = col(tsCol)
+      // per-entity shard bounds on the primary sort key; double-cast
+      // monotonicity caveats as in Intervals.coalesce (collisions only
+      // merge adjacent shards, never reorder)
+      val bounds = versions.groupBy(col(entityCol))
+        .agg(min(ts.cast("double")).as("_lo"), max(ts.cast("double")).as("_hi"))
+      val width = when(col("_hi") > col("_lo"),
+        (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+      // explicit redistribution on (entity, shard): the bounds join
+      // leaves HashPartitioning(entity), which would satisfy the window's
+      // clustering and let EnsureRequirements elide the exchange —
+      // silently restoring the funnel (the AsOfJoin lesson, SCALE.md)
+      val sharded = versions.join(bounds.hint("SHUFFLE_HASH"), Seq(entityCol))
+        .withColumn("_sh",
+          least(floor((ts.cast("double") - col("_lo")) / width),
+            lit((timeShards - 1).toDouble)).cast("int"))
+        .drop("_lo", "_hi")
+        .repartition(col(entityCol), col("_sh"))
+      // shard-granularity carries (≤ timeShards rows per entity, never a
+      // funnel; both aggregates are map-side combinable): version offset
+      // = rows in strictly-earlier shards; _nxt = the next non-empty
+      // shard's first timestamp (empty shards simply don't appear, so
+      // lead skips them naturally)
+      val shardOrder = Window.partitionBy(col(entityCol)).orderBy(col("_sh"))
+      val carry = sharded.groupBy(col(entityCol), col("_sh"))
+        .agg(count(lit(1)).as("_n"), min(ts).as("_ft"))
+        .select(col(entityCol), col("_sh"),
+          coalesce(sum(col("_n"))
+            .over(shardOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("_off"),
+          lead(col("_ft"), 1).over(shardOrder).as("_nxt"))
+      val wLoc = Window.partitionBy(col(entityCol), col("_sh"))
+        .orderBy(ts, col(tieCol))
+      sharded.join(carry.hint("SHUFFLE_HASH"), Seq(entityCol, "_sh"))
+        .select(col(entityCol), col(tieCol),
+          ts.as("valid_from"),
+          coalesce(lead(ts, 1).over(wLoc), col("_nxt")).as("valid_to"),
+          (row_number().over(wLoc) + col("_off")).cast("long").as("version"),
+          (lead(ts, 1).over(wLoc).isNull && col("_nxt").isNull).as("is_current"))
+    }
   }
 
   /** Merge a change batch into an existing SCD2 history. Exactly
@@ -49,13 +109,13 @@ object Scd2 {
     */
   def applyCdc(dim: DataFrame, batch: DataFrame,
                entityCol: String = "user_id", tieCol: String = "event_id",
-               tsCol: String = "ts"): DataFrame = {
+               tsCol: String = "ts", timeShards: Int = 1): DataFrame = {
     val touched = batch.select(col(entityCol)).distinct()
     val untouched = dim.join(broadcast(touched), Seq(entityCol), "left_anti")
     val oldVersions = dim.join(broadcast(touched), Seq(entityCol), "left_semi")
       .select(col(entityCol), col(tieCol), col("valid_from").as(tsCol))
     val allVersions = oldVersions
       .unionByName(batch.select(col(entityCol), col(tieCol), col(tsCol)))
-    untouched.unionByName(build(allVersions, entityCol, tieCol, tsCol))
+    untouched.unionByName(build(allVersions, entityCol, tieCol, tsCol, timeShards))
   }
 }

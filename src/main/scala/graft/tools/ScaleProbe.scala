@@ -37,6 +37,7 @@ object ScaleProbe {
     if (mode == "asof" || mode == "all") asofProbe(spark)
     if (mode == "intervals" || mode == "all") intervalsProbe(spark)
     if (mode == "sessions" || mode == "all") sessionsProbe(spark)
+    if (mode == "carry" || mode == "all") carryProbe(spark)
     spark.stop()
   }
 
@@ -438,6 +439,96 @@ object ScaleProbe {
             " + session_end % 1000000007")).as("fp"))
           .collect()(0).getLong(0)
         println(f"SESSIONS $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The remaining per-user running-carry shapes under a planted bot
+    * user (the SCALE.md audit's funnel/retention/SCD2 bucket):
+    *
+    *   - `q_funnel` / `q_retention` run in their SCORED form — the claim
+    *     under test is that they need no escape: funnel's stage mins are
+    *     groupBy aggregates (map-side combinable, the bot collapses to
+    *     one row per map partition pre-shuffle) and retention's window
+    *     rides the distinct (user, week) table (≤ #weeks rows per user
+    *     regardless of event volume). Bounded max-task IS the result.
+    *   - `Scd2.build` genuinely windows per entity (a version row per
+    *     event — the bot's 4M-version history is one sort task), so it
+    *     gets the carry-lifted `timeShards` escape, probed 1 vs 32 with
+    *     an output fingerprint proving bit-equality.
+    */
+  private def carryProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    // the bot cycles view/click/purchase so every funnel stage and
+    // retention week sees it; 5 s spacing over ~7 months of weeks
+    val hot = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000").as("ts"),
+      expr("element_at(array('view','click','purchase'), cast(id % 3 as int) + 1)")
+        .as("event_type"),
+      (col("id") % 1000).cast("double").as("value"))
+    val out = "/tmp/graft-scale-carry"
+    ev10.unionByName(hot).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      def measure(label: String)(run: () => Unit): (Double, Double) = {
+        run() // warm
+        val r = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        println(f"CARRY $label%-24s wall=${r._1}%6.2fs maxTask=${r._2}%6.2fs")
+        r
+      }
+      // scored forms straight off SparkEntry: the probe dir substitutes
+      // for the sf dir (same schema), so the bot rides the real plans
+      for (name <- Seq("q_funnel", "q_retention")) {
+        val fn = graft.SparkEntry.queries(name)
+        measure(s"$name 10x+bot") { () =>
+          fn(spark, out).write.mode("overwrite").format("noop").save()
+        }
+      }
+      val ev = spark.read.parquet(s"$out/events.parquet")
+        .select("user_id", "event_id", "ts")
+      for ((label, shards) <- Seq("scd2 1-shard(window)" -> 1, "scd2 32-shard" -> 32)) {
+        measure(label) { () =>
+          graft.ops.Scd2.build(ev, "user_id", "event_id", "ts", timeShards = shards)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val fp = graft.ops.Scd2
+          .build(ev, "user_id", "event_id", "ts", timeShards = shards)
+          .agg(sum(expr("version + valid_from % 1000000007" +
+            " + coalesce(valid_to % 1000000007, -42)" +
+            " + if(is_current, 7, 0)")).as("fp"))
+          .collect()(0).getLong(0)
+        println(f"CARRY $label%-24s fp=$fp")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

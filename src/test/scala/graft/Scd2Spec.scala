@@ -52,4 +52,40 @@ class Scd2Spec extends SparkSpec {
     val dim = Scd2.build(oldV)
     assert(canon(Scd2.applyCdc(dim, batch.limit(0))) == canon(dim))
   }
+
+  // deterministic pseudo-random history: clumpy timestamps WITH ties
+  // (both within and across would-be shard boundaries), singleton
+  // entities, and an entity larger than any shard count under test
+  private lazy val randomV = {
+    val rows = for {
+      u <- 1L to 12L
+      i <- 0L until (u * 11 % 40 + 1)
+    } yield {
+      val mix = u * 2654435761L + i * 40503L
+      (s"u$u", u * 1000 + i, 1000L + (mix % 17) * ((i + 1) / 2)) // repeats + ties
+    }
+    rows.toDF("user_id", "event_id", "ts").repartition(5)
+  }
+
+  test("time-sharded build is bit-identical to the window form") {
+    val ref = canon(Scd2.build(randomV))
+    for (shards <- Seq(2, 3, 7, 64))
+      assert(canon(Scd2.build(randomV, timeShards = shards)) == ref,
+        s"mismatch at timeShards=$shards")
+  }
+
+  test("sharded build closes shard-boundary intervals with the next shard's first ts") {
+    // 8 versions at distinct ts spread across 4 shards: every shard's
+    // last interval must end at the next shard's first version
+    val v = (1L to 8L).map(i => ("b", i, i * 100L)).toDF("user_id", "event_id", "ts")
+    val ref = canon(Scd2.build(v))
+    assert(canon(Scd2.build(v, timeShards = 4)) == ref)
+    // exactly one open row, version numbers 1..8
+    assert(ref.count(_._6) == 1 && ref.map(_._5) == (1L to 8L).toSet)
+  }
+
+  test("sharded applyCdc still equals a full rebuild") {
+    val merged = Scd2.applyCdc(Scd2.build(oldV), batch, timeShards = 3)
+    assert(canon(merged) == canon(Scd2.build(oldV.unionByName(batch))))
+  }
 }

@@ -157,6 +157,12 @@ object Ann {
                   outCol: String = "max_cos"): DataFrame = {
     val rows = benchmark.select(col(benchVecCol)).collect()
     require(rows.nonEmpty, "maxCosineVs requires a non-empty benchmark set")
+    // NULL benchmark vectors are rejected, not skipped: silently dropping
+    // them would fold over a smaller set than the caller shipped, and an
+    // all-null set would let the -2.0 seed escape as an impossible
+    // "cosine" where the crossJoin+max oracle formulation yields NULL
+    require(rows.forall(!_.isNullAt(0)),
+      s"maxCosineVs: benchmark column `$benchVecCol` contains NULL vectors")
     val bench: Seq[Seq[Float]] = rows.toSeq.map(_.getSeq[Float](0))
     val best = aggregate(
       typedLit(bench),

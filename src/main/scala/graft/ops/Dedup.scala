@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * sketch in [[graft.functions.TextAnalysis.charShingleSketch]] follows
   * winnowing — Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for
   * document fingerprinting" (SIGMOD 2003).
+  *
+  * Cache contract (module-wide): every table this module pins via
+  * [[Caching.cached]] — signature tables, candidate pair sets,
+  * collapsed-group tables — has CALLER-MANAGED lifetime: the returned
+  * plan references the pin, so unpersisting here would force a recompute
+  * per consumer. Release with `spark.catalog.clearCache()` once the
+  * result is materialized (what Bench/Verify do per query); [[clusters]]'
+  * per-round localCheckpoints are the one exception — superseded rounds
+  * are released internally via [[Checkpoints.release]].
   */
 object Dedup {
 
@@ -176,6 +185,37 @@ object Dedup {
     sig0.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .groupBy("band").agg(count(lit(1)).as("population"))
       .where(col("population") > maxBandPopulation)
+  }
+
+  /** Docs EVERY band of which is oversized, keyed by their full MinHash
+    * signature — the linear-path recovery behind [[nearDedup]]'s and
+    * [[crossSourceMatrix]]'s population guards. A fully-diverted doc can
+    * never reach the pairwise join (all its LSH keys were excluded), but
+    * the guard's target scenario — verbatim boilerplate repeated across
+    * the corpus — gives those docs IDENTICAL full signatures, so
+    * grouping by `(h0..h{k-1})` recovers the duplicate sets in linear
+    * time: no bucket self-join, no C(n,2) anything. Returns
+    * `(idCol, _g)` with `_g` an md5 over the full signature.
+    *
+    * Recall boundary (callers document it): two fully-diverted docs with
+    * DIFFERENT full signatures (they merely collide on one boilerplate
+    * band) stay unpaired — that collision noise is exactly what the
+    * guard exists to divert.
+    */
+  private def fullyDiverted(sig: DataFrame, numBands: Int, idCol: String,
+                            maxBandPopulation: Long): DataFrame = {
+    // bands over the population cap are FEW by construction (each holds
+    // > cap docs), so the exclusion set broadcasts
+    val over = oversizedBands(sig, numBands, idCol, maxBandPopulation)
+      .select(col("band"), lit(1).as("_ov"))
+    val hCols = sig.columns.filter(_.matches("h\\d+")).sorted.map(col(_))
+    val flagged = (0 until numBands).foldLeft(sig) { (df, b) =>
+      df.join(broadcast(over.select(col("band").as(s"band$b"),
+        col("_ov").as(s"_o$b"))), Seq(s"band$b"), "left")
+    }
+    flagged
+      .where((0 until numBands).map(b => col(s"_o$b").isNotNull).reduce(_ && _))
+      .select(col(idCol), md5(concat_ws("|", hCols: _*)).as("_g"))
   }
 
   /** Persist the LSH band index for INCREMENTAL dedup: (id, band) rows,
@@ -531,22 +571,43 @@ object Dedup {
     */
   def nearDedup(docs: DataFrame, score: Column, threshold: Double = 0.6,
                 shingleSize: Int = 3,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text",
+                maxBandPopulation: Long = Long.MaxValue): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in [0, 1], got $threshold")
-    // cached: the LSH candidate plan (band self-join + distinct) feeds
-    // the verify's pair-scope prune twice plus the verify join itself —
-    // without the cache that join is recomputed three times. Lifetime is
-    // caller-managed like every pinned table in this module (release via
+    // cached: the signature table feeds the LSH candidate plan and (when
+    // the guard is on) the fully-diverted recovery; the candidate plan
+    // (band self-join + distinct) feeds the verify's pair-scope prune
+    // twice plus the verify join itself — without the caches those
+    // subtrees are recomputed per consumer. Lifetime is caller-managed
+    // like every pinned table in this module (release via
     // spark.catalog.clearCache() once the result is materialized).
-    val pairs = minhashCandidates(
-      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol).transform(Caching.cached)
+    val sig = Caching.cached(minhash(docs, idCol = idCol, textCol = textCol))
+    val pairs = minhashCandidates(sig, idCol = idCol,
+      maxBandPopulation = maxBandPopulation).transform(Caching.cached)
     val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b")
+    // A finite guard keeps boilerplate bands out of the quadratic bucket
+    // join, but their members are exactly the near-certain duplicates —
+    // recover the fully-diverted ones linearly as star edges per
+    // identical-full-signature group (signature equality at 4 hashes is
+    // the high-Jaccard core the guard diverted; see [[fullyDiverted]]
+    // for the recall boundary). groupBy+join, never a per-group window:
+    // the hot group must not funnel through one sort task.
+    val edges =
+      if (maxBandPopulation == Long.MaxValue) verified
+      else {
+        val g = fullyDiverted(sig, numBands = 2, idCol, maxBandPopulation)
+        val mins = g.groupBy("_g").agg(min(col(idCol)).as("_m"))
+        val star = g.join(mins, Seq("_g"))
+          .where(col(idCol) =!= col("_m"))
+          .select(col("_m").as("id_a"), col(idCol).as("id_b"))
+        verified.unionByName(star)
+      }
     // clusters() emits its canonical "doc_id" column name; align it with
     // the caller's id column before the keep join
-    keepBest(docs, clusters(verified).withColumnRenamed("doc_id", idCol),
+    keepBest(docs, clusters(edges).withColumnRenamed("doc_id", idCol),
       score, idCol)
   }
 
@@ -563,30 +624,65 @@ object Dedup {
     * the source lookup join) is pair-scoped; the verified pair set is a
     * vanishing corpus fraction, so the two id-keyed lookup joins move
     * |pairs| rows against the corpus's unique-id side, and the final
-    * aggregate is map-side-combinable into <= |sources|² cells. The pinned
-    * candidate table's lifetime is caller-managed ([[nearDedup]]'s
-    * contract).
+    * aggregate is map-side-combinable into <= |sources|² cells. The
+    * pinned signature + candidate tables' lifetimes are caller-managed
+    * ([[nearDedup]]'s contract).
+    *
+    * A within-source boilerplate band — EXACTLY the diagonal-cell
+    * scenario this report surfaces — is also the degenerate quadratic
+    * bucket, so the guard is reachable here: a finite
+    * `maxBandPopulation` keeps hot bands out of the pairwise join and
+    * counts their fully-diverted members' cells LINEARLY instead, as
+    * count products per identical-full-signature group (`n_a·n_b` off
+    * the diagonal, `C(n,2)` on it). Those cells count signature
+    * equality — the near-certain-duplicate core — without per-pair
+    * shingle verification; cross-signature collisions inside a hot band
+    * stay uncounted ([[fullyDiverted]]'s recall boundary).
     */
   def crossSourceMatrix(docs: DataFrame, threshold: Double = 0.6,
                         shingleSize: Int = 3, idCol: String = "doc_id",
                         textCol: String = "text",
-                        srcCol: String = "source"): DataFrame = {
+                        srcCol: String = "source",
+                        maxBandPopulation: Long = Long.MaxValue): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in [0, 1], got $threshold")
-    val pairs = minhashCandidates(
-      minhash(docs, idCol = idCol, textCol = textCol), idCol = idCol)
+    val sig = Caching.cached(minhash(docs, idCol = idCol, textCol = textCol))
+    val pairs = minhashCandidates(sig, idCol = idCol,
+      maxBandPopulation = maxBandPopulation)
       .transform(Caching.cached)
     val verified = ngramJaccard(docs, pairs, shingleSize, idCol, textCol)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     val src = docs.select(col(idCol), col(srcCol))
-    verified
+    val base = verified
       .join(src.select(col(idCol).as("id_a"), col(srcCol).as("_sa")), Seq("id_a"))
       .join(src.select(col(idCol).as("id_b"), col(srcCol).as("_sb")), Seq("id_b"))
       .select(least(col("_sa"), col("_sb")).as("source_a"),
         greatest(col("_sa"), col("_sb")).as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
+    if (maxBandPopulation == Long.MaxValue) base
+    else {
+      // per-(group, source) counts; the cell products join <= |sources|
+      // rows per group against themselves — bounded by the source
+      // dimension, never by member count (no pair enumeration anywhere)
+      val gs = fullyDiverted(sig, numBands = 2, idCol, maxBandPopulation)
+        .join(src, Seq(idCol))
+        .groupBy(col("_g"), col(srcCol)).agg(count(lit(1)).as("_n"))
+        .transform(Caching.cached)
+      val diag = gs.where(col("_n") >= 2)
+        .select(col(srcCol).as("source_a"), col(srcCol).as("source_b"),
+          // integer div, not `/` (double): C(n,2) must stay exact past 2^53
+          expr("(_n * (_n - 1)) div 2").as("n_pairs"))
+      val off = gs.as("x")
+        .join(gs.select(col("_g"), col(srcCol).as("_sy"), col("_n").as("_ny")), Seq("_g"))
+        .where(col(srcCol) < col("_sy"))
+        .select(col(srcCol).as("source_a"), col("_sy").as("source_b"),
+          (col("_n") * col("_ny")).as("n_pairs"))
+      base.unionByName(diag).unionByName(off)
+        .groupBy("source_a", "source_b")
+        .agg(sum(col("n_pairs")).as("n_pairs"))
+    }
   }
 
   /** N-gram Jaccard similarity for given candidate pairs (id_a, id_b):

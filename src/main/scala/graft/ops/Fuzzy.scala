@@ -74,6 +74,11 @@ object Fuzzy {
     * variant and go quadratic inside the join; instead they contribute
     * one representative, their C(n,2) dist-0 pairs are generated
     * output-sized, and representative pairs expand member×member.
+    *
+    * The collapsed-group table is pinned (it feeds the intra-group pair
+    * expansion AND both sides of the variant join); lifetime is
+    * caller-managed — release with `spark.catalog.clearCache()` once the
+    * result is materialized ([[graft.ops.Dedup]]'s module contract).
     */
   def editDistanceJoin(df: DataFrame, idCol: String = "id",
                        strCol: String = "s", maxDist: Int = 1): DataFrame = {

@@ -80,6 +80,59 @@ class Round9OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("maxCosineVs: NULL benchmark vectors are rejected loudly") {
+    val withNull = bench.unionByName(
+      Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("qv"))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.maxCosineVs(corpus, withNull)
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
+  // a 6-copy verbatim clique across two sources + one near-dup pair:
+  // population guard 4 diverts BOTH clique bands (population 6 > 4) but
+  // must not touch the near-dup pair (population 2)
+  private def guardDocs = {
+    val boiler = "verbatim boilerplate sentence repeated across the whole " +
+      "crawl exactly the degenerate band scenario the population guard diverts"
+    val clique = (1L to 6L).map(i =>
+      (i, boiler, if (i <= 4) "srcA" else "srcB"))
+    val near = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank", "srcA"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river delta", "srcB"))
+    (clique ++ near).toDF("doc_id", "text", "source")
+  }
+
+  test("crossSourceMatrix: population guard keeps cells exact for verbatim cliques") {
+    val unguarded = Dedup.crossSourceMatrix(guardDocs, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    val guarded = Dedup.crossSourceMatrix(guardDocs, threshold = 0.5,
+      maxBandPopulation = 4L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    // clique: srcA 4 docs -> C(4,2)=6 diagonal; srcB 2 -> 1; cross 4*2=8;
+    // near pair adds 1 to (srcA, srcB)
+    val expect = Map(("srcA", "srcA") -> 6L, ("srcB", "srcB") -> 1L,
+      ("srcA", "srcB") -> 9L)
+    assert(unguarded == expect, s"unguarded: $unguarded")
+    assert(guarded == expect, s"guarded: $guarded")
+  }
+
+  test("nearDedup: population guard still collapses the diverted clique") {
+    val out = Dedup.nearDedup(guardDocs, score = col("doc_id") * -1,
+      threshold = 0.5, maxBandPopulation = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Any]("cluster_id"), r.getBoolean(3)))
+      .toMap
+    spark.catalog.clearCache()
+    // the 6-doc clique is one cluster keeping exactly one doc
+    val cliqueClusters = (1L to 6L).map(out(_)._1).toSet
+    assert(cliqueClusters.size == 1, s"clique split: $cliqueClusters")
+    assert((1L to 6L).count(out(_)._2) == 1)
+    // the near-dup pair still clusters (its band was under the cap)
+    assert(out(10L)._1 == out(11L)._1)
+  }
+
   test("q_mix_rates: alpha-scaling flattens the mixture and stays a distribution") {
     val rows = SparkEntry.queries("q_mix_rates")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))

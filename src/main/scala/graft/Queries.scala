@@ -26,13 +26,25 @@ object Queries {
       oracle: Option[String],
       run: (SparkSession, String) => DataFrame)
 
+  // Session-scoped table-handle memo — the role a catalog plays for
+  // `spark.table`: `spark.read.parquet` eagerly lists the path and reads
+  // a footer for schema inference on EVERY call, and a bench/verify pass
+  // makes ~1,400 such calls over a handful of fixture tables. The cached
+  // value is the immutable analyzed plan (no data, a few KB); fixture
+  // dirs never change within a session, and a stopped session's entries
+  // are dropped by keying on the session identity.
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects by default; read nanos as long (epoch-nanos) — we only ever
     // use `ts` as an ordering key, where long-nanos order == timestamp
     // order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsToNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    tableMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => tsToNanos(spark.read.parquet(s"$dir/$name.parquet")))
   }
 
   /** Normalize an events frame's `ts` to the repo-wide epoch-nanos-long

@@ -48,17 +48,34 @@ object Graph {
     * final round's localCheckpoint blocks are RDD-level and invisible to
     * `clearCache`; Bench does both per query).
     *
+    * Checkpoint policy: shallow runs (`iters` ≤ [[lazyIterMax]], the
+    * ranking-typical 3–10 minus margin) build ONE lazy DAG — each round
+    * has exactly one consumer so the chain needs no pins, and the whole
+    * run is a single action with zero driver sync; the only cost is a
+    * linearly deeper plan. Deep runs checkpoint each round and release
+    * the superseded one immediately ([[Checkpoints.release]]) — pinned
+    * blocks and lineage stay FLAT in `iters` at the cost of one
+    * materializing job per round (~0.3 s of driver sync per round at
+    * micro scale; at 100 iterations the lazy plan's analyzer cost and
+    * stage count grow without bound, which is the wrong trade everywhere
+    * it matters). Override with `eagerCheckpoint`.
+    *
     * @param edges      directed edge list; duplicates collapse
     * @param iters      power-iteration rounds (ranking stabilizes in
     *                   3–10; exact convergence is not the point of an
     *                   importance ORDERING)
     * @param dampingPpm damping factor in ppm (850000 = the classic 0.85)
+    * @param eagerCheckpoint force per-round checkpoint+release (`true`)
+    *                   or the lazy single-DAG (`false`); default picks by
+    *                   `iters`
     */
   def pageRankPpm(edges: DataFrame, iters: Int, srcCol: String = "src",
-                  dstCol: String = "dst", dampingPpm: Long = 850000L): DataFrame = {
+                  dstCol: String = "dst", dampingPpm: Long = 850000L,
+                  eagerCheckpoint: Option[Boolean] = None): DataFrame = {
     require(iters >= 0 && iters <= 100, s"iters must be in [0, 100], got $iters")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 10^6], got $dampingPpm")
+    val eager = eagerCheckpoint.getOrElse(iters > lazyIterMax)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Caching.cached)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -88,17 +105,32 @@ object Graph {
           s"""CAST($base + (CAST($dampingPpm AS DECIMAL(38,0))
              * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 1000000
              AS BIGINT) AS rank_ppm""")
-        .localCheckpoint(false)
-      // one count job materializes the round (column pruning cannot reach
-      // inside a LogicalRDD, so this computes + pins the full table) and
-      // truncates lineage — the analyzer never sees more than one round
-      next.count()
-      if (prevCkpt != null) Checkpoints.release(prevCkpt)
-      prevCkpt = next
-      ranks = next
+      if (eager) {
+        val ckpt = next.localCheckpoint(false)
+        // one count job materializes the round (column pruning cannot
+        // reach inside a LogicalRDD, so this computes + pins the full
+        // table) and truncates lineage — the analyzer never sees more
+        // than one round
+        ckpt.count()
+        if (prevCkpt != null) Checkpoints.release(prevCkpt)
+        prevCkpt = ckpt
+        ranks = ckpt
+      } else {
+        // lazy: each round has exactly ONE consumer (the next round, or
+        // the final output), so the chain needs no pins at all — just a
+        // linearly-growing DAG executed as a single action
+        ranks = next
+      }
     }
     ranks
   }
+
+  /** Iteration count up to which the single-DAG lazy plan (round tables
+    * pinned, zero driver sync) beats per-round checkpoint+release:
+    * pins grow 2 longs/node/round, so a handful of rounds is cheaper
+    * than paying a materializing job each — past it, dead pins dominate.
+    */
+  private val lazyIterMax = 4
 
   /** Fixed-point HITS hubs-and-authorities (Kleinberg, JACM 1999) — the
     * second classic link-analysis ordering: an *authority* is pointed to
@@ -119,24 +151,35 @@ object Graph {
     *
     * Scale shape: per round exactly one edges⋈hub join + groupBy(dst)
     * and one edges⋈auth join + groupBy(src) — the PageRank schedule run
-    * in both directions. Each direction's raw-sum table is
-    * `localCheckpoint`ed and its normalizing max is computed by the SAME
-    * job that materializes the checkpoint (a 1-row driver scalar folded
-    * back in as a literal — never a data-sized collect, and no
-    * crossJoin/broadcast stage in downstream plans); superseded rounds
-    * are released immediately, so pinned storage and lineage depth are
-    * flat in `iters`. Nodes with no in-edges read `auth_ppm = 0`, no
-    * out-edges `hub_ppm = 0`. Cache lifetime of the final round + edge /
-    * node pins is caller-managed, as in [[pageRankPpm]].
+    * in both directions. Unlike [[pageRankPpm]]'s chain, each raw table
+    * here has TWO consumers (its normalizing max and the next join), so
+    * every round must be pinned under both policies; what the crossover
+    * ([[pageRankPpm]]'s, same `lazyIterMax`) picks is HOW:
+    *
+    *   - shallow/lazy: raw tables pinned via the cache manager, maxima
+    *     as broadcast scalar joins — one action, zero driver sync;
+    *     2·iters node-sized pins live until the caller's release sweep.
+    *   - deep/eager: raw tables `localCheckpoint`ed, the normalizing max
+    *     computed by the SAME job that materializes the checkpoint (a
+    *     1-row driver scalar folded back as a literal — never a
+    *     data-sized collect), superseded rounds released immediately —
+    *     pinned storage and lineage depth flat in `iters`.
+    *
+    * Nodes with no in-edges read `auth_ppm = 0`, no out-edges
+    * `hub_ppm = 0`. Cache lifetime of whatever stays pinned (edge/node
+    * tables; all rounds lazy, final round eager) is caller-managed, as
+    * in [[pageRankPpm]].
     *
     * Returns `(node, hub_ppm, auth_ppm)`.
     */
   def hitsPpm(edges: DataFrame, iters: Int, srcCol: String = "src",
-              dstCol: String = "dst"): DataFrame = {
-    // ≤ 30: HITS orderings stabilize in well under 20 rounds; pinned
-    // storage is flat in iters (superseded rounds are released), so the
-    // cap just bounds wasted compute, not memory
+              dstCol: String = "dst",
+              eagerCheckpoint: Option[Boolean] = None): DataFrame = {
+    // ≤ 30: HITS orderings stabilize in well under 20 rounds; the eager
+    // path keeps pinned storage flat in iters, so the cap just bounds
+    // wasted compute, not memory
     require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    val eager = eagerCheckpoint.getOrElse(iters > lazyIterMax)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Caching.cached)
     val nodes = e.select(col("src").as("node"))
@@ -153,43 +196,56 @@ object Graph {
       (if (r.isNullAt(0)) lit(null) else lit(r.getDecimal(0))).cast("decimal(38,0)")
     var lastHraw: DataFrame = null
     for (i <- 1 to iters) {
-      // each raw table is localCheckpoint'ed (lazy) and materialized by
-      // its own scalar-max job below: unpinned, every later iteration's
-      // plan embeds it twice more — the recompute doubles per consumer
-      // and the plan tree grows exponentially in `iters` (measured 16 s
-      // vs 0.8 s at two iterations, sf0.1). Two longs per node, with the
-      // superseded direction released as soon as its last reader runs —
-      // pinned blocks stay flat in iters.
-      val araw = e
+      // each raw table MUST be pinned before reuse: unpinned, every
+      // later iteration's plan embeds it twice more — the recompute
+      // doubles per consumer and the plan tree grows exponentially in
+      // `iters` (measured 16 s vs 0.8 s at two iterations, sf0.1). Two
+      // longs per node either way; the eager path additionally releases
+      // the superseded direction as soon as its last reader runs.
+      val araw0 = e
         .join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
-        .localCheckpoint(false)
       // normalization widened to decimal(38,0): `ar` is bounded by
       // 10^6 × max in-degree, so the ×10^6 would overflow a long once a
       // node's in-degree passes ~9×10^6 — real at crawl-graph scale.
-      // The oracle's HUGEINT sum mirrors the widening exactly. The max
-      // job doubles as the checkpoint materializer: one scan computes
-      // and pins the table AND returns the 1-row scalar.
-      val am = scalarLit(araw.agg(max(col("ar"))).collect()(0))
-      // hub_{i-1}'s backing table had exactly one remaining reader — the
-      // araw job that just ran
-      if (lastHraw != null) Checkpoints.release(lastHraw)
-      auth = araw.withColumn("am", am)
-        .selectExpr("node",
-          "cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint) as a")
-      val hraw = e
+      // The oracle's HUGEINT sum mirrors the widening exactly. In the
+      // eager path the max job doubles as the checkpoint materializer:
+      // one scan computes and pins the table AND returns the scalar.
+      val araw = if (eager) araw0.localCheckpoint(false)
+                 else araw0.transform(Caching.cached)
+      auth =
+        if (eager) {
+          val am = scalarLit(araw.agg(max(col("ar"))).collect()(0))
+          // hub_{i-1}'s backing table had exactly one remaining reader —
+          // the araw job that just ran
+          if (lastHraw != null) Checkpoints.release(lastHraw)
+          araw.withColumn("am", am)
+            .selectExpr("node",
+              "cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint) as a")
+        } else
+          araw.crossJoin(broadcast(araw.agg(max(col("ar")).as("am"))))
+            .selectExpr("node",
+              "cast((cast(ar as decimal(38,0)) * 1000000) div am as bigint) as a")
+      val hraw0 = e
         .join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
-        .localCheckpoint(false)
-      val hm = scalarLit(hraw.agg(max(col("hr"))).collect()(0))
-      // auth_i's only reader was the hraw job — unless this is the final
-      // round, where the caller's output still projects from araw
-      if (i < iters) Checkpoints.release(araw)
-      hub = hraw.withColumn("hm", hm)
-        .selectExpr("node",
-          "cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint) as h")
+      val hraw = if (eager) hraw0.localCheckpoint(false)
+                 else hraw0.transform(Caching.cached)
+      hub =
+        if (eager) {
+          val hm = scalarLit(hraw.agg(max(col("hr"))).collect()(0))
+          // auth_i's only reader was the hraw job — unless this is the
+          // final round, where the output still projects from araw
+          if (i < iters) Checkpoints.release(araw)
+          hraw.withColumn("hm", hm)
+            .selectExpr("node",
+              "cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint) as h")
+        } else
+          hraw.crossJoin(broadcast(hraw.agg(max(col("hr")).as("hm"))))
+            .selectExpr("node",
+              "cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint) as h")
       lastHraw = hraw
     }
     nodes

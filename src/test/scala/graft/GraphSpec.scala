@@ -88,27 +88,42 @@ class GraphSpec extends SparkSpec {
   private def livePins(): Int =
     spark.sparkContext.getPersistentRDDs.size
 
-  test("PageRank pins stay flat across iteration depth (no superseded pins)") {
+  test("PageRank pins stay flat across iteration depth (eager: no superseded pins)") {
     sweep()
-    Graph.pageRankPpm(edges, 3).collect()
+    Graph.pageRankPpm(edges, 5).collect()
     val shallow = livePins()
     sweep()
-    Graph.pageRankPpm(edges, 10).collect()
+    Graph.pageRankPpm(edges, 12).collect()
     val deep = livePins()
     sweep()
     assert(deep == shallow,
-      s"pinned RDDs grew with iters: 3-iter=$shallow, 10-iter=$deep")
+      s"pinned RDDs grew with iters: 5-iter=$shallow, 12-iter=$deep")
   }
 
-  test("HITS pins stay flat across iteration depth (no superseded pins)") {
+  test("HITS pins stay flat across iteration depth (eager: no superseded pins)") {
     sweep()
-    Graph.hitsPpm(edges, 2).collect()
+    Graph.hitsPpm(edges, 5).collect()
     val shallow = livePins()
     sweep()
-    Graph.hitsPpm(edges, 8).collect()
+    Graph.hitsPpm(edges, 10).collect()
     val deep = livePins()
     sweep()
     assert(deep == shallow,
-      s"pinned RDDs grew with iters: 2-iter=$shallow, 8-iter=$deep")
+      s"pinned RDDs grew with iters: 5-iter=$shallow, 10-iter=$deep")
+  }
+
+  test("lazy and eager checkpoint policies produce identical results") {
+    val pr = Graph.pageRankPpm(edges, 3) // lazy by default at 3
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prEager = Graph.pageRankPpm(edges, 3, eagerCheckpoint = Some(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr == prEager)
+    sweep()
+    val h = Graph.hitsPpm(edges, 2) // lazy by default at 2
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hEager = Graph.hitsPpm(edges, 2, eagerCheckpoint = Some(true))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h == hEager)
+    sweep()
   }
 }

@@ -867,6 +867,25 @@ object Queries {
         lead(tsMicros, 1).over(w).isNull.as("is_current"))
     })
 
+  /** The time-sharded twin of q_scd2, SCORED: [[graft.ops.Scd2.build]]
+    * at `timeShards = 8` (the bot-entity escape — per-entity time blocks
+    * with a version-offset carry for row_number and a next-shard-first-ts
+    * carry for lead) must reproduce the per-entity history bit-for-bit.
+    * Spec-asserted at 2/3/7/64 shards and probed under a 4M-version bot
+    * (SCALE.md carry probe); this row adds the driver's engine-
+    * independent hash proof at sf scale.
+    */
+  private val qScd2Sharded = Q("q_scd2_sharded",
+    Some("""SELECT user_id, event_id, epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events"""),
+    (s, d) => graft.ops.Scd2.build(
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        tsMicros.as("vts")),
+      "user_id", "event_id", "vts", timeShards = 8))
+
   /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
     * — the latest row per entity among events at-or-before it. This is
     * [[graft.ops.Compact]]'s last-writer-wins window with the cutoff
@@ -1454,6 +1473,32 @@ object Queries {
     (s, d) => graft.ops.Sessionize
       .viaIntervals(t(s, d, "events"), "user_id", "ts", "event_id",
         gap = 1800000000000L)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(session_end - session_start) div 1000000000").as("duration_s")))
+
+  /** The time-sharded twin of q_sessionize, SCORED: the bot-user escape
+    * (`timeShards = 8` — per-user time blocks with the coalesce's
+    * max-end + island-count carries) must reproduce the single-window
+    * sessionization bit-for-bit, session NUMBERING included. The spec
+    * asserts it on fixtures and the SCALE.md sessions probe under a
+    * planted 4M-event bot; this row makes the driver's DuckDB hash the
+    * third, engine-independent proof at sf scale.
+    */
+  private val qSessionizeSharded = Q("q_sessionize_sharded",
+    Some("""WITH marked AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+              CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                   OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (SELECT user_id, event_id, tns,
+              CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+              (max(tns) - min(tns)) // 1000000000 AS duration_s
+            FROM sessions GROUP BY user_id, session_id"""),
+    (s, d) => graft.ops.Sessionize
+      .viaIntervals(t(s, d, "events"), "user_id", "ts", "event_id",
+        gap = 1800000000000L, timeShards = 8)
       .select(col("user_id"), col("session_id"), col("n_events"),
         expr("(session_end - session_start) div 1000000000").as("duration_s")))
 
@@ -2970,9 +3015,9 @@ object Queries {
     qSubquery, qArray,
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
-    qFlatten, qTransform, qStreamCompact, qSessionize,
+    qFlatten, qTransform, qStreamCompact, qSessionize, qSessionizeSharded,
     qFunnel, qRetention, qGapfill, qRegression,
-    qPagerank, qHits, qIntervalMerge, qScd2Merge, qIntegrity)
+    qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

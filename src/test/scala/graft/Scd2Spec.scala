@@ -88,4 +88,15 @@ class Scd2Spec extends SparkSpec {
     val merged = Scd2.applyCdc(Scd2.build(oldV), batch, timeShards = 3)
     assert(canon(merged) == canon(Scd2.build(oldV.unionByName(batch))))
   }
+
+  test("sharded build keeps its (entity, shard) exchange in the physical plan") {
+    // the bounds join leaves HashPartitioning(entity), which SATISFIES the
+    // local window's ClusteredDistribution(entity, shard) — without the
+    // explicit repartition, EnsureRequirements elides the exchange and
+    // silently restores the per-entity funnel (the AsOfJoin lesson)
+    val plan = Scd2.build(randomV, timeShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id") && plan.contains("_sh"),
+      s"missing (user_id, _sh) exchange:\n${plan.take(2000)}")
+  }
 }

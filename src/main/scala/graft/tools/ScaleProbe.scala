@@ -38,6 +38,7 @@ object ScaleProbe {
     if (mode == "intervals" || mode == "all") intervalsProbe(spark)
     if (mode == "sessions" || mode == "all") sessionsProbe(spark)
     if (mode == "carry" || mode == "all") carryProbe(spark)
+    if (mode == "guard" || mode == "all") guardProbe(spark)
     spark.stop()
   }
 
@@ -64,8 +65,12 @@ object ScaleProbe {
       "through this long synthetic paragraph that exists only to plant one " +
       "degenerate minhash band bucket and one simhash block bucket in the " +
       "scale probe corpus so the pair stages see their adversarial case") // > 8-gram shingles
+    // hot ids live at 2e9 — clear of every replica band (band i re-keys
+    // by +i*1e8, so band 9 occupies 9e8+orig; a 9e8 hot base ALIASED the
+    // first 1,000 band-9 ids, silently merging hot and replica rows in
+    // every id-keyed stage — caught by the round-10 guard probe)
     val hotDocs = spark.range(1000).select(
-      (col("id") + 900000000L).as("doc_id"),
+      (col("id") + 2000000000L).as("doc_id"),
       lit(hotText).as("text"),
       lit("en").as("lang"),
       lit("hotsource").as("source"),
@@ -80,7 +85,7 @@ object ScaleProbe {
     val hotVec = emb.orderBy("vec_id").limit(1)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
     val hotEmb = spark.range(1000).select(
-      (col("id") + 900000000L).as("vec_id"),
+      (col("id") + 2000000000L).as("vec_id"),
       typedLit(hotVec).as("embedding"),
       lit(0).as("label"))
     emb10.unionByName(hotEmb).repartition(32)
@@ -97,7 +102,7 @@ object ScaleProbe {
       cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 100000000L)))
       .reduce(_ unionByName _)
     val hotCust = cust.where(col("c_nationkey") === 1).limit(1)
-      .crossJoin(spark.range(1000).select((col("id") + 900000000L).as("_hk")))
+      .crossJoin(spark.range(1000).select((col("id") + 2000000000L).as("_hk")))
       .withColumn("c_custkey", col("_hk")).drop("_hk")
       .withColumn("c_name", lit("Customer#HOTCLIQUE0000"))
     cust10.unionByName(hotCust).repartition(32)
@@ -171,6 +176,63 @@ object ScaleProbe {
         val rows = fn(spark, dir).count()
         spark.catalog.clearCache()
         println(f"PAIRS $name%-24s $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs rows=$rows")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The LSH population guard on the pairs corpus (requires the `pairs`
+    * probe's 10×+hot corpus at /tmp/graft-scale — built here if absent):
+    * `crossSourceMatrix` unguarded (the 1,000-doc boilerplate clique
+    * rides the quadratic band bucket, C(1000,2) pairs enumerated and
+    * Jaccard-verified) vs guarded at `maxBandPopulation = 500` (the hot
+    * bands divert; the clique's cells come back as LINEAR count
+    * products per identical-full-signature group). Cells must be EQUAL
+    * — identical docs verify at J = 1.0 in the unguarded run, so the
+    * guard's signature-equality core covers exactly the same pairs.
+    */
+  private def guardProbe(spark: SparkSession): Unit = {
+    val out = "/tmp/graft-scale"
+    if (!new java.io.File(s"$out/documents.parquet").exists()) pairsProbe(spark)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      var cells = Map.empty[String, Map[(String, String), Long]]
+      for ((label, cap) <- Seq("unguarded" -> Long.MaxValue, "cap=500" -> 500L)) {
+        def run() = graft.ops.Dedup
+          .crossSourceMatrix(docs, threshold = 0.5, maxBandPopulation = cap)
+        run().write.mode("overwrite").format("noop").save() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run().write.mode("overwrite").format("noop").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        cells += label -> run().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        spark.catalog.clearCache()
+        println(f"GUARD dup_matrix $label%-10s wall=$wall%6.2fs maxTask=$maxTask%6.2fs cells=${cells(label).size}")
+      }
+      val eq = cells("unguarded") == cells("cap=500")
+      println(s"GUARD cells_equal=$eq")
+      if (!eq) {
+        val a = cells("unguarded"); val b = cells("cap=500")
+        (a.keySet ++ b.keySet).toSeq.sorted.take(10).foreach { k =>
+          if (a.get(k) != b.get(k))
+            println(s"GUARD diff $k unguarded=${a.get(k)} guarded=${b.get(k)}")
+        }
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

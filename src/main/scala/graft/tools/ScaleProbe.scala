@@ -282,6 +282,25 @@ object ScaleProbe {
         spark.catalog.clearCache()
         println(f"GRAPH pagerank $label%-8s wall=$wall%6.2fs maxTask=$maxTask%6.2fs")
       }
+      // deep power iteration on the hot corpus: the eager checkpoint
+      // policy (auto past 4 rounds) must hold pinned RDDs FLAT — the
+      // count after 20 rounds equals the count after 6 — while wall
+      // grows linearly in rounds (no lineage blowup, no analyzer drift)
+      def sweepRdds(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+      val deepEdges = e10.unionByName(hot)
+      for (iters <- Seq(6, 20)) {
+        sweepRdds()
+        val t0 = System.nanoTime()
+        graft.ops.Graph.pageRankPpm(deepEdges, iters = iters)
+          .write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val pins = spark.sparkContext.getPersistentRDDs.size
+        sweepRdds()
+        println(f"GRAPH pagerank-deep iters=$iters%-3d 10x+hot wall=$wall%6.2fs pinnedRDDs=$pins")
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -96,4 +96,43 @@ class CarryPropertySpec extends SparkSpec {
       got == ref
     })
   }
+
+  // true intervals (not equal-length leases): independent lengths with a
+  // heavy containment mix — the case where the running-MAX carry differs
+  // from a lag(end) carry, and the one the lease-based properties above
+  // cannot reach
+  private val intervalGen: Gen[Seq[(Long, Long, Long, Long)]] = for {
+    nKeys <- Gen.choose(1, 4)
+    rows <- Gen.sequence[Seq[Seq[(Long, Long, Long, Long)]], Seq[(Long, Long, Long, Long)]](
+      (1 to nKeys).map { k =>
+        for {
+          n <- Gen.choose(1, 25)
+          ivs <- Gen.listOfN(n, for {
+            s <- Gen.choose(0L, 500L)
+            len <- Gen.frequency(3 -> Gen.choose(0L, 30L),
+              1 -> Gen.choose(100L, 400L)) // long ones contain later starts
+          } yield (s, s + len))
+        } yield ivs.zipWithIndex.map { case ((s, e), i) =>
+          (k.toLong * 10000 + i, k.toLong, s, e)
+        }
+      })
+  } yield rows.flatten
+
+  private def canonIv(d: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("intervals: sharded coalesce == single-window on random containment-heavy sets") {
+    check(30)(Prop.forAll(intervalGen, Gen.oneOf(2, 3, 7, 16)) { (rows, shards) =>
+      val iv = rows.toDF("event_id", "user_id", "s", "e").repartition(5)
+      val ref = canonIv(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id"))
+      val got = canonIv(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards))
+      if (got != ref)
+        println(s"MISMATCH shards=$shards rows=$rows\nref=$ref\ngot=$got")
+      got == ref
+    })
+  }
 }

@@ -301,6 +301,18 @@ object ScaleProbe {
         sweepRdds()
         println(f"GRAPH pagerank-deep iters=$iters%-3d 10x+hot wall=$wall%6.2fs pinnedRDDs=$pins")
       }
+      // HITS at depth: same flat-pins contract, both directions' rounds
+      // released as their last readers run
+      for (iters <- Seq(6, 15)) {
+        sweepRdds()
+        val t0 = System.nanoTime()
+        graft.ops.Graph.hitsPpm(deepEdges, iters = iters)
+          .write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val pins = spark.sparkContext.getPersistentRDDs.size
+        sweepRdds()
+        println(f"GRAPH hits-deep     iters=$iters%-3d 10x+hot wall=$wall%6.2fs pinnedRDDs=$pins")
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -31,10 +31,14 @@ object Queries {
   // a footer for schema inference on EVERY call, and a bench/verify pass
   // makes ~1,400 such calls over a handful of fixture tables. The cached
   // value is the immutable analyzed plan (no data, a few KB); fixture
-  // dirs never change within a session, and a stopped session's entries
-  // are dropped by keying on the session identity.
+  // dirs never change within a session. Keyed on the session OBJECT via
+  // a weak map (SparkSession has identity equals): a stopped session's
+  // entries become unreachable and GC away — an int identity-hash key
+  // could collide with a later session after GC and hand it plans bound
+  // to a dead session.
   private val tableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
@@ -42,9 +46,16 @@ object Queries {
     // use `ts` as an ordering key, where long-nanos order == timestamp
     // order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => tsToNanos(spark.read.parquet(s"$dir/$name.parquet")))
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name),
+      tsToNanos(spark.read.parquet(s"$dir/$name.parquet")))
   }
 
   /** Normalize an events frame's `ts` to the repo-wide epoch-nanos-long

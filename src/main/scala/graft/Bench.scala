@@ -117,7 +117,10 @@ object Bench {
     // stderr — a fast-failing query must not pass as a fast query.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val detailPath = "bench_queries.json"
+    // A SPARK_GRAFT_ONLY subset run is for local iteration — it must not
+    // clobber the committed full-board detail snapshot.
+    val detailPath =
+      if (only.isEmpty) "bench_queries.json" else "bench_queries_only.json"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     try {

@@ -38,6 +38,14 @@ object Graph {
 
   /** Fixed-point PageRank (see object doc). Returns `(node, rank_ppm)`.
     *
+    * Stays a LAZY plan under adaptive execution — deliberately NOT given
+    * [[hitsPpm]]'s non-adaptive window: the shallow path here is ONE
+    * single-consumer chain (join → agg → join per round) that AQE's
+    * runtime coalescing measurably helps (sf0.1 / 32 cores: 1.19 s
+    * adaptive vs 1.51 s fixed-plan), where HITS's two-consumers-per-round
+    * structure pays replan latency instead. Measured, not guessed — the
+    * two ops encode opposite policies because the numbers are opposite.
+    *
     * Cache lifetime is CALLER-MANAGED (same contract as
     * [[graft.ops.Dedup.prefixFilterJoin]]): the returned plan references
     * the cached edge / degree-annotated-edge / node tables, which cannot
@@ -158,7 +166,8 @@ object Graph {
     *
     *   - shallow/lazy: raw tables pinned via the cache manager, maxima
     *     as broadcast scalar joins — one action, zero driver sync;
-    *     2·iters node-sized pins live until the caller's release sweep.
+    *     2·iters node-sized pins live until the caller's release sweep
+    *     (plan-keyed: a re-run over the same edges re-hits them).
     *   - deep/eager: raw tables `localCheckpoint`ed, the normalizing max
     *     computed by the SAME job that materializes the checkpoint (a
     *     1-row driver scalar folded back as a literal — never a
@@ -166,9 +175,15 @@ object Graph {
     *     pinned storage and lineage depth flat in `iters`.
     *
     * Nodes with no in-edges read `auth_ppm = 0`, no out-edges
-    * `hub_ppm = 0`. Cache lifetime of whatever stays pinned (edge/node
-    * tables; all rounds lazy, final round eager) is caller-managed, as
-    * in [[pageRankPpm]].
+    * `hub_ppm = 0`.
+    *
+    * EXECUTES AT CALL TIME, inside a non-adaptive planning window
+    * ([[FixedPlan.withAqeOff]] — the opposite policy from
+    * [[pageRankPpm]], for the measured reasons documented there), and
+    * returns the materialized checkpoint. The eager path's final-round
+    * checkpoints are released here once the output is pinned (nothing
+    * can re-hit a checkpoint); the lazy path's plan-keyed round pins and
+    * the edge/node caches remain caller-managed as in [[pageRankPpm]].
     *
     * Returns `(node, hub_ppm, auth_ppm)`.
     */
@@ -179,6 +194,7 @@ object Graph {
     // path keeps pinned storage flat in iters, so the cap just bounds
     // wasted compute, not memory
     require(iters >= 1 && iters <= 30, s"iters must be in [1, 30], got $iters")
+    FixedPlan.withAqeOff(edges.sparkSession) {
     val eager = eagerCheckpoint.getOrElse(iters > lazyIterMax)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Caching.cached)
@@ -195,6 +211,7 @@ object Graph {
     def scalarLit(r: org.apache.spark.sql.Row): org.apache.spark.sql.Column =
       (if (r.isNullAt(0)) lit(null) else lit(r.getDecimal(0))).cast("decimal(38,0)")
     var lastHraw: DataFrame = null
+    var lastAraw: DataFrame = null
     for (i <- 1 to iters) {
       // each raw table MUST be pinned before reuse: unpinned, every
       // later iteration's plan embeds it twice more — the recompute
@@ -247,12 +264,25 @@ object Graph {
             .selectExpr("node",
               "cast((cast(hr as decimal(38,0)) * 1000000) div hm as bigint) as h")
       lastHraw = hraw
+      lastAraw = araw
     }
-    nodes
+    // materialize INSIDE the fixed-plan window (see pageRankPpm). The
+    // eager path's final-round checkpoints are released here — they are
+    // not plan-keyed, so nothing can ever re-hit them. The lazy path's
+    // cache-manager round pins stay (caller-managed, like e/nodes): a
+    // re-run over the same edge frame re-hits them by plan equality.
+    val out = nodes
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("h"), lit(0L)).as("hub_ppm"),
         coalesce(col("a"), lit(0L)).as("auth_ppm"))
+      .localCheckpoint()
+    if (eager) {
+      Checkpoints.release(lastAraw)
+      Checkpoints.release(lastHraw)
+    }
+    out
+    }
   }
 }

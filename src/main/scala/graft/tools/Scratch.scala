@@ -17,6 +17,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("stages")) { pipelineStages(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("floor")) { floor(spark, sfDir); spark.stop(); return }
+    if (args.headOption.contains("aqe")) { aqeAblate(spark, sfDir, args.drop(1)); spark.stop(); return }
     val names = if (args.isEmpty) Seq("q_dedup_pipeline") else args.toSeq
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
@@ -31,6 +32,43 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Ablate AQE sub-features one at a time over the given queries to
+    * find WHICH runtime-adaptation path costs the wall difference the
+    * on/off A-B shows (the flag is read at execution time, so setting
+    * session conf between runs is enough).
+    */
+  def aqeAblate(spark: SparkSession, sfDir: String, queries: Seq[String]): Unit = {
+    val names = if (queries.isEmpty) Seq("q_dedup_prefix") else queries
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "aqe=on" -> Map("spark.sql.adaptive.enabled" -> "true"),
+      "aqe=off" -> Map("spark.sql.adaptive.enabled" -> "false"),
+      "on,noCoalesce" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false"),
+      "on,noRuntimeBhj" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"),
+      "on,noLocalReader" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.localShuffleReader.enabled" -> "false"),
+      "on,noSkewJoin" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false"))
+    for (n <- names) {
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      for ((label, conf) <- variants) {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$n%-20s $label%-18s min=${runs.min}%.2f  runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+        conf.keys.foreach(spark.conf.unset)
+      }
+    }
   }
 
   /** Decompose the per-query bench floor: scheduling, single-row-group

@@ -146,10 +146,16 @@ object AsOfJoin {
             max(col("_t").cast("double")).as("_hi"))
         val width = when(col("_hi") > col("_lo"),
           (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+        // NULL timestamps take a dedicated FIRST shard (-1), matching the
+        // single window's NULLS FIRST `_t` order — `least` skips NULLs
+        // and would otherwise route them to the LAST shard, where a
+        // NULL-ts probe could see a carry-in the unsharded window never
+        // shows it (see Intervals.coalesce)
         val sharded = u.join(bounds.hint("SHUFFLE_HASH"), Seq("_k"))
           .withColumn("_sh",
-            least(floor((col("_t").cast("double") - col("_lo")) / width),
-              lit((timeShards - 1).toDouble)).cast("int"))
+            when(col("_t").isNull, lit(-1)).otherwise(
+              least(floor((col("_t").cast("double") - col("_lo")) / width),
+                lit((timeShards - 1).toDouble)).cast("int")))
           .drop("_lo", "_hi")
         // Carry-in: the latest right row of every strictly-earlier
         // shard. The per-(key, shard) pick is a map-side-combinable

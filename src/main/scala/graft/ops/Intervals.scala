@@ -68,10 +68,17 @@ object Intervals {
         .agg(min(s.cast("double")).as("_lo"), max(s.cast("double")).as("_hi"))
       val width = when(col("_hi") > col("_lo"),
         (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+      // NULL starts take a dedicated FIRST shard (-1): the single window's
+      // ORDER BY sorts them NULLS FIRST, and `least` would otherwise skip
+      // the NULL arithmetic and route them to the LAST shard — silently
+      // reordering them after every real start (caught by the NULL-key
+      // carry spec). Integer shard order then reproduces the window's
+      // order exactly, NULLs included.
       val sharded = df.join(bounds.hint("SHUFFLE_HASH"), Seq(keyCol))
         .withColumn("_sh",
-          least(floor((s.cast("double") - col("_lo")) / width),
-            lit((timeShards - 1).toDouble)).cast("int"))
+          when(s.isNull, lit(-1)).otherwise(
+            least(floor((s.cast("double") - col("_lo")) / width),
+              lit((timeShards - 1).toDouble)).cast("int")))
         .drop("_lo", "_hi")
         // EXPLICIT redistribution on (key, shard): the bounds join leaves
         // HashPartitioning(key), which SATISFIES the (key, shard) window's

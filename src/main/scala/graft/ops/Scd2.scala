@@ -61,10 +61,14 @@ object Scd2 {
       // leaves HashPartitioning(entity), which would satisfy the window's
       // clustering and let EnsureRequirements elide the exchange —
       // silently restoring the funnel (the AsOfJoin lesson, SCALE.md)
+      // NULL timestamps take a dedicated FIRST shard (-1), matching the
+      // single window's NULLS FIRST order — `least` skips NULLs and would
+      // otherwise route them to the LAST shard (see Intervals.coalesce)
       val sharded = versions.join(bounds.hint("SHUFFLE_HASH"), Seq(entityCol))
         .withColumn("_sh",
-          least(floor((ts.cast("double") - col("_lo")) / width),
-            lit((timeShards - 1).toDouble)).cast("int"))
+          when(ts.isNull, lit(-1)).otherwise(
+            least(floor((ts.cast("double") - col("_lo")) / width),
+              lit((timeShards - 1).toDouble)).cast("int")))
         .drop("_lo", "_hi")
         .repartition(col(entityCol), col("_sh"))
       // shard-granularity carries (≤ timeShards rows per entity, never a
@@ -82,12 +86,20 @@ object Scd2 {
           lead(col("_ft"), 1).over(shardOrder).as("_nxt"))
       val wLoc = Window.partitionBy(col(entityCol), col("_sh"))
         .orderBy(ts, col(tieCol))
+      // positional last-of-shard test (lead of a literal): `lead(ts)`
+      // alone cannot distinguish "no next version in this shard" from
+      // "next version has a NULL ts" — the reference window's valid_to
+      // IS the next version's ts, NULL included, so the carry must only
+      // substitute on the true last row of the shard
+      val hasNext = lead(lit(1), 1).over(wLoc).isNotNull
       sharded.join(carry.hint("SHUFFLE_HASH"), Seq(entityCol, "_sh"))
         .select(col(entityCol), col(tieCol),
           ts.as("valid_from"),
-          coalesce(lead(ts, 1).over(wLoc), col("_nxt")).as("valid_to"),
+          when(hasNext, lead(ts, 1).over(wLoc)).otherwise(col("_nxt"))
+            .as("valid_to"),
           (row_number().over(wLoc) + col("_off")).cast("long").as("version"),
-          (lead(ts, 1).over(wLoc).isNull && col("_nxt").isNull).as("is_current"))
+          when(hasNext, lead(ts, 1).over(wLoc).isNull)
+            .otherwise(col("_nxt").isNull).as("is_current"))
     }
   }
 

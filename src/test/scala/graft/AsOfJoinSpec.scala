@@ -102,6 +102,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(32) == run(1))
   }
 
+  test("time-sharded form matches the window form with NULL timestamps") {
+    // NULL sort keys take the dedicated first shard (-1), matching the
+    // window's NULLS FIRST `_t` order: a NULL-ts probe must see NO
+    // carry-in (nothing sorts before it in the single window), and a
+    // NULL-ts quote must sort before — and be superseded by — every
+    // real quote, in both forms
+    val q = Seq(("H", null, 5.0), ("H", java.lang.Long.valueOf(10L), 1.0),
+        ("H", java.lang.Long.valueOf(200L), 2.0))
+      .toDF("sym", "qts", "px")
+    val t = Seq((1L, "H", null), (2L, "H", java.lang.Long.valueOf(5L)),
+        (3L, "H", java.lang.Long.valueOf(50L)),
+        (4L, "H", java.lang.Long.valueOf(300L)))
+      .toDF("trade_id", "sym", "tts")
+    def run(shards: Int) = AsOfJoin.asOf(t, q, "sym", "sym", "tts", "qts",
+        Seq("px"), tieBreak = "px", joinType = "left", timeShards = shards)
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val ref = run(1)
+    // the window semantic: NULL-ts trade sees only the NULL-ts quote;
+    // real trades see the latest real quote at-or-before
+    assert(ref == Map(1L -> Some(5.0), 2L -> Some(5.0),
+      3L -> Some(1.0), 4L -> Some(2.0)))
+    for (shards <- Seq(2, 3, 8)) assert(run(shards) == ref, s"shards=$shards")
+  }
+
   test("tolerance: matches older than leftTs - tol null out (left) or drop (inner)") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 50L))
       .toDF("trade_id", "sym", "tts")

@@ -135,4 +135,66 @@ class CarryPropertySpec extends SparkSpec {
       got == ref
     })
   }
+
+  // NULL primary sort keys — the shardedCum lesson (round 8) applied to
+  // the carry escapes: a NULL ts takes the NULL shard, which sorts FIRST
+  // in the shard-order windows exactly as NULL ts sorts first in the
+  // single window's ORDER BY, so the sharded forms must reproduce the
+  // window reference bit-for-bit, NULLs included. Fixed adversarial
+  // shapes (NULLs mixed into a real timeline; an all-NULL entity) rather
+  // than generator noise: the cases are about the NULL shard's ordering
+  // and carries, not the input distribution.
+  private def canonScd2N(d: DataFrame): Set[(Long, Long, Option[Long], Option[Long], Long, Boolean)] =
+    d.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getBoolean(5))
+    }.toSet
+
+  test("scd2: sharded build == window reference with NULL timestamps") {
+    val rows: Seq[(Long, Long, java.lang.Long)] = Seq(
+      // u1: two NULL-ts versions (tie key orders them) + a real history
+      (1L, 1L, null), (2L, 1L, null), (3L, 1L, java.lang.Long.valueOf(100L)),
+      (4L, 1L, java.lang.Long.valueOf(250L)), (5L, 1L, java.lang.Long.valueOf(250L)),
+      (6L, 1L, java.lang.Long.valueOf(900L)),
+      // u2: every version NULL-ts
+      (7L, 2L, null), (8L, 2L, null), (9L, 2L, null),
+      // u3: single real version (control)
+      (10L, 3L, java.lang.Long.valueOf(5L)))
+    val v = rows.toDF("event_id", "user_id", "ts").repartition(4)
+    val ref = canonScd2N(Scd2.build(v))
+    for (shards <- Seq(2, 3, 7)) {
+      val got = canonScd2N(Scd2.build(v, timeShards = shards))
+      assert(got == ref, s"shards=$shards\nref=$ref\ngot=$got")
+    }
+  }
+
+  private def canonIvN(d: DataFrame): Set[(Long, Long, Option[Long], Option[Long], Long)] =
+    d.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))
+    }.toSet
+
+  test("intervals: sharded coalesce == single-window with NULL starts") {
+    val rows: Seq[(Long, Long, java.lang.Long, java.lang.Long)] = Seq(
+      // k1: NULL-start rows (one with a real end that should seed the
+      // running max for everything after, one fully NULL) + real islands
+      (1L, 1L, null, java.lang.Long.valueOf(120L)), (2L, 1L, null, null),
+      (3L, 1L, java.lang.Long.valueOf(100L), java.lang.Long.valueOf(110L)),
+      (4L, 1L, java.lang.Long.valueOf(130L), java.lang.Long.valueOf(140L)),
+      (5L, 1L, java.lang.Long.valueOf(500L), java.lang.Long.valueOf(600L)),
+      // k2: all-NULL starts
+      (6L, 2L, null, null), (7L, 2L, null, java.lang.Long.valueOf(9L)))
+    val iv = rows.toDF("event_id", "user_id", "s", "e").repartition(4)
+    val ref = canonIvN(graft.ops.Intervals
+      .coalesce(iv, "user_id", "s", "e", "event_id"))
+    for (shards <- Seq(2, 3, 7)) {
+      val got = canonIvN(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards))
+      assert(got == ref, s"shards=$shards\nref=$ref\ngot=$got")
+    }
+  }
 }

@@ -170,6 +170,47 @@ class CarryPropertySpec extends SparkSpec {
     }
   }
 
+  // randomized NULL injection over the same timeline space: the fixed
+  // cases above pin the mechanism (NULL shard first, positional carry);
+  // this walks NULL × tie × shard-boundary interactions the fixed shapes
+  // can't enumerate
+  test("scd2: sharded == window reference with randomly NULLed timestamps") {
+    check(20)(Prop.forAll(timelineGen, Gen.oneOf(2, 3, 7, 16),
+        Gen.choose(0L, Long.MaxValue)) { (rows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val withNulls = rows.map { case (e, k, t) =>
+        (e, k, if (rnd.nextInt(6) == 0) null
+               else java.lang.Long.valueOf(t): java.lang.Long)
+      }
+      val v = withNulls.toDF("event_id", "user_id", "ts").repartition(5)
+      val ref = canonScd2N(Scd2.build(v))
+      val got = canonScd2N(Scd2.build(v, timeShards = shards))
+      if (got != ref)
+        println(s"MISMATCH shards=$shards rows=$withNulls\nref=$ref\ngot=$got")
+      got == ref
+    })
+  }
+
+  test("intervals: sharded == single-window with randomly NULLed bounds") {
+    check(20)(Prop.forAll(intervalGen, Gen.oneOf(2, 3, 7, 16),
+        Gen.choose(0L, Long.MaxValue)) { (rows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val withNulls = rows.map { case (e, k, s0, e0) =>
+        (e, k,
+          if (rnd.nextInt(6) == 0) null else java.lang.Long.valueOf(s0): java.lang.Long,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(e0): java.lang.Long)
+      }
+      val iv = withNulls.toDF("event_id", "user_id", "s", "e").repartition(5)
+      val ref = canonIvN(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id"))
+      val got = canonIvN(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards))
+      if (got != ref)
+        println(s"MISMATCH shards=$shards rows=$withNulls\nref=$ref\ngot=$got")
+      got == ref
+    })
+  }
+
   private def canonIvN(d: DataFrame): Set[(Long, Long, Option[Long], Option[Long], Long)] =
     d.collect().map { r =>
       (r.getLong(0), r.getLong(1),

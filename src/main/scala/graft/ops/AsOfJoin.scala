@@ -70,6 +70,11 @@ object AsOfJoin {
     *                  can hold a task-breaking share of rows (bot users,
     *                  null-ish default keys); the ScaleProbe `asof` mode
     *                  measures the crossover
+    * @param autoThreshold with `timeShards > 1`, makes sharding
+    *                  DATA-DRIVEN per key: only keys with more than this
+    *                  many spine rows (left + right) take the sharded
+    *                  path, the rest ride the single window — see
+    *                  [[TimeShard.hybrid]]. 0 (default) shards every key
     */
   def asOf(
       left: DataFrame, right: DataFrame,
@@ -78,15 +83,14 @@ object AsOfJoin {
       rightValueCols: Seq[String], tieBreak: String,
       joinType: String = "inner",
       tolerance: Option[Long] = None,
-      timeShards: Int = 1): DataFrame = {
+      timeShards: Int = 1, autoThreshold: Long = 0L): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"as-of join supports inner|left, got $joinType")
-    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
     val leftCols = left.columns.toSeq
     // internal spine/carry names; a left column with one of these names
     // would become an ambiguous reference deep inside the plan — fail
     // with the actual story instead
-    val reserved = Set("_k", "_t", "_pri", "_r", "_sh", "_first", "_lo", "_hi")
+    val reserved = Set("_k", "_t", "_pri", "_r", "_first") ++ TimeShard.reservedCols
     val clash = leftCols.filter(reserved)
     require(clash.isEmpty,
       s"left columns ${clash.mkString(", ")} collide with as-of internal " +
@@ -117,46 +121,24 @@ object AsOfJoin {
 
     val u = lTagged.unionByName(rTagged)
     val tb = col("_r").getField(tieBreak)
-    val joined =
-      if (timeShards == 1) {
+    // Shard bounds are PER KEY — a global time range fails exactly on
+    // the corpora that need sharding (a bot key bursting 10⁹ events in
+    // one day of a 5-year corpus lands in ONE global-range shard; its
+    // own [min, max] divides into timeShards no matter how the burst
+    // sits in corpus time). [[TimeShard.hybrid]] owns the bounds
+    // pre-pass, the NULL→first-shard rule, and the data-driven
+    // `autoThreshold` split; shard assignment is monotone in `_t` and
+    // equal timestamps always share a shard, so in-shard order +
+    // strictly-earlier carry-in reproduce the global window exactly.
+    val joined = TimeShard.hybrid(u, "_k", col("_t"), timeShards,
+      autoThreshold) { base =>
         val w = Window.partitionBy(col("_k"))
           .orderBy(col("_t").asc, col("_pri").asc, tb.asc_nulls_last)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u.select(col("_pri") +: col("_t") +: leftCols.map(col) :+
+        base.select(col("_pri") +: col("_t") +: leftCols.map(col) :+
           last(col("_r"), ignoreNulls = true).over(w).as("_rc"): _*)
           .where(col("_pri") === 1)
-      } else {
-        // Shard bounds are PER KEY — a global time range fails exactly on
-        // the corpora that need sharding (a bot key bursting 10⁹ events
-        // in one day of a 5-year corpus lands in ONE global-range shard;
-        // its own [min, max] divides into timeShards no matter how the
-        // burst sits in corpus time). The bounds table is one
-        // map-side-combinable (min, max) per key, joined back with a
-        // SHUFFLE_HASH hint: the hot key's partition streams its rows
-        // through an O(1) hash probe — a sort-merge join would re-sort
-        // the funnel this operator exists to break. Shard assignment
-        // casts ts to double: monotone NON-DECREASING for every
-        // orderable spine type (long nanos beyond 2^53 may collide in
-        // double — collisions only merge adjacent shards, never
-        // reorder), so in-shard order + strictly-earlier carry-in
-        // reproduce the global window exactly. Equal timestamps always
-        // share a shard.
-        val bounds = u.groupBy(col("_k"))
-          .agg(min(col("_t").cast("double")).as("_lo"),
-            max(col("_t").cast("double")).as("_hi"))
-        val width = when(col("_hi") > col("_lo"),
-          (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
-        // NULL timestamps take a dedicated FIRST shard (-1), matching the
-        // single window's NULLS FIRST `_t` order — `least` skips NULLs
-        // and would otherwise route them to the LAST shard, where a
-        // NULL-ts probe could see a carry-in the unsharded window never
-        // shows it (see Intervals.coalesce)
-        val sharded = u.join(bounds.hint("SHUFFLE_HASH"), Seq("_k"))
-          .withColumn("_sh",
-            when(col("_t").isNull, lit(-1)).otherwise(
-              least(floor((col("_t").cast("double") - col("_lo")) / width),
-                lit((timeShards - 1).toDouble)).cast("int")))
-          .drop("_lo", "_hi")
+      } { sharded =>
         // Carry-in: the latest right row of every strictly-earlier
         // shard. The per-(key, shard) pick is a map-side-combinable
         // max(struct) over the RIGHT side only, whose field order

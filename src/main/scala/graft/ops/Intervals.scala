@@ -32,60 +32,40 @@ object Intervals {
     * timeline through one window task. `timeShards > 1` is the as-of
     * join's time-sharded escape ([[AsOfJoin]]) applied to the coalesce's
     * running carries: each key's timeline splits into per-key time-range
-    * blocks (start-bound pre-pass, SHUFFLE_HASH joined back; equal
-    * starts never split), the running-max and island windows run within
-    * (key, shard), and two shard-granularity carries — the max end of
-    * all strictly-earlier shards, and the count of islands opened in
-    * them — lift in-shard results to the full timeline, bit-identical to
-    * the single-window form (islands keep their exact numbering).
-    * Sharding pays the carry tables and a second pass over the marked
-    * rows, so it is opt-in; the ScaleProbe `intervals` mode measures
-    * both forms under a planted hot key.
+    * blocks ([[TimeShard]] bounds pre-pass; equal starts never split),
+    * the running-max and island windows run within (key, shard), and two
+    * shard-granularity carries — the max end of all strictly-earlier
+    * shards, and the count of islands opened in them — lift in-shard
+    * results to the full timeline, bit-identical to the single-window
+    * form (islands keep their exact numbering). Sharding pays the carry
+    * tables and a second pass over the marked rows, so by default it is
+    * opt-in; `autoThreshold > 0` makes the choice DATA-DRIVEN per key
+    * (only keys with more rows than the threshold shard — see
+    * [[TimeShard.hybrid]]). The ScaleProbe `intervals`/`auto` modes
+    * measure the forms under a planted hot key.
     */
   def coalesce(df: DataFrame, keyCol: String, startCol: String,
                endCol: String, tieCol: String,
-               timeShards: Int = 1): DataFrame = {
-    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
+               timeShards: Int = 1, autoThreshold: Long = 0L): DataFrame = {
     val s = col(startCol)
     val e = col(endCol)
-    if (timeShards == 1) {
+    TimeShard.hybrid(df, keyCol, s, timeShards, autoThreshold) { base =>
       val ord: Seq[Column] = Seq(s, e, col(tieCol))
       val w = Window.partitionBy(keyCol).orderBy(ord: _*)
       val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
-      df
+      base
         .withColumn("_new", when(prevMax.isNull || s > prevMax, 1L).otherwise(0L))
         .withColumn("island", sum(col("_new"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col(keyCol), col("island"))
         .agg(min(s).as(startCol), max(e).as(endCol), count(lit(1)).as("n_rows"))
-    } else {
-      // Shard bounds are PER KEY, on the window's primary sort key
-      // (start): assignment is monotone in start and equal starts share
-      // a shard, so shard concatenation in (_sh) order reproduces the
-      // global (start, end, tie) order exactly. Double-cast monotonicity
-      // caveats as in AsOfJoin (collisions only merge adjacent shards).
-      val bounds = df.groupBy(col(keyCol))
-        .agg(min(s.cast("double")).as("_lo"), max(s.cast("double")).as("_hi"))
-      val width = when(col("_hi") > col("_lo"),
-        (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
-      // NULL starts take a dedicated FIRST shard (-1): the single window's
-      // ORDER BY sorts them NULLS FIRST, and `least` would otherwise skip
-      // the NULL arithmetic and route them to the LAST shard — silently
-      // reordering them after every real start (caught by the NULL-key
-      // carry spec). Integer shard order then reproduces the window's
-      // order exactly, NULLs included.
-      val sharded = df.join(bounds.hint("SHUFFLE_HASH"), Seq(keyCol))
-        .withColumn("_sh",
-          when(s.isNull, lit(-1)).otherwise(
-            least(floor((s.cast("double") - col("_lo")) / width),
-              lit((timeShards - 1).toDouble)).cast("int")))
-        .drop("_lo", "_hi")
-        // EXPLICIT redistribution on (key, shard): the bounds join leaves
-        // HashPartitioning(key), which SATISFIES the (key, shard) window's
-        // clustering — EnsureRequirements would elide the exchange and
-        // silently restore the funnel this plan exists to break (the
-        // AsOfJoin lesson, SCALE.md asof probe).
-        .repartition(col(keyCol), col("_sh"))
+    } { assigned =>
+      // EXPLICIT redistribution on (key, shard): the bounds join leaves
+      // HashPartitioning(key), which SATISFIES the (key, shard) window's
+      // clustering — EnsureRequirements would elide the exchange and
+      // silently restore the funnel this plan exists to break (the
+      // AsOfJoin lesson, SCALE.md asof probe).
+      val sharded = assigned.repartition(col(keyCol), col("_sh"))
       // Carry 1: the max end of every strictly-earlier shard — per-shard
       // max is map-side-combinable, the running max windows at SHARD
       // granularity (≤ timeShards rows per key, never a funnel).

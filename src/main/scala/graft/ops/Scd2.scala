@@ -34,43 +34,29 @@ object Scd2 {
     * non-empty shard's first timestamp closes each shard's last
     * interval (NULL only for the globally last version, which is also
     * what `is_current` tests). Bit-identical to the single-window form;
-    * opt-in because the carries cost two extra shard-key joins
-    * (ScaleProbe `carry` mode measures both under a planted bot).
+    * opt-in by default because the carries cost two extra shard-key
+    * joins; `autoThreshold > 0` makes the choice DATA-DRIVEN per entity
+    * (only entities with more versions than the threshold shard — see
+    * [[TimeShard.hybrid]]). The ScaleProbe `carry`/`auto` modes measure
+    * the forms under a planted bot.
     */
   def build(versions: DataFrame, entityCol: String = "user_id",
             tieCol: String = "event_id", tsCol: String = "ts",
-            timeShards: Int = 1): DataFrame = {
-    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
-    if (timeShards == 1) {
+            timeShards: Int = 1, autoThreshold: Long = 0L): DataFrame = {
+    val ts = col(tsCol)
+    TimeShard.hybrid(versions, entityCol, ts, timeShards, autoThreshold) { base =>
       val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
-      versions.select(col(entityCol), col(tieCol),
+      base.select(col(entityCol), col(tieCol),
         col(tsCol).as("valid_from"),
         lead(col(tsCol), 1).over(w).as("valid_to"),
         row_number().over(w).cast("long").as("version"),
         lead(col(tsCol), 1).over(w).isNull.as("is_current"))
-    } else {
-      val ts = col(tsCol)
-      // per-entity shard bounds on the primary sort key; double-cast
-      // monotonicity caveats as in Intervals.coalesce (collisions only
-      // merge adjacent shards, never reorder)
-      val bounds = versions.groupBy(col(entityCol))
-        .agg(min(ts.cast("double")).as("_lo"), max(ts.cast("double")).as("_hi"))
-      val width = when(col("_hi") > col("_lo"),
-        (col("_hi") - col("_lo")) / timeShards.toDouble).otherwise(lit(1.0))
+    } { assigned =>
       // explicit redistribution on (entity, shard): the bounds join
       // leaves HashPartitioning(entity), which would satisfy the window's
       // clustering and let EnsureRequirements elide the exchange —
       // silently restoring the funnel (the AsOfJoin lesson, SCALE.md)
-      // NULL timestamps take a dedicated FIRST shard (-1), matching the
-      // single window's NULLS FIRST order — `least` skips NULLs and would
-      // otherwise route them to the LAST shard (see Intervals.coalesce)
-      val sharded = versions.join(bounds.hint("SHUFFLE_HASH"), Seq(entityCol))
-        .withColumn("_sh",
-          when(ts.isNull, lit(-1)).otherwise(
-            least(floor((ts.cast("double") - col("_lo")) / width),
-              lit((timeShards - 1).toDouble)).cast("int")))
-        .drop("_lo", "_hi")
-        .repartition(col(entityCol), col("_sh"))
+      val sharded = assigned.repartition(col(entityCol), col("_sh"))
       // shard-granularity carries (≤ timeShards rows per entity, never a
       // funnel; both aggregates are map-side combinable): version offset
       // = rows in strictly-earlier shards; _nxt = the next non-empty

@@ -31,13 +31,18 @@ object Sessionize {
     *                   a gap of exactly `gap` stays in-session (the
     *                   strict-`>` split of the lag idiom)
     * @param timeShards opt-in hot-key escape, see [[Intervals.coalesce]]
+    * @param autoThreshold with `timeShards > 1`, shard only keys with
+    *                   more than this many events (data-driven hybrid,
+    *                   [[TimeShard.hybrid]]); 0 shards every key
     */
   def viaIntervals(events: DataFrame, keyCol: String, tsCol: String,
-                   tieCol: String, gap: Long, timeShards: Int = 1): DataFrame = {
+                   tieCol: String, gap: Long, timeShards: Int = 1,
+                   autoThreshold: Long = 0L): DataFrame = {
     require(gap >= 0, s"gap must be >= 0, got $gap")
     val leases = events.select(col(keyCol), col(tieCol),
       col(tsCol).as("_s"), (col(tsCol) + gap).as("_e"))
-    Intervals.coalesce(leases, keyCol, "_s", "_e", tieCol, timeShards)
+    Intervals.coalesce(leases, keyCol, "_s", "_e", tieCol, timeShards,
+      autoThreshold)
       .select(col(keyCol), col("island").as("session_id"),
         col("n_rows").as("n_events"), col("_s").as("session_start"),
         // equal-length leases: max end is max ts + gap, so subtracting

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for the per-key TIME-SHARDED window escapes — the
+  * hot-key plan all four running-carry operators ([[AsOfJoin]],
+  * [[Intervals]], [[Sessionize]], [[Scd2]]) use when one key (a bot
+  * user, a null-ish default id) would funnel its entire timeline
+  * through ONE window task: split each key's timeline into time-range
+  * blocks on the window's primary sort key, run the window within
+  * (key, shard), and lift in-shard results to the full timeline with
+  * shard-granularity carries (each operator's own carry algebra).
+  *
+  * Centralised here because the assignment expression embeds a rule
+  * that is easy to re-derive wrongly: `least()` SKIPS NULLs, so a naive
+  * `least(floor((ts - lo) / width), n-1)` routes NULL timestamps to the
+  * LAST shard — while every window ORDER BY sorts them NULLS FIRST —
+  * silently reordering them after every real timestamp (a real bug,
+  * caught by CarryPropertySpec's NULL cases in round 10 when three
+  * operators each hand-derived the expression). [[assign]] owns the
+  * NULL→first-shard rule; any new sharded escape must build its shard
+  * ids here and extend CarryPropertySpec's randomized-NULL properties.
+  *
+  * [[hybrid]] additionally owns the bounds pre-pass and the
+  * data-driven `auto` split: the pre-pass already pays one per-key
+  * aggregate for the shard bounds, so a per-key ROW COUNT rides the
+  * same aggregate for free and decides — per key, at runtime — which
+  * keys actually need the escape. Cold keys ride the plain
+  * single-window plan; only keys above the threshold pay the carry
+  * joins. Both forms are bit-identical to the single window
+  * (CarryPropertySpec), so their union over a disjoint key split is
+  * too: per-key-grouped outputs never mix across keys.
+  */
+object TimeShard {
+
+  /** Shard-id column [[hybrid]] hands to each operator's sharded body. */
+  val ShardCol = "_sh"
+  private val LoCol = "_lo"
+  private val HiCol = "_hi"
+  private val CntCol = "_cnt"
+
+  /** Internal names [[hybrid]] appends during the bounds join — caller
+    * frames must not already use them.
+    */
+  val reservedCols: Set[String] = Set(LoCol, HiCol, CntCol, ShardCol)
+
+  /** NULL-safe per-key time-shard assignment on the window's primary
+    * sort key: shard ids `[0, nShards)` partition `[lo, hi]` into equal
+    * blocks (assignment monotone NON-DECREASING in `ts`; equal
+    * timestamps always share a shard; double-cast collisions beyond
+    * 2^53 only merge adjacent shards, never reorder), and NULL
+    * timestamps take a dedicated FIRST shard `-1`, matching the
+    * window's NULLS FIRST order — see the object doc for why this
+    * cannot be inlined with a bare `least()`.
+    *
+    * `lo`/`hi` are the per-key min/max of `ts` cast to double;
+    * `nShards` may vary per key (it only needs to be ≥ 1).
+    */
+  def assign(ts: Column, lo: Column, hi: Column, nShards: Column): Column = {
+    val width = when(hi > lo, (hi - lo) / nShards.cast("double")).otherwise(lit(1.0))
+    when(ts.isNull, lit(-1)).otherwise(
+      least(floor((ts.cast("double") - lo) / width),
+        nShards.cast("double") - lit(1.0)).cast("int"))
+  }
+
+  /** Run `single` / `sharded` per key by data-driven choice.
+    *
+    *   - `timeShards == 1`: the plain single-window plan (`single(df)`),
+    *     no pre-pass — right whenever per-key activity is bounded.
+    *   - `timeShards > 1, autoThreshold == 0` (manual): every key
+    *     shards. One bounds pre-pass (per-key min/max/count of `ts`,
+    *     map-side combinable) SHUFFLE_HASH-joined back — the hot key's
+    *     partition streams through an O(1) hash probe; a sort-merge
+    *     join would re-sort the funnel the escape exists to break —
+    *     then `sharded` over the frame with [[ShardCol]] appended.
+    *   - `timeShards > 1, autoThreshold > 0` (auto): keys with more
+    *     than `autoThreshold` rows take the sharded path, the rest ride
+    *     the single window; outputs union. The uniform-corpus overhead
+    *     is the pre-pass + hash join only (ScaleProbe `auto` mode
+    *     measures it); a hot key's window task sees ~1/`timeShards` of
+    *     its timeline, and every cold window task is already bounded
+    *     by `autoThreshold` rows per key by construction.
+    *
+    * `sharded` receives the frame WITH [[ShardCol]] assigned but NOT
+    * yet redistributed — each operator keeps its own explicit
+    * `repartition(key, ShardCol)` (EnsureRequirements would otherwise
+    * elide the exchange, HashPartitioning(key) already satisfying the
+    * (key, shard) clustering, and silently restore the funnel).
+    */
+  def hybrid(df: DataFrame, keyCol: String, ts: Column, timeShards: Int,
+             autoThreshold: Long)(single: DataFrame => DataFrame)(
+             sharded: DataFrame => DataFrame): DataFrame = {
+    require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
+    require(autoThreshold >= 0, s"autoThreshold must be >= 0, got $autoThreshold")
+    if (timeShards == 1) single(df)
+    else {
+      val clash = df.columns.filter(reservedCols)
+      require(clash.isEmpty,
+        s"columns ${clash.mkString(", ")} collide with time-shard internal " +
+          s"names (${reservedCols.mkString(", ")}) — rename them first")
+      val bounds = df.groupBy(col(keyCol)).agg(
+        min(ts.cast("double")).as(LoCol), max(ts.cast("double")).as(HiCol),
+        count(lit(1)).as(CntCol))
+      val j = df.join(bounds.hint("SHUFFLE_HASH"), Seq(keyCol))
+      def shardAssigned(base: DataFrame): DataFrame = base
+        .withColumn(ShardCol, assign(ts, col(LoCol), col(HiCol), lit(timeShards)))
+        .drop(LoCol, HiCol, CntCol)
+      if (autoThreshold == 0L) sharded(shardAssigned(j))
+      else {
+        val cold = single(j.where(col(CntCol) <= autoThreshold)
+          .drop(LoCol, HiCol, CntCol))
+        val hot = sharded(shardAssigned(j.where(col(CntCol) > autoThreshold)))
+        cold.unionByName(hot)
+      }
+    }
+  }
+}

@@ -31,14 +31,15 @@ object Queries {
   // a footer for schema inference on EVERY call, and a bench/verify pass
   // makes ~1,400 such calls over a handful of fixture tables. The cached
   // value is the immutable analyzed plan (no data, a few KB); fixture
-  // dirs never change within a session. Keyed on the session OBJECT via
-  // a weak map (SparkSession has identity equals): a stopped session's
-  // entries become unreachable and GC away — an int identity-hash key
-  // could collide with a later session after GC and hand it plans bound
-  // to a dead session.
+  // dirs never change within a session. Keyed on the session OBJECT
+  // (SparkSession has identity equals). Reclamation is EXPLICIT, not
+  // weak: a Dataset strongly references its SparkSession, so any
+  // weak-key scheme whose values hold Datasets keeps its own keys
+  // strongly reachable and never clears — instead, every lookup sweeps
+  // entries whose session is stopped (O(#sessions), which is ~1 here).
   private val tableMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    scala.collection.concurrent.TrieMap.empty[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
@@ -46,14 +47,9 @@ object Queries {
     // use `ts` as an ordering key, where long-nanos order == timestamp
     // order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val perSession = tableMemo.synchronized {
-      var m = tableMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        tableMemo.put(spark, m)
-      }
-      m
-    }
+    tableMemo.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+    val perSession = tableMemo.getOrElseUpdate(spark,
+      scala.collection.concurrent.TrieMap.empty)
     perSession.getOrElseUpdate((dir, name),
       tsToNanos(spark.read.parquet(s"$dir/$name.parquet")))
   }
@@ -226,6 +222,42 @@ object Queries {
         col("o_orderkey"), col("o_totalprice"))
       graft.ops.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "ots",
           Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    })
+
+  /** The DATA-DRIVEN hybrid of q_join_asof, SCORED: `autoThreshold = 40`
+    * splits the union spine's real per-key row counts (order-only
+    * custkeys sit near the ~10-row median, event-bearing users near
+    * ~76), so cold keys ride the single as-of window and hot keys the
+    * carry-lifted time shards in the SAME run
+    * ([[graft.ops.TimeShard.hybrid]]) — and the union must hash-match
+    * the plain-window oracle.
+    */
+  private val qJoinAsofAuto = Q("q_join_asof_auto",
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events),
+            r AS (SELECT o_custkey, epoch_ns(o_orderdate) AS t,
+                    o_orderkey, o_totalprice FROM orders),
+            u AS (
+              SELECT o_custkey AS k, t, 0 AS pri, CAST(NULL AS BIGINT) AS event_id,
+                     o_orderkey, o_totalprice FROM r
+              UNION ALL
+              SELECT user_id AS k, t, 1 AS pri, event_id,
+                     CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) FROM l),
+            f AS (SELECT k, pri, event_id,
+                last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+                last_value(o_totalprice IGNORE NULLS) OVER w AS o_totalprice
+              FROM u WINDOW w AS (PARTITION BY k ORDER BY t, pri, o_orderkey
+                ROWS UNBOUNDED PRECEDING))
+            SELECT event_id, k AS user_id, o_orderkey, o_totalprice
+            FROM f WHERE pri = 1 AND o_orderkey IS NOT NULL"""),
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, d, "orders").select(col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "ots",
+          Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey",
+          timeShards = 8, autoThreshold = 40L)
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     })
 
@@ -897,6 +929,26 @@ object Queries {
         tsMicros.as("vts")),
       "user_id", "event_id", "vts", timeShards = 8))
 
+  /** The DATA-DRIVEN hybrid of q_scd2 / q_scd2_sharded, SCORED:
+    * `autoThreshold = 70` splits the fixture's real per-user version
+    * counts (median ~66, max ~99) so a genuine MIX of entities rides
+    * each path — cold users the single window, hot users the
+    * carry-lifted shards ([[graft.ops.TimeShard.hybrid]]) — and the
+    * union must still hash-match the plain-window oracle. This is the
+    * plan you'd run at 100 TB, where nobody knows a priori which
+    * entity is the bot.
+    */
+  private val qScd2Auto = Q("q_scd2_auto",
+    Some("""SELECT user_id, event_id, epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events"""),
+    (s, d) => graft.ops.Scd2.build(
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        tsMicros.as("vts")),
+      "user_id", "event_id", "vts", timeShards = 8, autoThreshold = 70L))
+
   /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
     * — the latest row per entity among events at-or-before it. This is
     * [[graft.ops.Compact]]'s last-writer-wins window with the cutoff
@@ -1510,6 +1562,32 @@ object Queries {
     (s, d) => graft.ops.Sessionize
       .viaIntervals(t(s, d, "events"), "user_id", "ts", "event_id",
         gap = 1800000000000L, timeShards = 8)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(session_end - session_start) div 1000000000").as("duration_s")))
+
+  /** The DATA-DRIVEN hybrid of q_sessionize / q_sessionize_sharded,
+    * SCORED: `autoThreshold = 70` lands inside the fixture's real
+    * per-user event-count spread (median ~66, max ~99), so cold users
+    * sessionize on the single window and hot users on the carry-lifted
+    * shards in the SAME run ([[graft.ops.TimeShard.hybrid]]) — and the
+    * union must hash-match the plain-window oracle, session numbering
+    * included.
+    */
+  private val qSessionizeAuto = Q("q_sessionize_auto",
+    Some("""WITH marked AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+              CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                   OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sessions AS (SELECT user_id, event_id, tns,
+              CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+              (max(tns) - min(tns)) // 1000000000 AS duration_s
+            FROM sessions GROUP BY user_id, session_id"""),
+    (s, d) => graft.ops.Sessionize
+      .viaIntervals(t(s, d, "events"), "user_id", "ts", "event_id",
+        gap = 1800000000000L, timeShards = 8, autoThreshold = 70L)
       .select(col("user_id"), col("session_id"), col("n_events"),
         expr("(session_end - session_start) div 1000000000").as("duration_s")))
 
@@ -3009,6 +3087,7 @@ object Queries {
   val relational: Seq[Q] = Seq(
     qScan, qProject, qFilter, qFilterNull, qMango,
     qJoinInner, qJoinLeft, qJoinSemi, qJoinAnti, qJoinRange, qJoinAsof,
+    qJoinAsofAuto,
     qJoinFull, qJoinAsofLeft, qJoinRangeBinned, qJoinAsofTol, qJoinInterval,
     qFuzzyJoin, qFuzzyJoin2,
     qCount, qAggGroup, qAggHaving, qAggDistinct, qSkewDistinct, qSkewJoin,
@@ -3027,8 +3106,10 @@ object Queries {
     qTopk, qUnion, qExcept, qIntersect,
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize, qSessionizeSharded,
+    qSessionizeAuto,
     qFunnel, qRetention, qGapfill, qRegression,
-    qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qIntegrity)
+    qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qScd2Auto,
+    qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all
 }

@@ -38,6 +38,21 @@ object TrainingQueries {
       |  min(substr(h, 17, 8)) AS h2, min(substr(h, 25, 8)) AS h3
       |  FROM hs GROUP BY doc_id)""".stripMargin
 
+  /** The persisted distinct-shingle-set artifact shared by the whole
+    * exact-pair family (q_dedup_prefix / q_containment / q_similar_docs
+    * — [[graft.ops.Dedup.shingleGroupsTable]]): built once per source
+    * state, validated by file fingerprint on every later query.
+    * applicationId in the path: concurrent harness processes (and
+    * hashCode-colliding sfDirs) must never race on the mode-overwrite
+    * build — same contract as q_search_indexed's inverted index.
+    */
+  private def shingleArtifact(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-shingles-" +
+      s"${s.sparkContext.applicationId}-${Integer.toHexString(d.hashCode)}"
+    Dedup.shingleGroupsTable(t(s, d, "documents"), dir, s"$d/documents.parquet")
+  }
+
   // ------------------------------------------------------------- dedup
 
   private val qDedupExact = Q("q_dedup_exact",
@@ -332,7 +347,7 @@ object TrainingQueries {
                FROM inter JOIN sizes sa ON sa.doc_id = id_a)
              SELECT id_a, id_b, containment FROM j
              WHERE containment >= 0.8e0"""),
-    (s, d) => Dedup.containmentJoin(t(s, d, "documents"), tau = 0.8))
+    (s, d) => Dedup.containmentJoinGroups(shingleArtifact(s, d), tau = 0.8))
 
   /** Jaccard similarity search ([[Dedup.similarDocs]]): the 10 documents
     * most shingle-similar to doc 7 — "find this doc's near-duplicates",
@@ -354,8 +369,8 @@ object TrainingQueries {
                CAST(n AS DOUBLE) / CAST(sz + qn - n AS DOUBLE) AS jaccard
              FROM inter JOIN sizes USING (doc_id) CROSS JOIN qsz
              ORDER BY jaccard DESC, doc_id LIMIT 10"""),
-    (s, d) => Dedup.similarDocs(
-      t(s, d, "documents"),
+    (s, d) => Dedup.similarDocsGroups(
+      shingleArtifact(s, d),
       t(s, d, "documents").where(col("doc_id") === 7), k = 10))
 
   private val qDedupPrefix = Q("q_dedup_prefix",
@@ -372,7 +387,7 @@ object TrainingQueries {
                JOIN sizes sa ON sa.doc_id = id_a
                JOIN sizes sb ON sb.doc_id = id_b)
              SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6e0"""),
-    (s, d) => Dedup.prefixFilterJoin(t(s, d, "documents"), tau = 0.6))
+    (s, d) => Dedup.prefixFilterJoinGroups(shingleArtifact(s, d), tau = 0.6))
 
   private val qDedupEmbed = Q("q_dedup_embed",
     Some("""SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 1

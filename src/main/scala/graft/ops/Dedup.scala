@@ -864,8 +864,54 @@ object Dedup {
       .limit(k)
   }
 
-  private def collapsedShingleGroups(docs: DataFrame, shingleSize: Int,
-                                     idCol: String, textCol: String): DataFrame =
+  /** [[similarDocs]] over a pre-built distinct-shingle-set table (the
+    * persisted [[shingleGroupsTable]] artifact): one merge-loop
+    * intersect per DISTINCT set instead of per doc, then a two-stage
+    * top-k — top `k+1` GROUPS by `(jaccard desc, min member id)`, member
+    * expansion, re-rank by `(jaccard desc, id)`, limit `k`.
+    *
+    * Why `k+1` groups suffice (exactness): all members of a group share
+    * one jaccard. If group Y held no top-k doc but sorted before a group
+    * X holding one, either `j_Y > j_X` (then every Y member outranks X's
+    * top-k doc — contradiction: they'd be top-k themselves) or
+    * `j_Y == j_X` with `min_Y < min_X ≤ x` (then Y's min member outranks
+    * x — same contradiction). So groups holding top-k docs form a prefix
+    * of the group order; the `+1` absorbs the query doc's own group
+    * (excluded from the result after expansion).
+    */
+  def similarDocsGroups(groups: DataFrame, query: DataFrame, k: Int,
+                        shingleSize: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.limit(2).count() == 1,
+      "similarDocsGroups expects a 1-row query DataFrame [id, text]; " +
+        "multi-row queries would mix probes and top-k results")
+    val qs = shingleSets(query, shingleSize, idCol, textCol)
+    require(qs.limit(1).count() == 1,
+      s"query document has fewer than $shingleSize tokens — " +
+        "no shingles to probe with")
+    val q = qs
+      .select(col(idCol).as("_qid"), col("_set").as("_qs"), col("sz").as("_qsz"))
+    groups
+      .crossJoin(broadcast(q))
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("_set"), col("_qs")))
+      .where(col("_inter") > 0)
+      .select(col("_members"), col("_qid"),
+        (col("_inter").cast("double") /
+          (col("sz") + col("_qsz") - col("_inter")).cast("double")).as("jaccard"),
+        array_min(col("_members")).as("_minid"))
+      .orderBy(col("jaccard").desc, col("_minid"))
+      .limit(k + 1)
+      .select(explode(col("_members")).as(idCol), col("jaccard"), col("_qid"))
+      .where(col(idCol) =!= col("_qid"))
+      .orderBy(col("jaccard").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("jaccard"))
+  }
+
+  private def collapsedShingleGroupsPlan(docs: DataFrame, shingleSize: Int,
+                                         idCol: String, textCol: String): DataFrame =
     shingleSets(docs, shingleSize, idCol, textCol)
       .withColumn("_gk", md5(concat_ws("\u0001", col("_set"))))
       .groupBy(col("_gk"))
@@ -873,7 +919,41 @@ object Dedup {
         collect_list(col(idCol)).as("_members"),
         first(col("_set")).as("_set"), first(col("sz")).as("sz"),
         count(lit(1)).as("_n"))
+
+  private def collapsedShingleGroups(docs: DataFrame, shingleSize: Int,
+                                     idCol: String, textCol: String): DataFrame =
+    collapsedShingleGroupsPlan(docs, shingleSize, idCol, textCol)
       .transform(Caching.cached)
+
+  /** PERSISTED distinct-shingle-set artifact — the shared front half of
+    * the whole exact-pair family ([[prefixFilterJoinGroups]],
+    * [[containmentJoinGroups]], [[similarDocsGroups]]) built ONCE per
+    * source state under the [[graft.sources.IndexFreshness]] contract:
+    * the corpus pass (tokenize → shingle → distinct → duplicate-set
+    * collapse) runs only when the source's file fingerprint changed;
+    * every later query — any tau, any direction, any probe — starts
+    * from the parquet artifact (a content-addressed set table, one row
+    * per DISTINCT shingle set with its member ids). This is the
+    * warehouse-index posture at 100 TB: the pair joins' candidate
+    * stages all derive from this ONE table, so maintaining it amortizes
+    * the dominant corpus scan across the family, exactly like the
+    * inverted/band/skipping indexes ([[graft.ops.TextIndex]]).
+    *
+    * The returned frame is the plain parquet read — column-pruned per
+    * consumer, never cache-pinned (the artifact is corpus-sized at
+    * scale; executors stream it).
+    */
+  def shingleGroupsTable(docs: DataFrame, artifactDir: String,
+                         sourceDir: String, shingleSize: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.IndexFreshness.ensure(spark, artifactDir, sourceDir) {
+      collapsedShingleGroupsPlan(docs, shingleSize, idCol, textCol)
+        .write.mode("overwrite").parquet(artifactDir)
+    }
+    spark.read.parquet(artifactDir)
+  }
 
   /** EXACT set-CONTAINMENT join (directed): all ordered doc pairs
     * `(a, b)`, `a != b`, with `|Sa∩Sb| / |Sa| >= tau` over word
@@ -906,9 +986,18 @@ object Dedup {
     * reported independently when both clear tau), containment >= tau.
     */
   def containmentJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    containmentJoinGroups(
+      collapsedShingleGroups(docs, shingleSize, idCol, textCol), tau, idCol)
+
+  /** [[containmentJoin]] over a pre-built distinct-shingle-set table
+    * (typically the persisted [[shingleGroupsTable]] artifact) — the
+    * corpus pass is already paid, so any tau runs straight from the
+    * candidate stage.
+    */
+  def containmentJoinGroups(groups: DataFrame, tau: Double,
+                            idCol: String = "doc_id"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    val groups = collapsedShingleGroups(docs, shingleSize, idCol, textCol)
     val intra = groups.where(col("_n") > 1)
       .select(explode(col("_members")).as("id_a"), col("_members"))
       .select(col("id_a"), explode(col("_members")).as("id_b"))
@@ -971,9 +1060,18 @@ object Dedup {
   }
 
   def prefixFilterJoin(docs: DataFrame, tau: Double, shingleSize: Int = 3,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    prefixFilterJoinGroups(
+      collapsedShingleGroups(docs, shingleSize, idCol, textCol), tau, idCol)
+
+  /** [[prefixFilterJoin]] over a pre-built distinct-shingle-set table
+    * (typically the persisted [[shingleGroupsTable]] artifact) — the
+    * corpus pass is already paid, so any tau runs straight from the
+    * candidate stage.
+    */
+  def prefixFilterJoinGroups(groups: DataFrame, tau: Double,
+                             idCol: String = "doc_id"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    val groups = collapsedShingleGroups(docs, shingleSize, idCol, textCol)
     val intra = groups.where(col("_n") > 1)
       .select(explode(col("_members")).as("id_a"), col("_members"))
       .select(col("id_a"), explode(col("_members")).as("id_b"))

@@ -773,4 +773,46 @@ class DedupAnnSpec extends SparkSpec {
       Dedup.similarDocs(docs, short, k = 3)
     }
   }
+
+  test("shingleGroupsTable: persisted artifact reproduces the exact-pair family, " +
+       "rebuilds only on source change") {
+    val base = java.nio.file.Files.createTempDirectory("graft-shingle").toString
+    val srcDir = s"$base/documents.parquet"
+    val artDir = s"$base/groups"
+    corpus.write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    val groups = Dedup.shingleGroupsTable(docs, artDir, srcDir)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the artifact-backed forms must equal the direct docs-based forms
+    for (tau <- Seq(0.5, 0.9)) {
+      assert(pairs(Dedup.prefixFilterJoinGroups(groups, tau)) ==
+        pairs(Dedup.prefixFilterJoin(docs, tau)), s"prefix tau=$tau")
+      assert(pairs(Dedup.containmentJoinGroups(groups, tau)) ==
+        pairs(Dedup.containmentJoin(docs, tau)), s"containment tau=$tau")
+    }
+    val q = docs.where(col("doc_id") === 1)
+    val direct = Dedup.similarDocs(docs, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaGroups = Dedup.similarDocsGroups(groups, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaGroups == direct)
+
+    // freshness: an unchanged source validates without a rebuild (the
+    // artifact's part files keep their mtimes)...
+    def artState() = new java.io.File(artDir).listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = artState()
+    Dedup.shingleGroupsTable(docs, artDir, srcDir)
+    assert(artState() == before, "unchanged source must not rebuild")
+    // ...and a rewritten source forces one (marker fingerprint moves).
+    // sleep past local-FS mtime granularity so the rewrite is visible
+    Thread.sleep(5)
+    corpus.limit(3).write.mode("overwrite").parquet(srcDir)
+    val rebuilt = Dedup.shingleGroupsTable(
+      spark.read.parquet(srcDir), artDir, srcDir)
+    assert(artState() != before, "changed source must rebuild")
+    assert(rebuilt.agg(sum(col("_n"))).collect()(0).getLong(0) == 3L)
+  }
 }

@@ -94,9 +94,9 @@ object Scd2 {
     * the scored `q_scd2_merge` proves by hash against a full-rebuild
     * oracle — but the work touches ONLY entities present in the batch:
     *
-    *   - untouched entities pass through an anti join (the batch's
-    *     entity set is batch-sized — broadcastable — so the pass-through
-    *     is map-side; the dimension never re-shuffles for them);
+    *   - untouched entities pass through an anti join — map-side while
+    *     the touched-entity set broadcasts (the common CDC batch), a
+    *     shuffle join past `broadcastThreshold` (see below);
     *   - touched entities re-window over their own versions only
     *     (reconstructed from the dimension rows themselves — `valid_from`
     *     IS the version timestamp — unioned with the batch), so their
@@ -104,13 +104,41 @@ object Scd2 {
     *
     * O(batch + touched-entity history) per apply, never O(dimension).
     * The batch must carry `(entityCol, tieCol, tsCol)`.
+    *
+    * The broadcast hint is SIZE-GATED, not assumed: "batch-sized" is a
+    * contract the caller can break (a backfill touching 10⁷–10⁸
+    * entities at 100 TB), and an unconditional `broadcast()` would then
+    * blow the driver / the 8 GB broadcast-relation cap instead of
+    * degrading. The gate counts the distinct touched entities — one
+    * batch-sized job, and the set is reused by both joins, so the count
+    * materializes work the apply pays anyway — and past
+    * `broadcastThreshold` (default 4M entities ≈ a few hundred MB of
+    * broadcast hash relation for typical key widths) drops the hint and
+    * lets the planner (and AQE, from runtime sizes) pick the join
+    * strategy: the failure mode is now a chosen shuffle, not a
+    * discovered OOM.
+    *
+    * @param broadcastThreshold max distinct touched entities that still
+    *        broadcast; above it both joins fall back to planner choice
     */
   def applyCdc(dim: DataFrame, batch: DataFrame,
                entityCol: String = "user_id", tieCol: String = "event_id",
-               tsCol: String = "ts", timeShards: Int = 1): DataFrame = {
-    val touched = batch.select(col(entityCol)).distinct()
-    val untouched = dim.join(broadcast(touched), Seq(entityCol), "left_anti")
-    val oldVersions = dim.join(broadcast(touched), Seq(entityCol), "left_semi")
+               tsCol: String = "ts", timeShards: Int = 1,
+               broadcastThreshold: Long = 4000000L): DataFrame = {
+    require(broadcastThreshold >= 0,
+      s"broadcastThreshold must be >= 0, got $broadcastThreshold")
+    val touchedSet = batch.select(col(entityCol)).distinct()
+    val nTouched = touchedSet.count()
+    val touched =
+      if (nTouched <= broadcastThreshold) broadcast(touchedSet)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"applyCdc: $nTouched touched entities exceed " +
+            s"broadcastThreshold=$broadcastThreshold; using shuffle joins")
+        touchedSet
+      }
+    val untouched = dim.join(touched, Seq(entityCol), "left_anti")
+    val oldVersions = dim.join(touched, Seq(entityCol), "left_semi")
       .select(col(entityCol), col(tieCol), col("valid_from").as(tsCol))
     val allVersions = oldVersions
       .unionByName(batch.select(col(entityCol), col(tieCol), col(tsCol)))

@@ -89,6 +89,28 @@ class Scd2Spec extends SparkSpec {
     assert(canon(merged) == canon(Scd2.build(oldV.unionByName(batch))))
   }
 
+  test("applyCdc past the broadcast threshold falls back to shuffle joins, same result") {
+    // threshold 1 < the batch's 2 touched entities: the hint is dropped
+    // and both the anti and semi join go through planner choice — the
+    // result must still equal the full rebuild. Planner choice on a
+    // 2-row side is still a broadcast (auto-broadcast), so to observe
+    // the HINT's presence the auto threshold is disabled: hinted plans
+    // broadcast anyway, unhinted plans must not.
+    val dim = Scd2.build(oldV)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Scd2.applyCdc(dim, batch, broadcastThreshold = 1L)
+      assert(canon(merged) == canon(Scd2.build(oldV.unionByName(batch))))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"touched-set broadcast survived past the threshold:\n${plan.take(2000)}")
+      // and the gated default still broadcasts (the common CDC batch path)
+      val hinted = Scd2.applyCdc(dim, batch)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sharded build keeps its (entity, shard) exchange in the physical plan") {
     // the bounds join leaves HashPartitioning(entity), which SATISFIES the
     // local window's ClusteredDistribution(entity, shard) — without the

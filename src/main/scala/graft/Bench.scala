@@ -117,6 +117,16 @@ object Bench {
       suspects = suspects.filter(n => after(n) > 0.75 && after(n) < before(n) * 0.9)
     }
     val results = acc
+    // Measurement-protocol tag (ADVICE round 10): cross-round totals are
+    // only like-for-like at the same protocol. v3 = per-query min over
+    // (2 forward samples + 1 decorrelated reverse sample + stall
+    // retries), table handles memoized across queries, derived indexes
+    // (inverted/band/skipping/shingle) amortized out of measured time
+    // via the IndexFreshness build-once contract. Earlier rounds: v1 =
+    // best-of-2, per-query table re-listing, indexes rebuilt in-query
+    // (rounds 1-8); v2 = v1 + min-merged reverse sample (early round 9).
+    val protocol =
+      """"protocol":{"version":3,"samples":"min(2fwd,1rev,retries)","tables":"memoized","indexes":"amortized"}"""
     // The harness captures only a 2000-char tail of stdout; a single JSON
     // line carrying all per-query timings at full double precision outgrew
     // it once the suite passed ~75 queries (head-truncated -> unparseable).
@@ -135,7 +145,7 @@ object Bench {
     val detailPath =
       if (only.isEmpty) "bench_queries.json" else "bench_queries_only.json"
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -143,7 +153,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${results.size},"queries":$slow,"failed":$failedJson,"sf":"$sfDir","detail":"$detailPath"}""")
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${results.size},$protocol,"queries":$slow,"failed":$failedJson,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -16,9 +16,19 @@ import org.apache.spark.sql.SparkSession
   * The fingerprint hashes the sorted (relative name, length,
   * modification time) triples of the source directory's data files —
   * listing-only, never a data scan, the same signal Spark's own
-  * file-index cache invalidates on. It is deliberately CONSERVATIVE: a
-  * rewrite producing byte-identical files still re-fingerprints (mtimes
-  * moved), costing a redundant rebuild, never a stale read.
+  * file-index cache invalidates on. It is CONSERVATIVE in the common
+  * direction: a rewrite producing byte-identical files still
+  * re-fingerprints (mtimes moved), costing a redundant rebuild, never a
+  * stale read. One documented gap in the other direction: a rewrite
+  * that preserves every file's NAME and LENGTH and lands within the
+  * filesystem's mtime granularity (1 s on ext4-noatime-style mounts,
+  * 1 ms on HDFS/local java.io) is invisible to a listing-only signal —
+  * the same blind spot Spark's file-index cache has. Writers that
+  * rewrite in place at sub-granularity cadence (no Spark sink does:
+  * Spark writes fresh part-file names per job) must version the
+  * directory or pass a stronger `valid` predicate to [[ensure]];
+  * reading file CONTENT here would turn every freshness probe into a
+  * corpus scan and defeat the contract.
   *
   * Concurrency: two processes racing on the same artifact directory can
   * interleave build and marker writes, so artifact paths should be
@@ -50,16 +60,24 @@ object IndexFreshness {
     md.digest().map(b => f"${b & 0xff}%02x").mkString
   }
 
-  /** True iff `artifactDir` carries a marker recording `fp`. */
+  /** True iff `artifactDir` carries a marker recording `fp`. Reads the
+    * marker to EOF — the InputStream contract allows any single
+    * `read(buf)` to return short, and a short first read would make a
+    * genuinely fresh artifact compare unequal and rebuild spuriously.
+    */
   def isFresh(spark: SparkSession, artifactDir: String, fp: String): Boolean = {
     val marker = new Path(artifactDir, MarkerName)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(marker) && {
       val in = fs.open(marker)
       try {
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        n > 0 && new String(buf, 0, n, "UTF-8").trim == fp
+        var n = in.read(buf)
+        // bound the loop: a corrupt oversized marker can never be fresh
+        while (n > 0 && out.size <= 4096) { out.write(buf, 0, n); n = in.read(buf) }
+        out.size > 0 && out.size <= 4096 &&
+          new String(out.toByteArray, "UTF-8").trim == fp
       } finally in.close()
     }
   }

@@ -37,6 +37,7 @@ object ScaleProbe {
     if (mode == "asof" || mode == "all") asofProbe(spark)
     if (mode == "intervals" || mode == "all") intervalsProbe(spark)
     if (mode == "sessions" || mode == "all") sessionsProbe(spark)
+    if (mode == "auto" || mode == "all") autoProbe(spark)
     if (mode == "carry" || mode == "all") carryProbe(spark)
     if (mode == "guard" || mode == "all") guardProbe(spark)
     spark.stop()
@@ -532,6 +533,82 @@ object ScaleProbe {
             " + session_end % 1000000007")).as("fp"))
           .collect()(0).getLong(0)
         println(f"SESSIONS $label%-16s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The data-driven hybrid (`autoThreshold`, [[graft.ops.TimeShard]])
+    * under BOTH regimes it must win:
+    *
+    *   - UNIFORM corpus (10× events, no bot): auto's overhead over the
+    *     plain single window is the bounds pre-pass + count-gated hash
+    *     join only — no key crosses the threshold, so every row rides
+    *     the cold path. The reading to watch is wall(auto) ≈ wall(1-shard).
+    *   - BOT corpus (same + one 4M-event user): the bot alone crosses
+    *     the threshold and takes the carry-lifted shards while everyone
+    *     else stays on the single window — max task must drop to the
+    *     manual-32-shard level WITHOUT anyone opting in, and the output
+    *     fingerprint must equal the single-window form's.
+    */
+  private def autoProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    val hot = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000 + (id div 360) * 2000000000000").as("ts"))
+    val out = "/tmp/graft-scale-auto"
+    ev10.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/uniform/events.parquet")
+    ev10.unionByName(hot).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/bot/events.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for (corpus <- Seq("uniform", "bot");
+           (label, shards, thr) <- Seq(
+             ("1-shard(window)", 1, 0L),
+             ("32-shard(manual)", 32, 0L),
+             ("auto(32,thr=1M)", 32, 1000000L))) {
+        val ev = spark.read.parquet(s"$out/$corpus/events.parquet")
+        def run() = graft.ops.Sessionize
+          .viaIntervals(ev, "user_id", "ts", "event_id",
+            gap = 1800000000000L, timeShards = shards, autoThreshold = thr)
+          .write.mode("overwrite").format("noop").save()
+        run() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        val fp = graft.ops.Sessionize
+          .viaIntervals(ev, "user_id", "ts", "event_id",
+            gap = 1800000000000L, timeShards = shards, autoThreshold = thr)
+          .agg(sum(expr("session_id + n_events + session_start % 1000000007" +
+            " + session_end % 1000000007")).as("fp"))
+          .collect()(0).getLong(0)
+        println(f"AUTO $corpus%-8s $label%-17s wall=$wall%6.2fs maxTask=$maxTask%6.2fs fp=$fp")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

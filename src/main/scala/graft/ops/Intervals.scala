@@ -78,7 +78,9 @@ object Intervals {
         .orderBy(s, e, col(tieCol))
       // In-shard marking against the LIFTED running max: greatest(...)
       // skips nulls, so a carry-free first shard degrades to the local rule.
-      val marked = sharded.join(carry.hint("SHUFFLE_HASH"), Seq(keyCol, "_sh"))
+      // joinCarry, not a USING join: NULL keys are a window group and an
+      // equi-join would drop their rows (the r11 NULL-key lesson).
+      val marked = TimeShard.joinCarry(sharded, carry, keyCol)
         .withColumn("_pm", greatest(
           max(e).over(wLoc.rowsBetween(Window.unboundedPreceding, -1)),
           col("_cm")))
@@ -96,7 +98,7 @@ object Intervals {
           org.apache.spark.sql.functions.coalesce(
             sum(col("_ni")).over(shardOrder.rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as("_off"))
-      marked.join(offs.hint("SHUFFLE_HASH"), Seq(keyCol, "_sh"))
+      TimeShard.joinCarry(marked, offs, keyCol)
         .withColumn("island", col("_off") + col("_li"))
         .groupBy(col(keyCol), col("island"))
         .agg(min(s).as(startCol), max(e).as(endCol), count(lit(1)).as("n_rows"))

@@ -78,7 +78,9 @@ object Scd2 {
       // IS the next version's ts, NULL included, so the carry must only
       // substitute on the true last row of the shard
       val hasNext = lead(lit(1), 1).over(wLoc).isNotNull
-      sharded.join(carry.hint("SHUFFLE_HASH"), Seq(entityCol, "_sh"))
+      // joinCarry, not a USING join: a NULL entity is a window group and
+      // an equi-join would drop its rows (the r11 NULL-key lesson)
+      TimeShard.joinCarry(sharded, carry, entityCol)
         .select(col(entityCol), col(tieCol),
           ts.as("valid_from"),
           when(hasNext, lead(ts, 1).over(wLoc)).otherwise(col("_nxt"))

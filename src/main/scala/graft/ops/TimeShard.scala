@@ -12,15 +12,27 @@ import org.apache.spark.sql.functions._
   * (key, shard), and lift in-shard results to the full timeline with
   * shard-granularity carries (each operator's own carry algebra).
   *
-  * Centralised here because the assignment expression embeds a rule
-  * that is easy to re-derive wrongly: `least()` SKIPS NULLs, so a naive
-  * `least(floor((ts - lo) / width), n-1)` routes NULL timestamps to the
-  * LAST shard — while every window ORDER BY sorts them NULLS FIRST —
-  * silently reordering them after every real timestamp (a real bug,
-  * caught by CarryPropertySpec's NULL cases in round 10 when three
-  * operators each hand-derived the expression). [[assign]] owns the
-  * NULL→first-shard rule; any new sharded escape must build its shard
-  * ids here and extend CarryPropertySpec's randomized-NULL properties.
+  * Centralised here because the machinery embeds two rules that are
+  * easy to re-derive wrongly:
+  *
+  *   - NULL TIMESTAMPS: `least()` SKIPS NULLs, so a naive
+  *     `least(floor((ts - lo) / width), n-1)` routes NULL timestamps to
+  *     the LAST shard — while every window ORDER BY sorts them NULLS
+  *     FIRST — silently reordering them after every real timestamp (a
+  *     real bug, caught by CarryPropertySpec's NULL cases in round 10
+  *     when three operators each hand-derived the expression).
+  *     [[assign]] owns the NULL→first-shard rule.
+  *   - NULL KEYS: `Window.partitionBy(key)` treats NULL as ONE ordinary
+  *     group, but the `USING`-style equi-joins the sharded paths used
+  *     for bounds and carries drop NULL keys — a NULL-key timeline (the
+  *     "null-ish default key" this escape exists for!) silently lost
+  *     its rows (a real bug, caught in round 11 while centralising the
+  *     joins). [[hybrid]] and [[joinCarry]] own the null-safe (`<=>`)
+  *     key matching.
+  *
+  * Any new sharded escape must build its shard ids and joins here and
+  * extend CarryPropertySpec's randomized-NULL properties (timestamps
+  * AND keys).
   *
   * [[hybrid]] additionally owns the bounds pre-pass and the
   * data-driven `auto` split: the pre-pass already pays one per-key
@@ -39,11 +51,36 @@ object TimeShard {
   private val LoCol = "_lo"
   private val HiCol = "_hi"
   private val CntCol = "_cnt"
+  private val CarryKeyCol = "_ck"
+  private val CarryShardCol = "_cs"
 
-  /** Internal names [[hybrid]] appends during the bounds join — caller
-    * frames must not already use them.
+  /** Internal names [[hybrid]]/[[joinCarry]] append during their joins —
+    * caller frames must not already use them.
     */
-  val reservedCols: Set[String] = Set(LoCol, HiCol, CntCol, ShardCol)
+  val reservedCols: Set[String] =
+    Set(LoCol, HiCol, CntCol, ShardCol, CarryKeyCol, CarryShardCol)
+
+  /** Join a sharded main frame to its per-(key, shard) carry table with
+    * NULL-SAFE key equality. The per-key window semantics treat NULL as
+    * ONE ordinary group (`Window.partitionBy` puts all NULL keys in one
+    * partition), but a plain equi-join drops NULL keys — a sharded
+    * NULL-key timeline would silently lose its carries (or, on a
+    * `USING` join, its rows). `<=>` keeps hash-join planning (Spark
+    * coalesces null-safe keys) while matching the window's grouping.
+    * The carry side is SHUFFLE_HASH-hinted: it is shard-granularity
+    * (≤ timeShards rows per key) and the hot key's partition must
+    * stream through an O(1) probe, not re-sort for a merge join.
+    */
+  private[ops] def joinCarry(main: DataFrame, carry: DataFrame,
+                             keyCol: String): DataFrame = {
+    val c = carry
+      .withColumnRenamed(keyCol, CarryKeyCol)
+      .withColumnRenamed(ShardCol, CarryShardCol)
+      .hint("SHUFFLE_HASH")
+    main.join(c, col(keyCol) <=> col(CarryKeyCol) &&
+        col(ShardCol) === col(CarryShardCol))
+      .drop(CarryKeyCol, CarryShardCol)
+  }
 
   /** NULL-safe per-key time-shard assignment on the window's primary
     * sort key: shard ids `[0, nShards)` partition `[lo, hi]` into equal
@@ -69,18 +106,28 @@ object TimeShard {
     *   - `timeShards == 1`: the plain single-window plan (`single(df)`),
     *     no pre-pass — right whenever per-key activity is bounded.
     *   - `timeShards > 1, autoThreshold == 0` (manual): every key
-    *     shards. One bounds pre-pass (per-key min/max/count of `ts`,
-    *     map-side combinable) SHUFFLE_HASH-joined back — the hot key's
-    *     partition streams through an O(1) hash probe; a sort-merge
-    *     join would re-sort the funnel the escape exists to break —
-    *     then `sharded` over the frame with [[ShardCol]] appended.
+    *     shards. One bounds pre-pass (per-key min/max of `ts`,
+    *     map-side combinable) SHUFFLE_HASH-joined back NULL-SAFELY —
+    *     the hot key's partition streams through an O(1) hash probe (a
+    *     sort-merge join would re-sort the funnel the escape exists to
+    *     break), and `<=>` keeps NULL-key rows, which the window
+    *     semantics treat as one ordinary group — then `sharded` over
+    *     the frame with [[ShardCol]] appended.
     *   - `timeShards > 1, autoThreshold > 0` (auto): keys with more
     *     than `autoThreshold` rows take the sharded path, the rest ride
-    *     the single window; outputs union. The uniform-corpus overhead
-    *     is the pre-pass + hash join only (ScaleProbe `auto` mode
-    *     measures it); a hot key's window task sees ~1/`timeShards` of
-    *     its timeline, and every cold window task is already bounded
-    *     by `autoThreshold` rows per key by construction.
+    *     the single window; outputs union (per-key-grouped outputs
+    *     never mix across keys, so the union of two proven-bit-identical
+    *     forms is too). The bounds table is filtered to HOT KEYS ONLY
+    *     before joining — structurally ≤ N/autoThreshold rows — cached,
+    *     counted (the count materializes the pre-pass the join needs
+    *     anyway), and broadcast while ≤ 4M keys, so the cold corpus
+    *     never shuffles for the split: uniform-corpus overhead is one
+    *     map-side-combinable aggregate pass plus a broadcast probe
+    *     (ScaleProbe `auto` mode measures it). Past the gate the hint
+    *     drops and the planner/AQE picks the join — the same
+    *     chosen-not-discovered degradation as [[Scd2.applyCdc]].
+    *     A hot key's window task sees ~1/`timeShards` of its timeline;
+    *     every cold window task is bounded by `autoThreshold` rows.
     *
     * `sharded` receives the frame WITH [[ShardCol]] assigned but NOT
     * yet redistributed — each operator keeps its own explicit
@@ -99,18 +146,28 @@ object TimeShard {
       require(clash.isEmpty,
         s"columns ${clash.mkString(", ")} collide with time-shard internal " +
           s"names (${reservedCols.mkString(", ")}) — rename them first")
+      // bounds rename the key so the join condition can be null-safe
+      // without self-join ambiguity (`Seq(keyCol)` USING-joins are
+      // null-DROPPING equi-joins — the window treats NULL as a group)
       val bounds = df.groupBy(col(keyCol)).agg(
-        min(ts.cast("double")).as(LoCol), max(ts.cast("double")).as(HiCol),
-        count(lit(1)).as(CntCol))
-      val j = df.join(bounds.hint("SHUFFLE_HASH"), Seq(keyCol))
+          min(ts.cast("double")).as(LoCol), max(ts.cast("double")).as(HiCol),
+          count(lit(1)).as(CntCol))
+        .withColumnRenamed(keyCol, CarryKeyCol)
+      val keyMatch = col(keyCol) <=> col(CarryKeyCol)
       def shardAssigned(base: DataFrame): DataFrame = base
         .withColumn(ShardCol, assign(ts, col(LoCol), col(HiCol), lit(timeShards)))
-        .drop(LoCol, HiCol, CntCol)
-      if (autoThreshold == 0L) sharded(shardAssigned(j))
+        .drop(CarryKeyCol, LoCol, HiCol, CntCol)
+      if (autoThreshold == 0L)
+        sharded(shardAssigned(df.join(bounds.hint("SHUFFLE_HASH"), keyMatch)))
       else {
-        val cold = single(j.where(col(CntCol) <= autoThreshold)
-          .drop(LoCol, HiCol, CntCol))
-        val hot = sharded(shardAssigned(j.where(col(CntCol) > autoThreshold)))
+        val hotBounds = Caching.cached(bounds.where(col(CntCol) > autoThreshold))
+        val nHot = hotBounds.count()
+        val hinted =
+          if (nHot <= 4000000L) broadcast(hotBounds) else hotBounds
+        val j = df.join(hinted, keyMatch, "left_outer")
+        val cold = single(j.where(col(CntCol).isNull)
+          .drop(CarryKeyCol, LoCol, HiCol, CntCol))
+        val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
         cold.unionByName(hot)
       }
     }

@@ -317,6 +317,113 @@ class CarryPropertySpec extends SparkSpec {
     })
   }
 
+  // NULL KEYS (round 11): Window.partitionBy treats NULL as one ordinary
+  // group, but the sharded paths' original USING equi-joins dropped
+  // NULL-key rows — found while centralising the joins in TimeShard,
+  // fixed with null-safe (<=>) key matching. These properties plant
+  // whole NULL-key timelines (with NULL timestamps mixed in) and require
+  // the sharded AND auto forms to reproduce the single-window reference,
+  // including the NULL group's carries and numbering.
+  // Scd2.build output order: (user_id nullable, event_id, valid_from,
+  // valid_to, version, is_current)
+  private def canonScd2K(d: DataFrame): Set[(Option[Long], Long, Option[Long], Option[Long], Long, Boolean)] =
+    d.collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getBoolean(5))
+    }.toSet
+
+  test("scd2: sharded + auto keep NULL-KEY groups (random NULL keys and timestamps)") {
+    check(15)(Prop.forAll(timelineGen, Gen.oneOf(2, 3, 16),
+        Gen.choose(0L, Long.MaxValue)) { (rows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val nullKeys = rows.map(_._2).distinct.filter(_ => rnd.nextInt(3) == 0).toSet
+      val v = rows.map { case (e, k, t) =>
+        (e,
+          if (nullKeys(k)) null else java.lang.Long.valueOf(k): java.lang.Long,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(t): java.lang.Long)
+      }.toDF("event_id", "user_id", "ts")
+        .select(col("user_id"), col("event_id"), col("ts")).repartition(5)
+      val ref = canonScd2K(Scd2.build(v))
+      val manual = canonScd2K(Scd2.build(v, timeShards = shards))
+      val auto = canonScd2K(Scd2.build(v, timeShards = shards, autoThreshold = 12L))
+      if (manual != ref || auto != ref)
+        println(s"MISMATCH shards=$shards nullKeys=$nullKeys\nref=$ref\nmanual=$manual\nauto=$auto")
+      manual == ref && auto == ref
+    })
+  }
+
+  private def canonIvK(d: DataFrame): Set[(Option[Long], Long, Option[Long], Option[Long], Long)] =
+    d.collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))
+    }.toSet
+
+  test("intervals: sharded + auto keep NULL-KEY groups (random NULL keys and bounds)") {
+    check(15)(Prop.forAll(intervalGen, Gen.oneOf(2, 3, 16),
+        Gen.choose(0L, Long.MaxValue)) { (rows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val nullKeys = rows.map(_._2).distinct.filter(_ => rnd.nextInt(3) == 0).toSet
+      val iv = rows.map { case (e, k, s0, e0) =>
+        (e,
+          if (nullKeys(k)) null else java.lang.Long.valueOf(k): java.lang.Long,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(s0): java.lang.Long,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(e0): java.lang.Long)
+      }.toDF("event_id", "user_id", "s", "e").repartition(5)
+      val ref = canonIvK(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id")
+        .select("user_id", "island", "s", "e", "n_rows"))
+      def got(thr: Long) = canonIvK(graft.ops.Intervals
+        .coalesce(iv, "user_id", "s", "e", "event_id", timeShards = shards,
+          autoThreshold = thr)
+        .select("user_id", "island", "s", "e", "n_rows"))
+      val (manual, auto) = (got(0L), got(12L))
+      if (manual != ref || auto != ref)
+        println(s"MISMATCH shards=$shards nullKeys=$nullKeys\nref=$ref\nmanual=$manual\nauto=$auto")
+      manual == ref && auto == ref
+    })
+  }
+
+  private def asofCanonK(d: DataFrame): Set[(Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+    d.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+
+  test("asof: sharded + auto keep NULL-KEY groups on both spines") {
+    check(15)(Prop.forAll(timelineGen, timelineGen, Gen.oneOf(2, 8, 32),
+        Gen.choose(0L, Long.MaxValue)) { (lrows, rrows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val nullKeys = (lrows.map(_._2) ++ rrows.map(_._2)).distinct
+        .filter(_ => rnd.nextInt(3) == 0).toSet
+      def key(k: Long): java.lang.Long =
+        if (nullKeys(k)) null else java.lang.Long.valueOf(k)
+      def ts(t: Long): java.lang.Long =
+        if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(t)
+      val l = lrows.map { case (e, k, t) => (e, key(k), ts(t)) }
+        .toDF("event_id", "user_id", "ts").repartition(5)
+      val r = rrows.map { case (e, k, t) => (e + 500000L, key(k), ts(t), e * 3L) }
+        .toDF("o_id", "o_user", "ots", "price").repartition(5)
+      def run(sh: Int, auto: Long) = asofCanonK(AsOfJoin.asOf(
+        l, r, "user_id", "o_user", "ts", "ots", Seq("o_id", "price"),
+        tieBreak = "o_id", joinType = "left", timeShards = sh,
+        autoThreshold = auto))
+      val ref = run(1, 0L)
+      val manual = run(shards, 0L)
+      val auto = run(shards, 12L)
+      if (manual != ref || auto != ref)
+        println(s"MISMATCH shards=$shards nullKeys=$nullKeys")
+      manual == ref && auto == ref
+    })
+  }
+
   test("intervals: sharded coalesce == single-window with NULL starts") {
     val rows: Seq[(Long, Long, java.lang.Long, java.lang.Long)] = Seq(
       // k1: NULL-start rows (one with a real end that should seed the

@@ -126,7 +126,8 @@ object Scd2 {
   def applyCdc(dim: DataFrame, batch: DataFrame,
                entityCol: String = "user_id", tieCol: String = "event_id",
                tsCol: String = "ts", timeShards: Int = 1,
-               broadcastThreshold: Long = 4000000L): DataFrame = {
+               broadcastThreshold: Long = 4000000L,
+               autoThreshold: Long = 0L): DataFrame = {
     require(broadcastThreshold >= 0,
       s"broadcastThreshold must be >= 0, got $broadcastThreshold")
     val touchedSet = batch.select(col(entityCol)).distinct()
@@ -144,6 +145,7 @@ object Scd2 {
       .select(col(entityCol), col(tieCol), col("valid_from").as(tsCol))
     val allVersions = oldVersions
       .unionByName(batch.select(col(entityCol), col(tieCol), col(tsCol)))
-    untouched.unionByName(build(allVersions, entityCol, tieCol, tsCol, timeShards))
+    untouched.unionByName(
+      build(allVersions, entityCol, tieCol, tsCol, timeShards, autoThreshold))
   }
 }

@@ -117,15 +117,19 @@ object TimeShard {
     *     than `autoThreshold` rows take the sharded path, the rest ride
     *     the single window; outputs union (per-key-grouped outputs
     *     never mix across keys, so the union of two proven-bit-identical
-    *     forms is too). The bounds table is filtered to HOT KEYS ONLY
-    *     before joining — structurally ≤ N/autoThreshold rows — cached,
-    *     counted (the count materializes the pre-pass the join needs
-    *     anyway), and broadcast while ≤ 4M keys, so the cold corpus
-    *     never shuffles for the split: uniform-corpus overhead is one
-    *     map-side-combinable aggregate pass plus a broadcast probe
-    *     (ScaleProbe `auto` mode measures it). Past the gate the hint
-    *     drops and the planner/AQE picks the join — the same
-    *     chosen-not-discovered degradation as [[Scd2.applyCdc]].
+    *     forms is too). The bounds table is filtered to HOT KEYS ONLY —
+    *     structurally ≤ N/autoThreshold rows — and COLLECTED under a 4M
+    *     gate: a broadcast ships those rows through the driver anyway,
+    *     and collecting them ourselves makes the decision and the data
+    *     one job with no cache pin (a cached decision table would leak
+    *     one entry per invocation under a streaming caller like
+    *     [[graft.streaming.StreamScd2]]). No hot keys — the uniform
+    *     corpus — short-circuits to `single(df)` outright: overhead is
+    *     exactly one map-side-combinable aggregate pass (ScaleProbe
+    *     `auto` mode measures it). Otherwise the collected bounds join
+    *     back as a broadcast local relation; past the gate the filter
+    *     re-enters the plan and the planner/AQE picks the join — the
+    *     same chosen-not-discovered degradation as [[Scd2.applyCdc]].
     *     A hot key's window task sees ~1/`timeShards` of its timeline;
     *     every cold window task is bounded by `autoThreshold` rows.
     *
@@ -160,15 +164,22 @@ object TimeShard {
       if (autoThreshold == 0L)
         sharded(shardAssigned(df.join(bounds.hint("SHUFFLE_HASH"), keyMatch)))
       else {
-        val hotBounds = Caching.cached(bounds.where(col(CntCol) > autoThreshold))
-        val nHot = hotBounds.count()
-        val hinted =
-          if (nHot <= 4000000L) broadcast(hotBounds) else hotBounds
-        val j = df.join(hinted, keyMatch, "left_outer")
-        val cold = single(j.where(col(CntCol).isNull)
-          .drop(CarryKeyCol, LoCol, HiCol, CntCol))
-        val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
-        cold.unionByName(hot)
+        val hotPlan = bounds.where(col(CntCol) > autoThreshold)
+        val gate = 4000000
+        val hotRows = hotPlan.limit(gate + 1).collect()
+        if (hotRows.isEmpty) single(df) // nothing hot: zero extra joins
+        else {
+          val hinted =
+            if (hotRows.length <= gate)
+              broadcast(df.sparkSession.createDataFrame(
+                java.util.Arrays.asList(hotRows: _*), hotPlan.schema))
+            else hotPlan // enormous hot side: planner/AQE picks the join
+          val j = df.join(hinted, keyMatch, "left_outer")
+          val cold = single(j.where(col(CntCol).isNull)
+            .drop(CarryKeyCol, LoCol, HiCol, CntCol))
+          val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
+          cold.unionByName(hot)
+        }
       }
     }
   }

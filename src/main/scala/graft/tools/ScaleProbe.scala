@@ -380,10 +380,13 @@ object ScaleProbe {
           if (cur == last) same += 1 else { same = 0; last = cur }
         }
       }
-      for ((label, shards) <- Seq("1-shard(window)" -> 1, "32-shard" -> 32)) {
+      for ((label, shards, thr) <- Seq(
+             ("1-shard(window)", 1, 0L), ("32-shard", 32, 0L),
+             ("auto(32,thr=1M)", 32, 1000000L))) {
         def run() = graft.ops.AsOfJoin.asOf(left, right, "user_id", "o_custkey",
           "ts", "ots", Seq("o_orderkey", "o_totalprice"),
-          tieBreak = "o_orderkey", joinType = "left", timeShards = shards)
+          tieBreak = "o_orderkey", joinType = "left", timeShards = shards,
+          autoThreshold = thr)
           .write.mode("overwrite").format("noop").save()
         run() // warm
         val (wall, maxTask) = (1 to 2).map { _ =>
@@ -687,13 +690,17 @@ object ScaleProbe {
       }
       val ev = spark.read.parquet(s"$out/events.parquet")
         .select("user_id", "event_id", "ts")
-      for ((label, shards) <- Seq("scd2 1-shard(window)" -> 1, "scd2 32-shard" -> 32)) {
+      for ((label, shards, thr) <- Seq(
+             ("scd2 1-shard(window)", 1, 0L), ("scd2 32-shard", 32, 0L),
+             ("scd2 auto(32,thr=1M)", 32, 1000000L))) {
         measure(label) { () =>
-          graft.ops.Scd2.build(ev, "user_id", "event_id", "ts", timeShards = shards)
+          graft.ops.Scd2.build(ev, "user_id", "event_id", "ts",
+              timeShards = shards, autoThreshold = thr)
             .write.mode("overwrite").format("noop").save()
         }
         val fp = graft.ops.Scd2
-          .build(ev, "user_id", "event_id", "ts", timeShards = shards)
+          .build(ev, "user_id", "event_id", "ts", timeShards = shards,
+            autoThreshold = thr)
           .agg(sum(expr("version + valid_from % 1000000007" +
             " + coalesce(valid_to % 1000000007, -42)" +
             " + if(is_current, 7, 0)")).as("fp"))

@@ -86,6 +86,21 @@ object Demo {
     println("ASOF_MATCHED=" + graft.ops.AsOfJoin.asOf(ev, ord,
       "user_id", "o_custkey", "ts", "ots", Seq("o_orderkey"), "o_orderkey").count())
 
+    // Round 11: continuous SCD2 maintenance — two micro-batches of the
+    // event stream as version batches, with the data-driven auto escape
+    // on; the maintained dimension must hold exactly one open row per
+    // entity and as many rows as versions seen
+    val scd2Dir = java.nio.file.Files.createTempDirectory("demo-scd2").toString
+    val sscd = new graft.streaming.StreamScd2(spark, scd2Dir,
+      timeShards = 4, autoThreshold = 30L)
+    val (h1, h2) = (ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))
+    sscd.applyBatch(h1, 0L)
+    sscd.applyBatch(h2, 1L)
+    sscd.applyBatch(h2, 1L) // at-least-once replay must be absorbed
+    val dim = sscd.dim().get
+    println(s"STREAM_SCD2=${dim.count()} open=" +
+      dim.where(col("is_current")).count())
+
     // Flow 7 (round 5): curation pipeline, systematic PPS sample, and a
     // persistent IVF index searched with partition pruning
     val curated = graft.TrainingQueries.curate(docs)

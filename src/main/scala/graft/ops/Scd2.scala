@@ -111,14 +111,22 @@ object Scd2 {
     * contract the caller can break (a backfill touching 10⁷–10⁸
     * entities at 100 TB), and an unconditional `broadcast()` would then
     * blow the driver / the 8 GB broadcast-relation cap instead of
-    * degrading. The gate counts the distinct touched entities — one
-    * batch-sized job, and the set is reused by both joins, so the count
-    * materializes work the apply pays anyway — and past
-    * `broadcastThreshold` (default 4M entities ≈ a few hundred MB of
-    * broadcast hash relation for typical key widths) drops the hint and
-    * lets the planner (and AQE, from runtime sizes) pick the join
-    * strategy: the failure mode is now a chosen shuffle, not a
-    * discovered OOM.
+    * degrading. The gate counts the distinct touched entities off a
+    * MATERIALIZED set (`localCheckpoint`): the batch's distinct-entity
+    * plan runs exactly once — the count and both joins read the
+    * checkpointed blocks — so an expensive upstream batch plan is never
+    * rescanned per consumer (count + anti + semi would otherwise pay it
+    * three times). The materialization is executor-local and
+    * lineage-truncating; an executor loss during the apply fails the
+    * batch and the caller's replay re-applies it (the streaming caller,
+    * [[graft.streaming.StreamScd2]], is exactly-once under replay
+    * already), and the blocks are reclaimed by the context cleaner once
+    * the apply's frames are unreferenced — no per-batch cache pin
+    * accumulates. Past `broadcastThreshold` (default 4M entities ≈ a
+    * few hundred MB of broadcast hash relation for typical key widths)
+    * the gate drops the hint and lets the planner (and AQE, from
+    * runtime sizes) pick the join strategy: the failure mode is now a
+    * chosen shuffle, not a discovered OOM.
     *
     * @param broadcastThreshold max distinct touched entities that still
     *        broadcast; above it both joins fall back to planner choice
@@ -130,7 +138,7 @@ object Scd2 {
                autoThreshold: Long = 0L): DataFrame = {
     require(broadcastThreshold >= 0,
       s"broadcastThreshold must be >= 0, got $broadcastThreshold")
-    val touchedSet = batch.select(col(entityCol)).distinct()
+    val touchedSet = batch.select(col(entityCol)).distinct().localCheckpoint()
     val nTouched = touchedSet.count()
     val touched =
       if (nTouched <= broadcastThreshold) broadcast(touchedSet)

@@ -46,6 +46,16 @@ import org.apache.spark.sql.functions._
   */
 object TimeShard {
 
+  /** Default [[hybrid]] `collectGate`: max hot-key bounds rows that are
+    * still collected+broadcast (≈ a few hundred MB of broadcast hash
+    * relation at typical key widths — the same sizing argument as
+    * [[Scd2.applyCdc]]'s `broadcastThreshold`). Deployments with a small
+    * driver or very wide keys lower it at the call site; past it the
+    * hot/cold split degrades to a planner-chosen join instead of a
+    * discovered driver OOM.
+    */
+  val DefaultCollectGate = 4000000L
+
   /** Shard-id column [[hybrid]] hands to each operator's sharded body. */
   val ShardCol = "_sh"
   private val LoCol = "_lo"
@@ -118,32 +128,50 @@ object TimeShard {
     *     the single window; outputs union (per-key-grouped outputs
     *     never mix across keys, so the union of two proven-bit-identical
     *     forms is too). The bounds table is filtered to HOT KEYS ONLY —
-    *     structurally ≤ N/autoThreshold rows — and COLLECTED under a 4M
-    *     gate: a broadcast ships those rows through the driver anyway,
-    *     and collecting them ourselves makes the decision and the data
-    *     one job with no cache pin (a cached decision table would leak
-    *     one entry per invocation under a streaming caller like
-    *     [[graft.streaming.StreamScd2]]). No hot keys — the uniform
-    *     corpus — short-circuits to `single(df)` outright: overhead is
-    *     exactly one map-side-combinable aggregate pass (ScaleProbe
-    *     `auto` mode measures it). Otherwise the collected bounds join
-    *     back as a broadcast local relation; past the gate the filter
-    *     re-enters the plan and the planner/AQE picks the join — the
-    *     same chosen-not-discovered degradation as [[Scd2.applyCdc]].
-    *     A hot key's window task sees ~1/`timeShards` of its timeline;
-    *     every cold window task is bounded by `autoThreshold` rows.
+    *     structurally ≤ N/autoThreshold rows — and the decision is
+    *     COUNT-FIRST under `collectGate`: a LIMIT-gated sample of the
+    *     hot bounds is persisted for the duration of the call, counted,
+    *     and only collected when the count clears the gate, so the
+    *     driver never materializes rows it would then discard (with
+    *     wide string keys a collect-then-check could exhaust driver
+    *     memory before the check ran). The persist is released before
+    *     the call returns — no cache pin survives it (a lingering
+    *     decision table would leak one entry per invocation under a
+    *     streaming caller like [[graft.streaming.StreamScd2]]) — and the
+    *     under-gate collect reads the cached sample, so the bounds
+    *     aggregate still runs ONCE on every non-degraded path. No hot
+    *     keys — the uniform corpus — short-circuits to `single(df)`
+    *     outright: overhead is exactly one map-side-combinable aggregate
+    *     pass (ScaleProbe `auto` mode measures it). Under the gate the
+    *     collected bounds join back as a broadcast local relation; past
+    *     it the hot-bounds filter re-enters the plan — a DELIBERATE
+    *     second bounds aggregate at execution time (the alternative is
+    *     shipping > `collectGate` rows through the driver, the exact
+    *     failure the gate exists to refuse) — and the planner/AQE picks
+    *     the join: the same chosen-not-discovered degradation as
+    *     [[Scd2.applyCdc]]. A hot key's window task sees
+    *     ~1/`timeShards` of its timeline; every cold window task is
+    *     bounded by `autoThreshold` rows.
     *
     * `sharded` receives the frame WITH [[ShardCol]] assigned but NOT
     * yet redistributed — each operator keeps its own explicit
     * `repartition(key, ShardCol)` (EnsureRequirements would otherwise
     * elide the exchange, HashPartitioning(key) already satisfying the
     * (key, shard) clustering, and silently restore the funnel).
+    *
+    * @param collectGate max hot-key bounds rows that still collect and
+    *        broadcast (default [[DefaultCollectGate]]); above it the
+    *        auto split degrades to a planner-chosen join (see the auto
+    *        bullet above)
     */
   def hybrid(df: DataFrame, keyCol: String, ts: Column, timeShards: Int,
-             autoThreshold: Long)(single: DataFrame => DataFrame)(
+             autoThreshold: Long,
+             collectGate: Long = DefaultCollectGate)(
+             single: DataFrame => DataFrame)(
              sharded: DataFrame => DataFrame): DataFrame = {
     require(timeShards >= 1, s"timeShards must be >= 1, got $timeShards")
     require(autoThreshold >= 0, s"autoThreshold must be >= 0, got $autoThreshold")
+    require(collectGate >= 0, s"collectGate must be >= 0, got $collectGate")
     if (timeShards == 1) single(df)
     else {
       val clash = df.columns.filter(reservedCols)
@@ -165,21 +193,31 @@ object TimeShard {
         sharded(shardAssigned(df.join(bounds.hint("SHUFFLE_HASH"), keyMatch)))
       else {
         val hotPlan = bounds.where(col(CntCol) > autoThreshold)
-        val gate = 4000000
-        val hotRows = hotPlan.limit(gate + 1).collect()
-        if (hotRows.isEmpty) single(df) // nothing hot: zero extra joins
-        else {
-          val hinted =
-            if (hotRows.length <= gate)
-              broadcast(df.sparkSession.createDataFrame(
-                java.util.Arrays.asList(hotRows: _*), hotPlan.schema))
-            else hotPlan // enormous hot side: planner/AQE picks the join
-          val j = df.join(hinted, keyMatch, "left_outer")
-          val cold = single(j.where(col(CntCol).isNull)
-            .drop(CarryKeyCol, LoCol, HiCol, CntCol))
-          val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
-          cold.unionByName(hot)
-        }
+        // count-first under the gate: the LIMIT caps executor-side work,
+        // the count ships ONE long to the driver, and the short-lived
+        // persist lets the under-gate collect reuse the counted rows —
+        // one bounds aggregate on every non-degraded path, zero rows
+        // collected just to be discarded
+        val limitN = (math.min(collectGate, Int.MaxValue - 1L) + 1L).toInt
+        val sample = hotPlan.limit(limitN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nHot = sample.count()
+          if (nHot == 0) single(df) // nothing hot: zero extra joins
+          else {
+            val hinted =
+              if (nHot <= collectGate)
+                broadcast(df.sparkSession.createDataFrame(
+                  java.util.Arrays.asList(sample.collect(): _*), hotPlan.schema))
+              else hotPlan // enormous hot side: planner/AQE picks the join
+                           // (deliberate re-aggregate — see the scaladoc)
+            val j = df.join(hinted, keyMatch, "left_outer")
+            val cold = single(j.where(col(CntCol).isNull)
+              .drop(CarryKeyCol, LoCol, HiCol, CntCol))
+            val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
+            cold.unionByName(hot)
+          }
+        } finally { sample.unpersist(blocking = false); () }
       }
     }
   }

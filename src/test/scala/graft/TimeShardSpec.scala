@@ -57,6 +57,46 @@ class TimeShardSpec extends SparkSpec {
     assert(plan.contains("_sh"), "shard column missing from the plan")
   }
 
+  test("collectGate: past the gate the split degrades to an in-plan join, results unchanged") {
+    // 2 hot keys (40 rows each) + 20 cold keys (2 rows each); threshold 10
+    // splits them. collectGate = 1 < 2 hot keys forces the degraded path.
+    val rows = (1 to 40).flatMap(i => Seq((0L, i.toLong), (1L, i.toLong))) ++
+      (1 to 20).flatMap(k => Seq((k + 1L, 1L), (k + 1L, 2L)))
+    val df = rows.toDF("k", "ts").repartition(4)
+    def run(gate: Long) = graft.ops.TimeShard.hybrid(df, "k", col("ts"), 4, 10L,
+      collectGate = gate) { base =>
+      base.groupBy("k").agg(count(lit(1)).as("n"))
+    } { assigned =>
+      assigned.repartition(col("k"), col("_sh"))
+        .groupBy("k", "_sh").agg(count(lit(1)).as("n"))
+        .groupBy("k").agg(sum("n").as("n"))
+    }
+    val expected = run(graft.ops.TimeShard.DefaultCollectGate)
+    val degraded = run(1L)
+    expected.collect()
+    degraded.collect()
+    // the COLLECTED bounds surface as a LocalTableScan with the bounds
+    // schema (key renamed _ck first) — the fixture's own toDF local scan
+    // doesn't match this signature
+    val boundsScan = "LocalTableScan [_ck"
+    // under the gate: the hot bounds collect into a broadcast LOCAL
+    // relation (the rows already crossed the driver for the decision)
+    assert(expected.queryExecution.executedPlan.toString.contains(boundsScan),
+      "under-gate split must join the COLLECTED bounds as a local relation")
+    // past the gate: no driver materialization — the hot-bounds filter
+    // re-enters the plan and the planner picks the join
+    assert(!degraded.queryExecution.executedPlan.toString.contains(boundsScan),
+      "past-gate split must never collect the bounds into the driver")
+    val a = expected.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = degraded.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "the degraded path must be result-identical")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TimeShard.hybrid(df, "k", col("ts"), 4, 10L,
+        collectGate = -1L)(identity)(identity)
+    }
+    assert(e.getMessage.contains("collectGate"))
+  }
+
   test("manual plan: the full bounds table joins by shuffle hash, not sort-merge") {
     val df = (1 to 100).map(i => ((i % 10).toLong, i.toLong)).toDF("k", "ts")
       .withColumn("e", col("ts") + 1).withColumn("tie", col("ts"))

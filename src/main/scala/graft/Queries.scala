@@ -949,6 +949,45 @@ object Queries {
         tsMicros.as("vts")),
       "user_id", "event_id", "vts", timeShards = 8, autoThreshold = 70L))
 
+  /** Point-in-time-correct SCD2 lookup ([[graft.ops.Scd2.lookup]]): every
+    * click enriched with the purchase-history version VALID AT THE
+    * CLICK'S TIMESTAMP (`valid_from <= ts < valid_to`, NULL-open current
+    * row) — the feature-store join that prevents label leakage, composed
+    * from the q_scd2 dimension build and the q_join_interval equi-key
+    * join shape (entity equality is the shuffle key, the interval
+    * predicate rides inside the join — no cross-product, and each click
+    * matches at most one version because the intervals partition the
+    * entity's timeline). LEFT join: clicks before the user's first
+    * purchase keep NULL dimension columns.
+    */
+  private val qScd2Lookup = Q("q_scd2_lookup",
+    Some("""WITH dim AS (SELECT user_id, event_id AS version_event,
+              epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS ts,
+              d.version, d.version_event, d.valid_from
+            FROM events e LEFT JOIN dim d
+              ON e.user_id IS NOT DISTINCT FROM d.user_id
+             AND d.valid_from <= epoch_ns(e.ts)
+             AND (d.valid_to IS NULL OR epoch_ns(e.ts) < d.valid_to)
+            WHERE e.event_type = 'click'"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val dim = graft.ops.Scd2.build(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), tsMicros.as("vts")),
+          "user_id", "event_id", "vts")
+        .select(col("user_id"), col("event_id").as("version_event"),
+          col("valid_from"), col("valid_to"), col("version"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), tsMicros.as("tns"))
+      graft.ops.Scd2.lookup(clicks, dim, "user_id", "tns")
+        .select(col("event_id"), col("user_id"), col("tns").as("ts"),
+          col("version"), col("version_event"), col("valid_from"))
+    })
+
   /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
     * — the latest row per entity among events at-or-before it. This is
     * [[graft.ops.Compact]]'s last-writer-wins window with the cutoff
@@ -3109,6 +3148,7 @@ object Queries {
     qSessionizeAuto,
     qFunnel, qRetention, qGapfill, qRegression,
     qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qScd2Auto,
+    qScd2Lookup,
     qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all

@@ -91,6 +91,61 @@ object Scd2 {
     }
   }
 
+  /** Point-in-time-correct enrichment against an SCD2 dimension: each
+    * event row joins the dimension version VALID AT ITS TIMESTAMP
+    * (`valid_from <= ts` and `ts < valid_to`, the NULL-open current row
+    * matching everything from its start) — the feature-store lookup
+    * that prevents label leakage in training data (enriching with
+    * today's dimension row would leak post-event attribute changes into
+    * features computed for past events). The reference's monitor mode
+    * keeps the warehouse continuously current for exactly this kind of
+    * consumer (`index.js:143-170`); [[graft.streaming.StreamScd2]]
+    * exposes the same lookup against its live dimension.
+    *
+    * Join shape — ONE shuffle on the entity key, never a cross-product:
+    * the entity equality is the join's equi-key (hash/merge planned),
+    * and the interval predicate evaluates as the join's extra condition
+    * inside it, exactly the `q_join_interval` shape. Because SCD2
+    * intervals partition each entity's timeline, every event matches AT
+    * MOST ONE version — the output is event-sized, and a left join
+    * keeps events before their entity's first version (and events with
+    * a NULL timestamp, which no interval can contain) with NULL
+    * dimension columns. NULL entities match the dimension's NULL-entity
+    * history (`<=>`): the window that BUILT the dimension treats NULL
+    * as one ordinary group, so the lookup must too, or a NULL-key
+    * timeline would silently lose its enrichment (the r11 TimeShard
+    * lesson). Per-event probe cost is O(versions(entity)) inside the
+    * matched hash bucket; a bot entity concentrates its events on one
+    * task like any equi-join — acceptable because the output stays
+    * event-sized (and an entity-salted pre-split of the EVENTS side
+    * composes on top if ever needed: versions are replicated per salt,
+    * events split freely).
+    *
+    * `dim` must carry `entityCol`, `validFromCol`, `validToCol` plus
+    * its payload; every other dim column must be disjoint from the
+    * event columns (rename before the call — enforced, because a silent
+    * Spark auto-alias would make the output schema ambiguous).
+    */
+  def lookup(events: DataFrame, dim: DataFrame, entityCol: String = "user_id",
+             tsCol: String = "ts", validFromCol: String = "valid_from",
+             validToCol: String = "valid_to",
+             joinType: String = "left"): DataFrame = {
+    val dimKey = "_dim_key"
+    require(!events.columns.contains(dimKey) && !dim.columns.contains(dimKey),
+      s"column $dimKey collides with the lookup's internal key name")
+    val d = dim.withColumnRenamed(entityCol, dimKey)
+    val overlap = events.columns.toSet.intersect(d.columns.toSet)
+    require(overlap.isEmpty,
+      s"dimension columns ${overlap.mkString(", ")} collide with event " +
+        "columns — rename one side before the lookup")
+    events.join(d,
+        col(entityCol) <=> col(dimKey) &&
+          col(validFromCol) <= col(tsCol) &&
+          (col(validToCol).isNull || col(tsCol) < col(validToCol)),
+        joinType)
+      .drop(dimKey)
+  }
+
   /** Merge a change batch into an existing SCD2 history. Exactly
     * equivalent to rebuilding over (old versions ∪ batch) — the parity
     * the scored `q_scd2_merge` proves by hash against a full-rebuild

@@ -66,6 +66,25 @@ final class StreamScd2(
   def dim(): Option[DataFrame] =
     current().map { case (dir, _) => spark.read.parquet(dir.toString) }
 
+  /** Point-in-time-correct enrichment of `events` against the LIVE
+    * dimension ([[graft.ops.Scd2.lookup]]): each event joins the
+    * version valid at its own timestamp, so a micro-batch enriched
+    * mid-stream gets exactly the rows a batch lookup over the final
+    * dimension would give it for the same events — the feature-store
+    * join that prevents label leakage (today's dimension row must never
+    * decorate yesterday's event). None before the first batch lands.
+    * `events` must not carry dimension column names other than the
+    * entity key (rename first — [[graft.ops.Scd2.lookup]] enforces it);
+    * the dimension's tie column surfaces as `version_<tieCol>`.
+    */
+  def lookup(events: DataFrame, eventTsCol: String = "ts",
+             joinType: String = "left"): Option[DataFrame] =
+    dim().map { d =>
+      graft.ops.Scd2.lookup(events,
+        d.withColumnRenamed(tieCol, s"version_$tieCol"),
+        entityCol, eventTsCol, joinType = joinType)
+    }
+
   /** One micro-batch application; also callable directly for replay
     * tests. The batch must carry `(entityCol, tieCol, tsCol)`.
     */

@@ -53,6 +53,65 @@ class Scd2Spec extends SparkSpec {
     assert(canon(Scd2.applyCdc(dim, batch.limit(0))) == canon(dim))
   }
 
+  test("lookup: each event gets the version valid at its ts, boundaries half-open") {
+    val dim = Scd2.build(oldV)
+      .select(col("user_id"), col("event_id").as("version_event"),
+        col("valid_from"), col("valid_to"), col("version"))
+    // u1 versions: [100,200) v1, [200,∞) v2
+    val events = Seq(
+      ("e1", "u1", 99L),   // before first version -> NULL
+      ("e2", "u1", 100L),  // valid_from inclusive -> v1
+      ("e3", "u1", 199L),  // inside -> v1
+      ("e4", "u1", 200L),  // valid_to exclusive / next valid_from -> v2
+      ("e5", "u1", 9999L), // open current row -> v2
+      ("e6", "u9", 100L)   // unknown entity -> NULL
+    ).toDF("eid", "user_id", "ts")
+    val got = Scd2.lookup(events, dim, "user_id", "ts")
+      .select("eid", "version").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map("e1" -> None, "e2" -> Some(1L), "e3" -> Some(1L),
+      "e4" -> Some(2L), "e5" -> Some(2L), "e6" -> None))
+    // inner join drops the unmatched events instead
+    val inner = Scd2.lookup(events, dim, "user_id", "ts", joinType = "inner")
+    assert(inner.select("eid").collect().map(_.getString(0)).toSet ==
+      Set("e2", "e3", "e4", "e5"))
+    // the plan is an equi-key join on the entity, never a cross-product
+    val looked = Scd2.lookup(events, dim, "user_id", "ts")
+    looked.collect()
+    val p = looked.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"lookup must keep the entity equi-key join shape:\n${p.take(2000)}")
+  }
+
+  test("lookup: NULL entities match the NULL-entity history; NULL ts matches nothing") {
+    val vRows = Seq[(Option[String], Long, Long)](
+      (None, 1L, 100L), (None, 2L, 200L), (Some("u1"), 3L, 100L))
+    val v = vRows.toDF("user_id", "event_id", "ts")
+    val dim = Scd2.build(v)
+      .select(col("user_id"), col("event_id").as("version_event"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val eRows = Seq[(String, Option[String], Option[Long])](
+      ("e1", None, Some(150L)),  // NULL entity -> NULL-group v1
+      ("e2", None, Some(250L)),  // NULL entity -> NULL-group v2
+      ("e3", Some("u1"), None))  // NULL ts: no interval contains it
+    val events = eRows.toDF("eid", "user_id", "ts")
+    val got = Scd2.lookup(events, dim, "user_id", "ts")
+      .select("eid", "version").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map("e1" -> Some(1L), "e2" -> Some(2L), "e3" -> None))
+  }
+
+  test("lookup rejects colliding dimension/event column names") {
+    val dim = Scd2.build(oldV)
+    val events = Seq(("u1", 1L, 150L)).toDF("user_id", "event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.lookup(events, dim, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("event_id"))
+  }
+
   // deterministic pseudo-random history: clumpy timestamps WITH ties
   // (both within and across would-be shard boundaries), singleton
   // entities, and an entity larger than any shard count under test

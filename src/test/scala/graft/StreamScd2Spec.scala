@@ -86,6 +86,44 @@ class StreamScd2Spec extends SparkSpec {
     assert(canon(s.dim().get) == canon(Scd2.build(b0.unionByName(b1))))
   }
 
+  test("lookup against the live dimension matches the batch lookup at every point") {
+    val dir = Files.createTempDirectory("scd2-lookup").toString
+    val s = new StreamScd2(spark, dir)
+    // events to enrich: one per interesting position in u1/u2/u3 history
+    val events = Seq(
+      (10L, 1L, 50L), (11L, 1L, 150L), (12L, 1L, 250L), (13L, 1L, 999L),
+      (14L, 2L, 150L), (15L, 3L, 300L), (16L, 9L, 100L)
+    ).toDF("eid", "user_id", "ts")
+    assert(s.lookup(events).isEmpty, "no dimension yet -> no lookup")
+    var seen = b0.limit(0)
+    for ((b, id) <- Seq(b0, b1, b2).zipWithIndex) {
+      s.applyBatch(b, id.toLong)
+      seen = seen.unionByName(b)
+      // batch-parity: enriching against the LIVE dimension must equal the
+      // batch lookup over a full rebuild of every version seen so far
+      val live = s.lookup(events).get
+        .select("eid", "version", "version_event_id", "valid_from")
+      val batchDim = Scd2.build(seen)
+        .select(col("user_id"), col("event_id").as("version_event_id"),
+          col("valid_from"), col("valid_to"), col("version"))
+      val expect = Scd2.lookup(events, batchDim, "user_id", "ts")
+        .select("eid", "version", "version_event_id", "valid_from")
+      def c(df: DataFrame) = df.collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(c(live) == c(expect), s"lookup divergence after batch $id")
+    }
+    // spot-check the temporal semantics on the final dimension: u1 has
+    // versions at ts 100/200/300 -> the 250-ts event sees version 2
+    val got = s.lookup(events).get.select("eid", "version").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(10L) == None && got(11L) == Some(1L) &&
+      got(12L) == Some(2L) && got(13L) == Some(3L) && got(16L) == None)
+  }
+
   test("end-to-end: a file stream of version batches maintains the dimension") {
     val in = Files.createTempDirectory("scd2-in").toString
     val dimDir = Files.createTempDirectory("scd2-dim").toString

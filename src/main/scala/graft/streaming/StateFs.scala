@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Driver-side state-file plumbing for the streaming maintainers
+  * ([[StreamIngest]], [[StreamScd2]]): tiny pointer/marker files and
+  * staging-directory swaps, driven through the Hadoop `FileSystem` API
+  * so the maintained state lives WHEREVER the data lives. The previous
+  * `java.nio` form silently pinned the pointer/marker/sweep side to the
+  * DRIVER'S LOCAL DISK while the data itself went through Spark's
+  * Hadoop path resolution — on any deployment whose default filesystem
+  * is not the driver's local FS (HDFS, cluster NFS), the pointer and
+  * the data landed on DIFFERENT filesystems and the documented
+  * atomic-visibility contract was quietly void. [[graft.sources.IndexFreshness]]
+  * already drives Hadoop `FileSystem`; this brings the streaming state
+  * to the same posture.
+  *
+  * Atomicity boundary (documented once, here):
+  *
+  *   - '''HDFS and POSIX local paths''': `rename` onto an ABSENT
+  *     destination is atomic (one NameNode metadata op / `rename(2)`),
+  *     and creating a file makes its NAME visible atomically. Every
+  *     swap in this module renames onto a destination it just cleared,
+  *     and every commit point is either such a rename or the creation
+  *     of a marker whose NAME (not content) carries the commitment —
+  *     so a crash at any instruction leaves either the old state or
+  *     the new, never a torn one.
+  *   - '''Object stores (S3A/GCS)''': `rename` is COPY+DELETE — not
+  *     atomic, O(data), and a crash mid-rename can leave both halves.
+  *     Directory-swap state (the bucketed ingest state, the maintained
+  *     aggregate) must not run against an object store as-is; the
+  *     portable commit there is a CONDITIONAL PUT of a new manifest
+  *     key (S3 `If-None-Match` / GCS `ifGenerationMatch=0` — the
+  *     primitive log-structured table formats build their commit
+  *     protocols on), which [[StreamScd2]]'s marker-file flip already
+  *     approximates: it commits by creating a NEW, never-overwritten
+  *     marker object, so it degrades gracefully where only the sweep
+  *     of retired directories loses atomicity (stale data is re-swept,
+  *     never resurrected). The rename-based swaps here deliberately
+  *     target rename-capable filesystems and fail loudly (rename
+  *     returning false throws) rather than corrupting silently.
+  */
+private[graft] object StateFs {
+
+  /** Read a small state file fully (the `InputStream` contract allows
+    * short reads — see [[graft.sources.IndexFreshness.isFresh]]).
+    */
+  def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(256)
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Overwrite-write a small state file. NOT atomic w.r.t. content on
+    * any filesystem (an overwrite truncates before it writes) — callers
+    * either tolerate a torn advisory file (the checkpoint side-file,
+    * re-derived from state on the next batch) or write into a STAGING
+    * name and commit via [[renameInto]].
+    */
+  def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Rename `src` onto an absent `dst` — the atomic commit op on
+    * rename-capable filesystems (see the object doc). Hadoop's
+    * `rename` signals failure by RETURNING FALSE (destination present,
+    * source missing, cross-filesystem move); a silent false here would
+    * let a swap half-complete and the next read see retired state, so
+    * it throws with the pair named.
+    */
+  def renameInto(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"state rename failed: $src -> $dst (destination present, source " +
+          "missing, or a cross-filesystem move)")
+
+  /** Recursive delete, no-op when absent. */
+  def deleteRecursively(fs: FileSystem, p: Path): Unit =
+    if (fs.exists(p)) { fs.delete(p, true); () }
+
+  /** Child names of `dir` (empty when the directory is absent). */
+  def listNames(fs: FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+}

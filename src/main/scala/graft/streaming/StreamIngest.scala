@@ -7,7 +7,7 @@ import graft.WarehouseOptions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.hadoop.fs.Path
 
 /** Continuous ingestion: the Spark Structured Streaming form of the
   * reference's monitor mode (`index.js:143-170` — longpoll loop, per-batch
@@ -34,7 +34,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * Scale: state merge is a single hash shuffle on doc id; publish is a
   * partitioned parquet overwrite. Nothing driver-side grows with data —
   * the driver holds only frozen schemas and the seq counter, like the
-  * reference's single node held `theSchema`.
+  * reference's single node held `theSchema`. All state plumbing
+  * (checkpoint side-file, schema donors, bucket/agg swaps) drives the
+  * Hadoop `FileSystem` resolved from `warehouseDir`, so the warehouse
+  * can live on cluster storage — the swaps are dst-absent renames,
+  * atomic on HDFS/POSIX; see [[StateFs]] for the object-store boundary.
   */
 final class StreamIngest(
     spark: SparkSession,
@@ -43,9 +47,11 @@ final class StreamIngest(
     maintainAgg: Option[StreamIngest.AggSpec] = None) {
 
   private val stateDir = s"$warehouseDir/_state"
-  private val checkpointFile = Paths.get(s"$warehouseDir/_checkpoints.json")
-  private val schemaDir = Paths.get(s"$warehouseDir/_schemas")
-  private val aggDir = Paths.get(s"$warehouseDir/_agg")
+  private val fs = new Path(warehouseDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val checkpointFile = new Path(s"$warehouseDir/_checkpoints.json")
+  private val schemaDir = new Path(s"$warehouseDir/_schemas")
+  private val aggDir = new Path(s"$warehouseDir/_agg")
 
   /** Frozen per-docType schemas, persisted as the donor document JSON so a
     * restarted stream keeps first-doc-wins semantics (§1.4).
@@ -95,11 +101,11 @@ final class StreamIngest(
     * construction.
     */
   // def, not val: the constructor-body guard runs before later vals init
-  private def bucketMeta = Paths.get(s"$warehouseDir/_state_buckets")
+  private def bucketMeta = new Path(s"$warehouseDir/_state_buckets")
 
   private def verifyBucketCount(): Unit =
-    if (Files.exists(bucketMeta)) {
-      val persisted = Files.readString(bucketMeta).trim.toInt
+    if (fs.exists(bucketMeta)) {
+      val persisted = StateFs.readString(fs, bucketMeta).trim.toInt
       if (persisted != stateBuckets)
         throw new IllegalStateException(
           s"state was bucketed with $persisted buckets but " +
@@ -202,27 +208,27 @@ final class StreamIngest(
       case None => rows(state.limit(0))
     }
     val post = rows(state)
-    val current = if (Files.exists(aggDir.resolve("data")))
-      spark.read.parquet(aggDir.resolve("data").toString)
+    val current = if (fs.exists(new Path(aggDir, "data")))
+      spark.read.parquet(new Path(aggDir, "data").toString)
     else IncrementalAgg.empty(pre, "grp")
     val merged = IncrementalAgg.merge(current,
       IncrementalAgg.delta(pre, post, "grp", "value"), "grp")
     // stage data + marker together, swap as ONE directory rename
-    val staging = Paths.get(s"$warehouseDir/_agg_staging")
-    val retired = Paths.get(s"$warehouseDir/._agg.old")
+    val staging = new Path(s"$warehouseDir/_agg_staging")
+    val retired = new Path(s"$warehouseDir/._agg.old")
     deleteRecursively(staging)
     deleteRecursively(retired)
-    merged.coalesce(1).write.parquet(staging.resolve("data").toString)
-    Files.writeString(staging.resolve("batchid"), batchId.toString)
-    if (Files.exists(aggDir))
-      Files.move(aggDir, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, aggDir, StandardCopyOption.ATOMIC_MOVE)
+    merged.coalesce(1).write.parquet(new Path(staging, "data").toString)
+    StateFs.writeString(fs, new Path(staging, "batchid"), batchId.toString)
+    if (fs.exists(aggDir))
+      StateFs.renameInto(fs, aggDir, retired)
+    StateFs.renameInto(fs, staging, aggDir)
     deleteRecursively(retired)
   }
 
   private def appliedAggBatch(): Long = {
-    val f = aggDir.resolve("batchid")
-    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+    val f = new Path(aggDir, "batchid")
+    if (fs.exists(f)) StateFs.readString(fs, f).trim.toLong else -1L
   }
 
   /** The live `(grp, value)` rows a maintained aggregate is built from. */
@@ -241,14 +247,14 @@ final class StreamIngest(
     * the same crash-safe path [[updateAgg]] uses.
     */
   private def bootstrapAggIfNeeded(): Unit = maintainAgg.foreach { spec =>
-    if (!Files.exists(aggDir) && Files.exists(Paths.get(stateDir))) {
+    if (!fs.exists(aggDir) && fs.exists(new Path(stateDir))) {
       val agg = IncrementalAgg.recompute(
         aggRows(spec, existingState().get), "grp", "value")
-      val staging = Paths.get(s"$warehouseDir/_agg_staging")
+      val staging = new Path(s"$warehouseDir/_agg_staging")
       deleteRecursively(staging)
-      agg.coalesce(1).write.parquet(staging.resolve("data").toString)
-      Files.writeString(staging.resolve("batchid"), "-1")
-      Files.move(staging, aggDir, StandardCopyOption.ATOMIC_MOVE)
+      agg.coalesce(1).write.parquet(new Path(staging, "data").toString)
+      StateFs.writeString(fs, new Path(staging, "batchid"), "-1")
+      StateFs.renameInto(fs, staging, aggDir)
     }
   }
 
@@ -268,9 +274,9 @@ final class StreamIngest(
 
   /** The maintained aggregate as `(grp, n, total)`, when configured. */
   def maintainedAgg: Option[DataFrame] =
-    if (Files.exists(aggDir.resolve("data")))
+    if (fs.exists(new Path(aggDir, "data")))
       Some(IncrementalAgg.finish(
-        spark.read.parquet(aggDir.resolve("data").toString), "grp"))
+        spark.read.parquet(new Path(aggDir, "data").toString), "grp"))
     else None
 
   /** Publish the merged (touched-bucket-only) state via a staging write +
@@ -282,32 +288,26 @@ final class StreamIngest(
     * replay-idempotent on top of that.
     */
   private def writeBuckets(state: DataFrame): Unit = {
-    val root = Paths.get(stateDir)
-    val staging = Paths.get(s"$warehouseDir/_state_staging")
+    val root = new Path(stateDir)
+    val staging = new Path(s"$warehouseDir/_state_staging")
     deleteRecursively(staging)
     state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
-    Files.createDirectories(root)
-    if (!Files.exists(bucketMeta))
-      Files.writeString(bucketMeta, stateBuckets.toString)
-    val listing = Files.list(staging)
-    try {
-      val buckets = listing.iterator()
-      while (buckets.hasNext) {
-        val src = buckets.next()
-        val name = src.getFileName.toString
-        if (name.startsWith("_bucket=")) {
-          // the retired name starts with '.', so Spark's file listing never
-          // picks it up even if a crash strands it
-          val target = root.resolve(name)
-          val retired = root.resolve(s".$name.old")
-          deleteRecursively(retired)
-          if (Files.exists(target))
-            Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(retired)
-        }
+    fs.mkdirs(root)
+    if (!fs.exists(bucketMeta))
+      StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
+    StateFs.listNames(fs, staging).foreach { name =>
+      if (name.startsWith("_bucket=")) {
+        // the retired name starts with '.', so Spark's file listing never
+        // picks it up even if a crash strands it
+        val target = new Path(root, name)
+        val retired = new Path(root, s".$name.old")
+        deleteRecursively(retired)
+        if (fs.exists(target))
+          StateFs.renameInto(fs, target, retired)
+        StateFs.renameInto(fs, new Path(staging, name), target)
+        deleteRecursively(retired)
       }
-    } finally listing.close()
+    }
     deleteRecursively(staging)
   }
 
@@ -316,35 +316,28 @@ final class StreamIngest(
     * directories from completed swaps are dropped.
     */
   private def recoverState(): Unit = {
-    val root = Paths.get(stateDir)
-    if (Files.isDirectory(root)) {
-      val listing = Files.list(root)
-      try {
-        val it = listing.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("._bucket=") && name.endsWith(".old")) {
-            val target = root.resolve(name.stripPrefix(".").stripSuffix(".old"))
-            if (Files.exists(target)) deleteRecursively(p)
-            else Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-          }
-        }
-      } finally listing.close()
+    val root = new Path(stateDir)
+    StateFs.listNames(fs, root).foreach { name =>
+      if (name.startsWith("._bucket=") && name.endsWith(".old")) {
+        val p = new Path(root, name)
+        val target = new Path(root, name.stripPrefix(".").stripSuffix(".old"))
+        if (fs.exists(target)) deleteRecursively(p)
+        else StateFs.renameInto(fs, p, target)
+      }
     }
-    deleteRecursively(Paths.get(s"$warehouseDir/_state_staging"))
+    deleteRecursively(new Path(s"$warehouseDir/_state_staging"))
     // agg swap recovery: a retired agg whose replacement never landed is
     // restored; leftover staging from an incomplete build is dropped
-    val aggRetired = Paths.get(s"$warehouseDir/._agg.old")
-    if (Files.exists(aggRetired)) {
-      if (Files.exists(aggDir)) deleteRecursively(aggRetired)
-      else Files.move(aggRetired, aggDir, StandardCopyOption.ATOMIC_MOVE)
+    val aggRetired = new Path(s"$warehouseDir/._agg.old")
+    if (fs.exists(aggRetired)) {
+      if (fs.exists(aggDir)) deleteRecursively(aggRetired)
+      else StateFs.renameInto(fs, aggRetired, aggDir)
     }
-    deleteRecursively(Paths.get(s"$warehouseDir/_agg_staging"))
+    deleteRecursively(new Path(s"$warehouseDir/_agg_staging"))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    StreamIngest.deleteRecursively(p)
+  private def deleteRecursively(p: Path): Unit =
+    StateFs.deleteRecursively(fs, p)
 
   /** The persisted state table, when at least one bucket has landed. The
     * bucket check (not a bare directory-exists) keeps an all-filtered
@@ -352,17 +345,8 @@ final class StreamIngest(
     * from poisoning every later read with an unreadable empty directory.
     */
   private def existingState(): Option[DataFrame] = {
-    val root = Paths.get(stateDir)
-    val hasBuckets = Files.isDirectory(root) && {
-      val listing = Files.list(root)
-      try {
-        val it = listing.iterator()
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getFileName.toString.startsWith("_bucket=")
-        found
-      } finally listing.close()
-    }
+    val hasBuckets =
+      StateFs.listNames(fs, new Path(stateDir)).exists(_.startsWith("_bucket="))
     if (hasBuckets) Some(spark.read.parquet(stateDir)) else None
   }
 
@@ -419,31 +403,29 @@ final class StreamIngest(
     }
 
   private def persistSchema(docType: String, donorDoc: String): Unit = {
-    Files.createDirectories(schemaDir)
-    Files.writeString(schemaDir.resolve(s"$docType.json"), donorDoc,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    fs.mkdirs(schemaDir)
+    StateFs.writeString(fs, new Path(schemaDir, s"$docType.json"), donorDoc)
   }
 
   private def loadSchemas(): Unit =
-    if (Files.exists(schemaDir)) {
-      val listing = Files.list(schemaDir)
-      try listing.forEach { p =>
-        val t = p.getFileName.toString.stripSuffix(".json")
-        schemas(t) = SchemaDiscovery.discover(Files.readString(p))
-      } finally listing.close()
+    StateFs.listNames(fs, schemaDir).foreach { n =>
+      val t = n.stripSuffix(".json")
+      schemas(t) = SchemaDiscovery.discover(
+        StateFs.readString(fs, new Path(schemaDir, n)))
     }
 
   def checkpoint: Long =
-    if (Files.exists(checkpointFile))
-      Files.readString(checkpointFile).trim.toLong
+    if (fs.exists(checkpointFile))
+      StateFs.readString(fs, checkpointFile).trim.toLong
     else 0L
 
   private def advanceCheckpoint(batch: DataFrame): Unit = {
     val maxSeq = batch.agg(max(col("seqNum"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
     maxSeq.filter(_ > checkpoint).foreach { s =>
-      Files.writeString(checkpointFile, s.toString,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      // advisory side-file (re-derived from state on the next batch):
+      // a torn overwrite is tolerated — see StateFs.writeString
+      StateFs.writeString(fs, checkpointFile, s.toString)
     }
   }
 
@@ -476,12 +458,16 @@ object StreamIngest {
     spark.conf.getOption("graft.agg.replayMargin").map(_.toLong)
       .getOrElse(AggReplayMargin)
 
-  /** Recursive delete (no-op when absent) — shared with CLI `--reset`. */
+  /** Recursive delete over LOCAL java.nio paths (no-op when absent) —
+    * the CLI `--reset` and [[graft.ops.Maintenance]]'s local compaction
+    * swaps still use it; the streaming classes themselves drive the
+    * Hadoop `FileSystem` ([[StateFs]]).
+    */
   def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
       finally s.close()
     }
 }

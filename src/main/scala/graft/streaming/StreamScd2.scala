@@ -1,10 +1,10 @@
 package graft.streaming
 
 import graft.ops.Scd2
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Continuous SCD2 dimension maintenance — the streaming twin of
   * [[graft.ops.Scd2.applyCdc]], completing the temporal family's
@@ -18,29 +18,38 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *
   * Per micro-batch (`foreachBatch`): read the current dimension, run
   * the O(batch + touched-history) CDC apply, land the result as a new
-  * `data-<batchId>` directory, and flip the `_current` pointer file to
-  * it atomically.
+  * `data-<batchId>` directory, and commit it by creating the
+  * `_commit-<batchId>` marker.
   *
   * Exactly-once under at-least-once delivery: `applyCdc` is NOT
   * idempotent (re-applying an absorbed batch would re-union its version
   * rows and double-number the history), so the dimension data and the
-  * batch id that built it must become visible TOGETHER — the pointer
-  * file is that atomic unit: its content names `data-<batchId>`, and a
-  * tmp-write + ATOMIC_MOVE is the flip. Crash before the flip: the
-  * replay re-applies onto the old pointer's data — correct; the
-  * abandoned directory is swept at the next apply. Crash after the
-  * flip: the replay reads `batchId <= applied` and skips — correct, the
-  * data already includes it. A batch id further back than the replay
-  * margin means the streaming checkpoint was reset against an existing
-  * dimension — fail loudly rather than silently fork the history
-  * (the [[StreamIngest]] maintained-aggregate rule).
+  * batch id that built it must become visible TOGETHER. The commit
+  * point is the CREATION of a marker file whose NAME carries the batch
+  * id (`_commit-<batchId>`, content irrelevant): file creation is
+  * atomic on every filesystem of interest — an HDFS/POSIX create, and
+  * even an object-store PUT of a new key — so there is no torn state
+  * and, unlike an overwrite-rename pointer file, no filesystem is
+  * excluded (the round-11 `java.nio` pointer could not live on HDFS at
+  * all; see [[StateFs]] for the full atomicity boundary). The live
+  * dimension is the HIGHEST committed marker's `data-` directory.
+  * Crash before the marker lands: the replay re-applies onto the
+  * previous marker's data — correct; the abandoned directory is swept
+  * at the next apply. Crash after: the replay reads
+  * `batchId <= applied` and skips — correct, the data already includes
+  * it. A batch id further back than the replay margin means the
+  * streaming checkpoint was reset against an existing dimension — fail
+  * loudly rather than silently fork the history (the [[StreamIngest]]
+  * maintained-aggregate rule).
   *
   * Scale shape: identical to batch `applyCdc` — untouched entities pass
   * through the size-gated broadcast anti join and never re-shuffle;
   * touched entities re-window over their own history only;
   * `timeShards`/`autoThreshold` forward to [[graft.ops.TimeShard]] for
   * bot entities. Nothing driver-side grows with the dimension: the
-  * pointer is one line, the sweep walks ≤ a handful of directory names.
+  * commit marker is an empty file, the sweep walks ≤ a handful of
+  * directory names, and the state root lives on whatever (Hadoop-
+  * resolvable) filesystem the caller names — cluster storage included.
   */
 final class StreamScd2(
     spark: SparkSession, dimDir: String,
@@ -48,16 +57,22 @@ final class StreamScd2(
     tsCol: String = "ts", timeShards: Int = 1, autoThreshold: Long = 0L,
     broadcastThreshold: Long = 4000000L) {
 
-  private val root = Paths.get(dimDir)
-  private val pointer = root.resolve("_current")
-  Files.createDirectories(root)
+  private val root = new Path(dimDir)
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  fs.mkdirs(root)
 
-  /** `(directory, batchId)` of the live dimension, None before batch 0. */
-  private def current(): Option[(Path, Long)] =
-    if (Files.exists(pointer)) {
-      val name = Files.readString(pointer).trim
-      Some((root.resolve(name), name.stripPrefix("data-").toLong))
-    } else None
+  private val CommitPrefix = "_commit-"
+
+  /** `(directory, batchId)` of the live dimension — the highest
+    * committed marker — None before batch 0.
+    */
+  private def current(): Option[(Path, Long)] = {
+    val ids = StateFs.listNames(fs, root)
+      .filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix(CommitPrefix).toLong)
+    if (ids.isEmpty) None
+    else { val id = ids.max; Some((new Path(root, s"data-$id"), id)) }
+  }
 
   /** Last batch id the live dimension includes (−1 before batch 0). */
   def appliedBatch(): Long = current().map(_._2).getOrElse(-1L)
@@ -101,16 +116,21 @@ final class StreamScd2(
             "restore the original checkpointLocation.")
       return
     }
-    // sweep abandoned directories (a crashed write, the flipped-away
-    // previous dimension) BEFORE reading current — never after the flip,
-    // when a crash window would leave the pointer naming a swept dir
-    val keep = current().map(_._1.getFileName.toString)
-    val ls = Files.list(root)
-    try ls.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("data-") && !keep.contains(n))
-        StreamIngest.deleteRecursively(p)
-    } finally ls.close()
+    // sweep abandoned directories and retired markers (a crashed write,
+    // the committed-away previous dimension) BEFORE reading current —
+    // never after the commit, when a crash window would leave the live
+    // marker naming a swept dir. Stale ids are all < the live id (the
+    // live marker is the listing's max), so no deletion order here can
+    // change what current() resolves mid-sweep.
+    val keep = current().map(_._2)
+    StateFs.listNames(fs, root).foreach { n =>
+      val stale =
+        (n.startsWith("data-") &&
+          !keep.contains(n.stripPrefix("data-").toLong)) ||
+        (n.startsWith(CommitPrefix) &&
+          !keep.contains(n.stripPrefix(CommitPrefix).toLong))
+      if (stale) StateFs.deleteRecursively(fs, new Path(root, n))
+    }
     val versions = batch.select(col(entityCol), col(tieCol), col(tsCol))
     val next = dim() match {
       case Some(d) => Scd2.applyCdc(d, versions, entityCol, tieCol, tsCol,
@@ -118,12 +138,12 @@ final class StreamScd2(
       case None => Scd2.build(versions, entityCol, tieCol, tsCol,
         timeShards, autoThreshold)
     }
-    val target = root.resolve(s"data-$batchId")
+    val target = new Path(root, s"data-$batchId")
     next.write.parquet(target.toString)
-    val tmp = root.resolve("._current.tmp")
-    Files.writeString(tmp, s"data-$batchId")
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // the commit: create the marker whose NAME is the batch id. Never
+    // overwritten (a replay returns above before reaching here), so
+    // overwrite=false keeps a protocol bug loud instead of silent.
+    fs.create(new Path(root, s"$CommitPrefix$batchId"), false).close()
   }
 
   /** Wire a streaming version feed through [[applyBatch]]. */

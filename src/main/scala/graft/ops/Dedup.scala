@@ -726,6 +726,16 @@ object Dedup {
     val sets = sh.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("shingle"))).as("_set"),
         count(lit(1)).as("sz"))
+    jaccardOverSets(sets, pairs, idCol)
+  }
+
+  /** The pair half of [[ngramJaccard]] over a prepared per-doc
+    * `(idCol, _set, sz)` sorted-distinct-shingle-set table: each pair
+    * joins both docs' sets and intersects with the zero-allocation
+    * merge-loop kernel — |pairs| rows moved, never exploded shingles.
+    */
+  private def jaccardOverSets(sets: DataFrame, pairs: DataFrame,
+                              idCol: String): DataFrame =
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
         col("sz").as("sz_a")), Seq("id_a"))
@@ -737,7 +747,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
-  }
+
+  /** [[ngramJaccard]] over a pre-built distinct-shingle-set GROUP table
+    * (the persisted [[shingleGroupsTable]] artifact): per-doc sets are a
+    * narrow member expansion of the artifact's one-row-per-distinct-set
+    * groups — no tokenize, no shingle explode, no set aggregation; the
+    * corpus pass was paid once at artifact build. Values are identical
+    * to [[ngramJaccard]]'s: `_set` is the same sorted distinct shingle
+    * array ([[shingleSets]] sorts exactly like the aggregate form) and
+    * the Jaccard arithmetic is the same expression tree.
+    */
+  def ngramJaccardGroups(groups: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame =
+    jaccardOverSets(
+      groups.select(explode(col("_members")).as(idCol), col("_set"), col("sz")),
+      pairs, idCol)
 
   /** EXACT set-similarity join via prefix filtering (Chaudhuri et al.
     * ICDE 2006; Xiao et al. WWW 2008, PPJoin's prefix+length filters):
@@ -950,6 +974,34 @@ object Dedup {
     val spark = docs.sparkSession
     graft.sources.IndexFreshness.ensure(spark, artifactDir, sourceDir) {
       collapsedShingleGroupsPlan(docs, shingleSize, idCol, textCol)
+        .write.mode("overwrite").parquet(artifactDir)
+    }
+    spark.read.parquet(artifactDir)
+  }
+
+  /** PERSISTED distinct `(idCol, shingle)` word-`shingleSize`-gram table
+    * under the [[graft.sources.IndexFreshness]] contract — the shared
+    * front half of the EXPLODED-gram family the way
+    * [[shingleGroupsTable]] is for the set family. The corpus pass
+    * (tokenize → k-gram explode → distinct, ONE shuffle on the pair
+    * key) runs only when the source's file fingerprint changed; every
+    * later consumer — novelty rates, benchmark decontamination, any
+    * per-gram membership aggregate — streams the parquet pairs instead
+    * of re-exploding the corpus. Distinctness is part of the contract:
+    * per-(doc, gram) duplicates carry no information for membership
+    * consumers (their aggregates are max/exists-shaped), so
+    * deduplicating at build time both shrinks the artifact and deletes
+    * the consumers' own distinct shuffles. Positional consumers
+    * ([[duplicatedSpanStats]]' anchored islands) CANNOT use it — they
+    * need every occurrence's offset — and keep their own pass.
+    */
+  def shinglePairsTable(docs: DataFrame, artifactDir: String,
+                        sourceDir: String, shingleSize: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.sources.IndexFreshness.ensure(spark, artifactDir, sourceDir) {
+      shingles(docs, shingleSize, idCol, textCol).distinct()
         .write.mode("overwrite").parquet(artifactDir)
     }
     spark.read.parquet(artifactDir)

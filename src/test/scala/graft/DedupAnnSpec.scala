@@ -815,4 +815,48 @@ class DedupAnnSpec extends SparkSpec {
     assert(artState() != before, "changed source must rebuild")
     assert(rebuilt.agg(sum(col("_n"))).collect()(0).getLong(0) == 3L)
   }
+
+  test("ngramJaccardGroups over the set artifact equals the direct form") {
+    val base = java.nio.file.Files.createTempDirectory("graft-njg").toString
+    val srcDir = s"$base/documents.parquet"
+    corpus.write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    val groups = Dedup.shingleGroupsTable(docs, s"$base/groups", srcDir)
+    // every ordered pair, including the no-overlap ones the output omits
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0))
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = m(Dedup.ngramJaccard(docs, allPairs, scopeToPairs = false))
+    val viaGroups = m(Dedup.ngramJaccardGroups(groups, allPairs))
+    assert(viaGroups == direct,
+      "artifact-backed jaccard must be value-identical (sets, sort, arithmetic)")
+  }
+
+  test("shinglePairsTable: distinct pairs, membership parity, rebuild-once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-g8").toString
+    val srcDir = s"$base/documents.parquet"
+    val artDir = s"$base/gram8"
+    // planted REPEATED 3-gram inside one doc: the raw explode has
+    // duplicate (doc, gram) rows, the artifact must not
+    val docs0 = Seq(
+      (1L, "a b c x a b c"), (2L, "a b c d e"), (3L, "q r s t u")
+    ).toDF("doc_id", "text")
+    docs0.write.mode("overwrite").parquet(srcDir)
+    val docs = spark.read.parquet(srcDir)
+    val art = Dedup.shinglePairsTable(docs, artDir, srcDir, shingleSize = 3)
+    val raw = Dedup.shingles(docs, 3)
+    assert(art.count() == art.distinct().count(), "artifact must be distinct")
+    assert(art.count() < raw.count(), "the planted repeat must collapse")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pairs(art) == pairs(raw.distinct()), "same distinct membership")
+    // unchanged source validates without a rebuild
+    def artState() = new java.io.File(artDir).listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = artState()
+    Dedup.shinglePairsTable(docs, artDir, srcDir, shingleSize = 3)
+    assert(artState() == before, "unchanged source must not rebuild")
+  }
 }

@@ -74,7 +74,9 @@ object AsOfJoin {
     *                  DATA-DRIVEN per key: only keys with more than this
     *                  many spine rows (left + right) take the sharded
     *                  path, the rest ride the single window — see
-    *                  [[TimeShard.hybrid]]. 0 (default) shards every key
+    *                  [[TimeShard.hybrid]]. 0 (default) shards every key.
+    *                  When to turn it on: the measured production policy
+    *                  in the [[TimeShard]] object doc / SCALE.md
     */
   def asOf(
       left: DataFrame, right: DataFrame,

@@ -42,7 +42,9 @@ object Intervals {
     * opt-in; `autoThreshold > 0` makes the choice DATA-DRIVEN per key
     * (only keys with more rows than the threshold shard — see
     * [[TimeShard.hybrid]]). The ScaleProbe `intervals`/`auto` modes
-    * measure the forms under a planted hot key.
+    * measure the forms under a planted hot key; when to turn auto on is
+    * the measured production policy in the [[TimeShard]] object doc /
+    * SCALE.md.
     */
   def coalesce(df: DataFrame, keyCol: String, startCol: String,
                endCol: String, tieCol: String,

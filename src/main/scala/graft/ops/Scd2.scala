@@ -38,7 +38,9 @@ object Scd2 {
     * joins; `autoThreshold > 0` makes the choice DATA-DRIVEN per entity
     * (only entities with more versions than the threshold shard — see
     * [[TimeShard.hybrid]]). The ScaleProbe `carry`/`auto` modes measure
-    * the forms under a planted bot.
+    * the forms under a planted bot; when to turn auto on is the
+    * measured production policy in the [[TimeShard]] object doc /
+    * SCALE.md.
     */
   def build(versions: DataFrame, entityCol: String = "user_id",
             tieCol: String = "event_id", tsCol: String = "ts",

@@ -33,7 +33,9 @@ object Sessionize {
     * @param timeShards opt-in hot-key escape, see [[Intervals.coalesce]]
     * @param autoThreshold with `timeShards > 1`, shard only keys with
     *                   more than this many events (data-driven hybrid,
-    *                   [[TimeShard.hybrid]]); 0 shards every key
+    *                   [[TimeShard.hybrid]]); 0 shards every key.
+    *                   When to turn it on: the measured production
+    *                   policy in the [[TimeShard]] object doc / SCALE.md
     */
   def viaIntervals(events: DataFrame, keyCol: String, tsCol: String,
                    tieCol: String, gap: Long, timeShards: Int = 1,

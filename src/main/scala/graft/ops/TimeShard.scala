@@ -43,6 +43,28 @@ import org.apache.spark.sql.functions._
   * joins. Both forms are bit-identical to the single window
   * (CarryPropertySpec), so their union over a disjoint key split is
   * too: per-key-grouped outputs never mix across keys.
+  *
+  * PRODUCTION DEFAULT POLICY (measured — ScaleProbe `policy`/`auto`
+  * modes, table in SCALE.md "production default policy"):
+  *
+  *   - `timeShards = 1` when the key domain STRUCTURALLY bounds
+  *     per-key rows (revisions per doc id, bounded device cadence,
+  *     enumerated dimensions) — skew cannot materialize, the pre-pass
+  *     would be pure overhead.
+  *   - auto (`timeShards ≈ cores`, `autoThreshold > 0`) when per-key
+  *     volume is UNBOUNDED or user-generated — the 100 TB default
+  *     posture. The uniform-corpus cost is one map-side-combinable
+  *     aggregate pass (+28–62% on 10M-row local corpora, RATIO FALLING
+  *     as data grows — the absolute cost is one extra scan), against an
+  *     un-escaped bot whose single task grows linearly without bound.
+  *     Size `autoThreshold` from TASK CAPACITY (the rows one window
+  *     task sorts inside the straggler SLO, ≈1M at these fixtures),
+  *     not from key statistics — then it never needs re-tuning as the
+  *     corpus grows.
+  *   - manual (`autoThreshold = 0`) only when hot keys are known a
+  *     priori AND dominate the corpus: it skips the decision pass but
+  *     shards every key (uniform manual probes 6–9× worse than
+  *     single).
   */
 object TimeShard {
 
@@ -129,29 +151,28 @@ object TimeShard {
     *     never mix across keys, so the union of two proven-bit-identical
     *     forms is too). The bounds table is filtered to HOT KEYS ONLY —
     *     structurally ≤ N/autoThreshold rows — and the decision is
-    *     COUNT-FIRST under `collectGate`: a LIMIT-gated sample of the
-    *     hot bounds is persisted for the duration of the call, counted,
-    *     and only collected when the count clears the gate, so the
-    *     driver never materializes rows it would then discard (with
-    *     wide string keys a collect-then-check could exhaust driver
-    *     memory before the check ran). The persist is released before
-    *     the call returns — no cache pin survives it (a lingering
-    *     decision table would leak one entry per invocation under a
-    *     streaming caller like [[graft.streaming.StreamScd2]]) — and the
-    *     under-gate collect reads the cached sample, so the bounds
-    *     aggregate still runs ONCE on every non-degraded path. No hot
-    *     keys — the uniform corpus — short-circuits to `single(df)`
-    *     outright: overhead is exactly one map-side-combinable aggregate
-    *     pass (ScaleProbe `auto` mode measures it). Under the gate the
-    *     collected bounds join back as a broadcast local relation; past
-    *     it the hot-bounds filter re-enters the plan — a DELIBERATE
-    *     second bounds aggregate at execution time (the alternative is
-    *     shipping > `collectGate` rows through the driver, the exact
-    *     failure the gate exists to refuse) — and the planner/AQE picks
-    *     the join: the same chosen-not-discovered degradation as
-    *     [[Scd2.applyCdc]]. A hot key's window task sees
-    *     ~1/`timeShards` of its timeline; every cold window task is
-    *     bounded by `autoThreshold` rows.
+    *     COUNT-FIRST under `collectGate`: a LIMIT-gated count ships ONE
+    *     long to the driver, and rows are collected only when that
+    *     count clears the gate, so the driver never materializes rows
+    *     it would then discard (with wide string keys a
+    *     collect-then-check could exhaust driver memory before the
+    *     check ran). No hot keys — the uniform corpus, the production
+    *     common case — short-circuits to `single(df)` after exactly one
+    *     map-side-combinable aggregate pass (ScaleProbe `auto`/`policy`
+    *     modes measure it). When hot keys EXIST the bounds aggregate
+    *     deliberately runs twice — once for the counted decision, once
+    *     for the under-gate collect (or in-plan past the gate, where
+    *     the planner/AQE picks the join — the same chosen-not-discovered
+    *     degradation as [[Scd2.applyCdc]]): a second aggregate over the
+    *     corpus is the price of never shipping an unchecked row set
+    *     through the driver, it is paid only on the skewed-corpus path
+    *     that is about to pay carry joins anyway, and the no-pin shape
+    *     (nothing persisted) keeps streaming callers like
+    *     [[graft.streaming.StreamScd2]] leak-free per invocation. Under
+    *     the gate the collected bounds join back as a broadcast local
+    *     relation. A hot key's window task sees ~1/`timeShards` of its
+    *     timeline; every cold window task is bounded by
+    *     `autoThreshold` rows.
     *
     * `sharded` receives the frame WITH [[ShardCol]] assigned but NOT
     * yet redistributed — each operator keeps its own explicit
@@ -193,31 +214,29 @@ object TimeShard {
         sharded(shardAssigned(df.join(bounds.hint("SHUFFLE_HASH"), keyMatch)))
       else {
         val hotPlan = bounds.where(col(CntCol) > autoThreshold)
-        // count-first under the gate: the LIMIT caps executor-side work,
-        // the count ships ONE long to the driver, and the short-lived
-        // persist lets the under-gate collect reuse the counted rows —
-        // one bounds aggregate on every non-degraded path, zero rows
-        // collected just to be discarded
+        // count-first under the gate: the LIMIT caps the count's work,
+        // ONE long crosses the driver, and rows are collected only once
+        // the count proves they fit — never collected to be discarded.
+        // The no-hot path (production common case) pays exactly this one
+        // aggregate; hot corpora re-aggregate for the collect/in-plan
+        // side (see the scaladoc for why that trade is deliberate)
         val limitN = (math.min(collectGate, Int.MaxValue - 1L) + 1L).toInt
-        val sample = hotPlan.limit(limitN)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nHot = sample.count()
-          if (nHot == 0) single(df) // nothing hot: zero extra joins
-          else {
-            val hinted =
-              if (nHot <= collectGate)
-                broadcast(df.sparkSession.createDataFrame(
-                  java.util.Arrays.asList(sample.collect(): _*), hotPlan.schema))
-              else hotPlan // enormous hot side: planner/AQE picks the join
-                           // (deliberate re-aggregate — see the scaladoc)
-            val j = df.join(hinted, keyMatch, "left_outer")
-            val cold = single(j.where(col(CntCol).isNull)
-              .drop(CarryKeyCol, LoCol, HiCol, CntCol))
-            val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
-            cold.unionByName(hot)
-          }
-        } finally { sample.unpersist(blocking = false); () }
+        val nHot = hotPlan.limit(limitN).count()
+        if (nHot == 0) single(df) // nothing hot: zero extra joins
+        else {
+          val hinted =
+            if (nHot <= collectGate)
+              broadcast(df.sparkSession.createDataFrame(
+                java.util.Arrays.asList(
+                  hotPlan.limit(limitN).collect(): _*), hotPlan.schema))
+            else hotPlan // enormous hot side: planner/AQE picks the join
+                         // (deliberate re-aggregate — see the scaladoc)
+          val j = df.join(hinted, keyMatch, "left_outer")
+          val cold = single(j.where(col(CntCol).isNull)
+            .drop(CarryKeyCol, LoCol, HiCol, CntCol))
+          val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
+          cold.unionByName(hot)
+        }
       }
     }
   }

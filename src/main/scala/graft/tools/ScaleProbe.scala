@@ -40,6 +40,7 @@ object ScaleProbe {
     if (mode == "auto" || mode == "all") autoProbe(spark)
     if (mode == "carry" || mode == "all") carryProbe(spark)
     if (mode == "guard" || mode == "all") guardProbe(spark)
+    if (mode == "policy" || mode == "all") policyProbe(spark)
     spark.stop()
   }
 
@@ -816,6 +817,86 @@ object ScaleProbe {
     time("clusters_10x (50k docs)") {
       graft.ops.Dedup.clusters(graft.ops.Dedup.minhashCandidates(
         graft.ops.Dedup.minhash(docs10)))
+    }
+  }
+
+  /** The PRODUCTION-DEFAULT policy probe for `autoThreshold` (SCALE.md
+    * "when to turn auto on"): over a UNIFORM 10× corpus — no key ever
+    * crosses the threshold — auto pays exactly its bounds pre-pass (one
+    * map-side-combinable aggregate + a count-gated decision) and
+    * short-circuits to the single-window plan, so
+    * `wall(auto) − wall(timeShards=1)` IS the standing cost of leaving
+    * auto on when the skew never materializes. Measured across the
+    * three hybrid families because the RELATIVE overhead differs with
+    * how much work the operator does per scanned row:
+    *
+    *   - `sessionize` (interval algebra: scan → window → merge) — the
+    *     pre-pass re-aggregates the same scan the operator reads once;
+    *   - `as-of` (two-sided join: the pre-pass covers only the probed
+    *     timeline side, the build side is untouched);
+    *   - `scd2` (pure per-entity window: cheapest downstream, so the
+    *     extra aggregate is its largest relative share).
+    *
+    * Best-of-3 walls after a warm run; fingerprints are compared by the
+    * `auto` probe (this one measures cost, not correctness).
+    */
+  private def policyProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val out = "/tmp/graft-scale-policy"
+    // crossJoin-with-range replication (NOT a deep union): one scan per
+    // factor, re-keyed so no key crosses the threshold at any factor
+    def replicate(df: DataFrame, idCol: String, keyCol: String,
+                  factor: Int): DataFrame =
+      df.crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .withColumn(idCol, col(idCol) + col("_rep") * 100000000L)
+        .withColumn(keyCol, col(keyCol) + col("_rep") * 1000000L)
+        .drop("_rep")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+      .select("event_id", "user_id", "ts")
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+        col("o_totalprice"))
+    for (factor <- Seq(10, 100)) {
+      replicate(base, "event_id", "user_id", factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$factor/events.parquet")
+      replicate(orders, "o_orderkey", "o_custkey", factor).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$factor/orders.parquet")
+      val ev = spark.read.parquet(s"$out/$factor/events.parquet")
+      val orx = spark.read.parquet(s"$out/$factor/orders.parquet")
+      def shapes(shards: Int, thr: Long): Seq[(String, () => Unit)] = Seq(
+        ("sessionize", () => graft.ops.Sessionize
+          .viaIntervals(ev, "user_id", "ts", "event_id",
+            gap = 1800000000000L, timeShards = shards, autoThreshold = thr)
+          .write.mode("overwrite").format("noop").save()),
+        ("asof", () => graft.ops.AsOfJoin.asOf(ev, orx, "user_id", "o_custkey",
+          "ts", "ots", Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey", joinType = "left", timeShards = shards,
+          autoThreshold = thr)
+          .write.mode("overwrite").format("noop").save()),
+        ("scd2", () => graft.ops.Scd2
+          .build(ev, "user_id", "event_id", "ts",
+            timeShards = shards, autoThreshold = thr)
+          .write.mode("overwrite").format("noop").save()))
+      val walls = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+      for ((label, shards, thr) <- Seq(("single", 1, 0L), ("auto", 32, 1000000L));
+           (shape, run) <- shapes(shards, thr)) {
+        run() // warm
+        val wall = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        walls((shape, label)) = wall
+      }
+      for (shape <- Seq("sessionize", "asof", "scd2")) {
+        val s1 = walls((shape, "single")); val sa = walls((shape, "auto"))
+        val over = sa - s1
+        println(f"POLICY ${factor}x $shape%-10s single=$s1%6.2fs auto=$sa%6.2fs " +
+          f"overhead=$over%+5.2fs (${over / s1 * 100}%+.0f%%)")
+      }
     }
   }
 }

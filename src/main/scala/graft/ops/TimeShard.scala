@@ -78,6 +78,15 @@ object TimeShard {
     */
   val DefaultCollectGate = 4000000L
 
+  /** Hot-bounds rows [[hybrid]] blind-collects in its FIRST pass: small
+    * enough to be harmless at any key width (64Ki rows × even KB-wide
+    * keys ≈ tens of MB of driver heap), large enough that real corpora
+    * never overflow it — hot keys are structurally ≤ N/autoThreshold,
+    * so 64Ki hot keys at a production threshold (~10⁶) implies a
+    * ≥ 6×10¹⁰-row timeline. Overflow falls back to count-then-decide.
+    */
+  val SafeProbeRows = 65536L
+
   /** Shard-id column [[hybrid]] hands to each operator's sharded body. */
   val ShardCol = "_sh"
   private val LoCol = "_lo"
@@ -151,27 +160,27 @@ object TimeShard {
     *     never mix across keys, so the union of two proven-bit-identical
     *     forms is too). The bounds table is filtered to HOT KEYS ONLY —
     *     structurally ≤ N/autoThreshold rows — and the decision is
-    *     COUNT-FIRST under `collectGate`: a LIMIT-gated count ships ONE
-    *     long to the driver, and rows are collected only when that
-    *     count clears the gate, so the driver never materializes rows
-    *     it would then discard (with wide string keys a
-    *     collect-then-check could exhaust driver memory before the
-    *     check ran). No hot keys — the uniform corpus, the production
-    *     common case — short-circuits to `single(df)` after exactly one
-    *     map-side-combinable aggregate pass (ScaleProbe `auto`/`policy`
-    *     modes measure it). When hot keys EXIST the bounds aggregate
-    *     deliberately runs twice — once for the counted decision, once
-    *     for the under-gate collect (or in-plan past the gate, where
-    *     the planner/AQE picks the join — the same chosen-not-discovered
-    *     degradation as [[Scd2.applyCdc]]): a second aggregate over the
-    *     corpus is the price of never shipping an unchecked row set
-    *     through the driver, it is paid only on the skewed-corpus path
-    *     that is about to pay carry joins anyway, and the no-pin shape
-    *     (nothing persisted) keeps streaming callers like
-    *     [[graft.streaming.StreamScd2]] leak-free per invocation. Under
-    *     the gate the collected bounds join back as a broadcast local
-    *     relation. A hot key's window task sees ~1/`timeShards` of its
-    *     timeline; every cold window task is bounded by
+    *     TWO-TIER under `collectGate`: the first pass blind-collects at
+    *     most `min(collectGate, SafeProbeRows)` rows — a prefix sized
+    *     to be harmless at ANY key width, so the driver can never be
+    *     exhausted by rows it would then discard. Empty prefix — the
+    *     uniform corpus, the production common case — short-circuits to
+    *     `single(df)`; a complete prefix (≤ the cap, i.e. every real
+    *     skewed corpus: hot keys are structurally rare) broadcasts it —
+    *     both after exactly ONE map-side-combinable aggregate pass
+    *     (ScaleProbe `auto`/`policy` modes measure it). Only a corpus
+    *     with MORE hot keys than the blind cap re-aggregates: a
+    *     LIMIT-gated count ships one long to the driver and decides
+    *     between a checked full collect (≤ `collectGate`) and leaving
+    *     the hot-bounds filter in-plan, where the planner/AQE picks the
+    *     join — the same chosen-not-discovered degradation as
+    *     [[Scd2.applyCdc]]; that second aggregate is the price of never
+    *     shipping an unchecked row set through the driver, paid only on
+    *     a 10¹⁰-row-scale skew profile that is about to pay carry joins
+    *     anyway. Nothing is persisted at any tier, so streaming callers
+    *     like [[graft.streaming.StreamScd2]] stay leak-free per
+    *     invocation. A hot key's window task sees ~1/`timeShards` of
+    *     its timeline; every cold window task is bounded by
     *     `autoThreshold` rows.
     *
     * `sharded` receives the frame WITH [[ShardCol]] assigned but NOT
@@ -214,28 +223,33 @@ object TimeShard {
         sharded(shardAssigned(df.join(bounds.hint("SHUFFLE_HASH"), keyMatch)))
       else {
         val hotPlan = bounds.where(col(CntCol) > autoThreshold)
-        // count-first under the gate: the LIMIT caps the count's work,
-        // ONE long crosses the driver, and rows are collected only once
-        // the count proves they fit — never collected to be discarded.
-        // The no-hot path (production common case) pays exactly this one
-        // aggregate; hot corpora re-aggregate for the collect/in-plan
-        // side (see the scaladoc for why that trade is deliberate)
-        val limitN = (math.min(collectGate, Int.MaxValue - 1L) + 1L).toInt
-        val nHot = hotPlan.limit(limitN).count()
-        if (nHot == 0) single(df) // nothing hot: zero extra joins
-        else {
-          val hinted =
-            if (nHot <= collectGate)
-              broadcast(df.sparkSession.createDataFrame(
-                java.util.Arrays.asList(
-                  hotPlan.limit(limitN).collect(): _*), hotPlan.schema))
-            else hotPlan // enormous hot side: planner/AQE picks the join
-                         // (deliberate re-aggregate — see the scaladoc)
+        // two-tier decision (see the scaladoc): blindly collect only a
+        // PREFIX whose size is harmless at any key width; a corpus with
+        // more hot keys than that re-aggregates for a counted decision
+        val probeCap = math.min(collectGate, SafeProbeRows).toInt
+        val probe = hotPlan.limit(probeCap + 1).collect()
+        def split(hinted: DataFrame): DataFrame = {
           val j = df.join(hinted, keyMatch, "left_outer")
           val cold = single(j.where(col(CntCol).isNull)
             .drop(CarryKeyCol, LoCol, HiCol, CntCol))
           val hot = sharded(shardAssigned(j.where(col(CntCol).isNotNull)))
           cold.unionByName(hot)
+        }
+        def local(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+          broadcast(df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), hotPlan.schema))
+        if (probe.isEmpty) single(df) // nothing hot: zero extra joins
+        else if (probe.length <= probeCap) split(local(probe)) // complete
+        else {
+          // more hot bounds than the blind-collect cap: count before
+          // deciding (ONE long to the driver, never an unchecked row set)
+          val limitN = (math.min(collectGate, Int.MaxValue - 1L) + 1L).toInt
+          val nHot = hotPlan.limit(limitN).count()
+          val hinted =
+            if (nHot <= collectGate) local(hotPlan.limit(limitN).collect())
+            else hotPlan // enormous hot side: planner/AQE picks the join
+                         // (deliberate re-aggregate — see the scaladoc)
+          split(hinted)
         }
       }
     }

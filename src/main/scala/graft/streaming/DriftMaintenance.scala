@@ -4,7 +4,7 @@ import graft.functions.TextAnalysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Exactly-once maintenance of the source-distribution drift monitor
   * (the streaming twin of [[graft.TrainingQueries.sourceDrift]]): per
@@ -31,7 +31,8 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
                              sourceCol: String = "source",
                              textCol: String = "text") {
 
-  private def file: Path = Paths.get(dir, "cells.tsv")
+  private def root = new Path(dir)
+  private def fs = root.getFileSystem(StateFs.activeHadoopConf())
 
   /** Apply one micro-batch (also callable directly in batch replays). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -41,7 +42,7 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
         throw new IllegalStateException(
           s"drift batchId went backwards: got $batchId but $applied is " +
             "already applied. The streaming checkpoint was likely reset " +
-            s"against existing drift state — delete $file to rebuild, or " +
+            s"against existing drift state — delete $dir to rebuild, or " +
             "restore the checkpoint.")
       return
     }
@@ -92,38 +93,37 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
     * loudly instead (the [[SketchMaintenance]] dimension-guard rule).
     */
   private def readState(): (Long, Map[(String, Long), Long]) =
-    if (!Files.exists(file)) (-1L, Map.empty)
-    else {
-      val lines = Files.readAllLines(file, StandardCharsets.UTF_8)
-      val header = lines.get(0).split("\t")
-      val applied = header(0).toLong
-      if (header.length > 1 && header(1).toInt != buckets)
-        throw new IllegalStateException(
-          s"drift state at $file was built with ${header(1)} buckets but " +
-            s"this instance uses $buckets — merging the two feature " +
-            s"spaces would be silently wrong. Delete $file to rebuild, " +
-            "or restore the original bucket count.")
-      val cells = (1 until lines.size).map { i =>
-        // keys are sanitized on write: tabs cannot appear in `source`
-        val Array(s, b, c) = lines.get(i).split("\t", 3)
-        ((s, b.toLong), c.toLong)
-      }.toMap
-      (applied, cells)
+    StateFs.readVersioned(fs, root, "cells", ".tsv") match {
+      case None => (-1L, Map.empty)
+      case Some((applied, bytes)) =>
+        val lines = new String(bytes, StandardCharsets.UTF_8)
+          .split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+        val persisted = lines.head.toInt
+        if (persisted != buckets)
+          throw new IllegalStateException(
+            s"drift state at $dir was built with $persisted buckets but " +
+              s"this instance uses $buckets — merging the two feature " +
+              s"spaces would be silently wrong. Delete $dir to rebuild, " +
+              "or restore the original bucket count.")
+        val cells = lines.tail.map { line =>
+          // keys are sanitized on write: tabs cannot appear in `source`
+          val Array(s, b, c) = line.split("\t", 3)
+          ((s, b.toLong), c.toLong)
+        }.toMap
+        (applied, cells)
     }
 
   private def write(batchId: Long, cells: Map[(String, Long), Long]): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    // header pins the bucket count; the batch id rides the file NAME
     val sb = new StringBuilder
-    sb.append(batchId).append('\t').append(buckets).append('\n')
+    sb.append(buckets).append('\n')
     // deterministic order — the persisted file is diffable across runs
     cells.toSeq.sortBy { case ((s, b), _) => (s, b) }.foreach { case ((s, b), c) =>
       require(!s.contains('\t') && !s.contains('\n'),
         s"source value contains a tab/newline and cannot be persisted: $s")
       sb.append(s).append('\t').append(b).append('\t').append(c).append('\n')
     }
-    val tmp = Paths.get(dir, ".cells.tsv.tmp")
-    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    StateFs.writeVersioned(fs, root, "cells", ".tsv", batchId,
+      sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 }

@@ -4,7 +4,7 @@ import graft.functions.{QuantileSketch, QuantileSketchAgg, QuantileSketchOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Exactly-once maintenance of a [[graft.functions.QuantileSketchAgg]]
   * quantile sketch over a micro-batch stream — maintained percentiles
@@ -14,11 +14,12 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *
   * Sketch merge is associative but NOT idempotent (re-merging a replayed
   * batch double-counts its mass), so exactly-once uses the same
-  * marker-plus-atomic-rename pattern as [[SketchMaintenance]]: the
-  * persisted file carries the batchId that built it, a replay is
-  * skipped, a batchId behind the replay margin (reset checkpoint) fails
-  * loudly, and the swap is an atomic rename — a crash leaves the old or
-  * the new sketch, never a torn one. The certified rank-error bound
+  * versioned-file commit as [[SketchMaintenance]] ([[StateFs]], Hadoop
+  * `FileSystem`): the persisted file's NAME carries the batchId that
+  * built it, a replay is skipped, a batchId behind the replay margin
+  * (reset checkpoint) fails loudly, and the commit is a staging write +
+  * dst-absent rename — a crash leaves the old or the new sketch, never
+  * a torn one. The certified rank-error bound
   * ([[QuantileSketchOps.bound]]) survives maintenance: merging only adds
   * the parts' errors.
   *
@@ -31,7 +32,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
 
-  private def file: Path = Paths.get(dir, "qsketch.bin")
+  private def root = new Path(dir)
+  private def fs = root.getFileSystem(StateFs.activeHadoopConf())
 
   /** Apply one micro-batch (also callable directly in batch replays). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -41,7 +43,7 @@ final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
         throw new IllegalStateException(
           s"quantile-sketch batchId went backwards: got $batchId but " +
             s"$applied is already applied. The streaming checkpoint was " +
-            s"likely reset against an existing sketch — delete $file to " +
+            s"likely reset against an existing sketch — delete $dir to " +
             "rebuild from the stream's retained history, or restore the " +
             "checkpoint.")
       return
@@ -81,23 +83,12 @@ final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
     sketch().map(s => QuantileSketchOps.bound(new GenericArrayData(s.toArray)))
 
   private def readState(): (Long, Option[QuantileSketch]) =
-    if (!Files.exists(file)) (-1L, None)
-    else {
-      val bytes = Files.readAllBytes(file)
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val applied = bb.getLong
-      val rest = java.util.Arrays.copyOfRange(bytes, 8, bytes.length)
-      (applied, Some(QuantileSketch.deserialize(rest)))
+    StateFs.readVersioned(fs, root, "qsketch", ".bin") match {
+      case None => (-1L, None)
+      case Some((applied, bytes)) =>
+        (applied, Some(QuantileSketch.deserialize(bytes)))
     }
 
-  private def write(batchId: Long, sketchBytes: Array[Byte]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val bb = java.nio.ByteBuffer.allocate(8 + sketchBytes.length)
-    bb.putLong(batchId)
-    bb.put(sketchBytes)
-    val tmp = Paths.get(dir, ".qsketch.bin.tmp")
-    Files.write(tmp, bb.array())
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def write(batchId: Long, sketchBytes: Array[Byte]): Unit =
+    StateFs.writeVersioned(fs, root, "qsketch", ".bin", batchId, sketchBytes)
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.functions.{CountMin, CountMinSketchAgg}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Exactly-once maintenance of a count-min frequency sketch over a
   * micro-batch stream — streaming heavy hitters ("what's trending")
@@ -13,13 +13,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * CMS is a counter monoid, so maintenance is a vector add of the
   * batch's partial into the persisted sketch. Crucially the merge is NOT
   * idempotent (re-adding a replayed batch double-counts), so the
-  * exactly-once mechanism is the same marker-plus-atomic-swap pattern as
-  * [[StreamIngest]]'s maintained aggregate: the persisted file carries
-  * the batchId that built it, a replay of that batchId is skipped, and a
-  * batchId further back than the one-batch replay margin (a reset
-  * streaming checkpoint) fails loudly instead of silently double- or
-  * under-counting. The swap is a single atomic file rename — a crash
-  * leaves either the old or the new sketch, never a torn one.
+  * exactly-once mechanism is the versioned-file commit ([[StateFs]],
+  * Hadoop `FileSystem` — the state lives wherever the data lives): the
+  * persisted file's NAME carries the batchId that built it, a replay of
+  * that batchId is skipped, and a batchId further back than the
+  * one-batch replay margin (a reset streaming checkpoint) fails loudly
+  * instead of silently double- or under-counting. The commit is a
+  * staging write + dst-absent rename — a crash leaves either the old or
+  * the new sketch, never a torn one.
   *
   * Scale shape: the executor side reduces the batch to `depth × width`
   * longs ([[CountMinSketchAgg]] partials merge map-side); only that one
@@ -31,7 +32,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 final class SketchMaintenance(dir: String, keyCol: String,
                               depth: Int = 4, width: Int = 2048) {
 
-  private def file: Path = Paths.get(dir, "cms.bin")
+  private def root = new Path(dir)
+  private def fs = root.getFileSystem(StateFs.activeHadoopConf())
 
   /** Apply one micro-batch (also callable directly in batch replays). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -43,7 +45,7 @@ final class SketchMaintenance(dir: String, keyCol: String,
         throw new IllegalStateException(
           s"sketch batchId went backwards: got $batchId but $applied is " +
             "already applied. The streaming checkpoint was likely reset " +
-            s"against an existing sketch — delete $file to rebuild from " +
+            s"against an existing sketch — delete $dir to rebuild from " +
             "the stream's retained history, or restore the checkpoint.")
       return
     }
@@ -78,29 +80,24 @@ final class SketchMaintenance(dir: String, keyCol: String,
     * sketch is persisted yet.
     */
   private def readState(): (Long, Array[Long]) =
-    if (!Files.exists(file)) (-1L, Array.empty)
-    else {
-      val bb = java.nio.ByteBuffer.wrap(Files.readAllBytes(file))
-      val applied = bb.getLong
-      val counters = new Array[Long](bb.remaining() / 8)
-      var i = 0
-      while (bb.remaining() >= 8) { counters(i) = bb.getLong; i += 1 }
-      require(counters.length == 2 + depth * width &&
-        counters(0) == depth && counters(1) == width,
-        s"persisted sketch at $file has different depth/width than this " +
-          s"instance (${if (counters.length >= 2) s"${counters(0)}x${counters(1)}"
-          else "truncated"} vs ${depth}x$width)")
-      (applied, counters)
+    StateFs.readVersioned(fs, root, "cms", ".bin") match {
+      case None => (-1L, Array.empty)
+      case Some((applied, bytes)) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val counters = new Array[Long](bb.remaining() / 8)
+        var i = 0
+        while (bb.remaining() >= 8) { counters(i) = bb.getLong; i += 1 }
+        require(counters.length == 2 + depth * width &&
+          counters(0) == depth && counters(1) == width,
+          s"persisted sketch at $dir has different depth/width than this " +
+            s"instance (${if (counters.length >= 2) s"${counters(0)}x${counters(1)}"
+            else "truncated"} vs ${depth}x$width)")
+        (applied, counters)
     }
 
   private def write(batchId: Long, counters: Array[Long]): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * counters.length)
-    bb.putLong(batchId)
+    val bb = java.nio.ByteBuffer.allocate(8 * counters.length)
     counters.foreach(bb.putLong)
-    val tmp = Paths.get(dir, ".cms.bin.tmp")
-    Files.write(tmp, bb.array())
-    Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    StateFs.writeVersioned(fs, root, "cms", ".bin", batchId, bb.array())
   }
 }

@@ -42,6 +42,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object StateFs {
 
+  /** The Hadoop configuration of the active/default SparkSession (so
+    * `fs.defaultFS`, object-store credentials, etc. apply), or a
+    * vanilla `Configuration` outside any session — for state owners
+    * constructed with only a directory string
+    * ([[SketchMaintenance]]-family classes).
+    */
+  def activeHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Read a small state file fully (the `InputStream` contract allows
     * short reads — see [[graft.sources.IndexFreshness.isFresh]]).
     */
@@ -88,4 +100,70 @@ private[graft] object StateFs {
   def listNames(fs: FileSystem, dir: Path): Seq[String] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+  // ---- versioned small-state files (the sketch/drift maintainers) ----
+  //
+  // The exactly-once maintainers persist one small state blob whose
+  // commit must be atomic WITH its batch id. java.nio offered
+  // overwrite-ATOMIC_MOVE; no Hadoop filesystem does, portably. The
+  // versioned scheme gets the same guarantee from two portable ops:
+  // content goes to a HIDDEN staging name, then a dst-absent rename
+  // commits it as `<prefix>-<batchId><suffix>` — the NAME carries the
+  // id. Readers take the highest committed id; a crash mid-write
+  // leaves only hidden staging garbage (overwritten next commit), a
+  // crash between commit and sweep leaves two committed versions of
+  // which the newer wins and the next commit sweeps the older.
+
+  private def versionOf(name: String, prefix: String,
+                        suffix: String): Option[Long] = {
+    val p = s"$prefix-"
+    if (name.startsWith(p) && name.endsWith(suffix) &&
+        name.length > p.length + suffix.length)
+      name.substring(p.length, name.length - suffix.length).toLongOption
+    else None
+  }
+
+  /** Commit `bytes` as version `batchId` of the `<prefix>*<suffix>`
+    * state file in `dir`, then sweep retired versions.
+    */
+  def writeVersioned(fs: FileSystem, dir: Path, prefix: String,
+                     suffix: String, batchId: Long,
+                     bytes: Array[Byte]): Unit = {
+    fs.mkdirs(dir)
+    val name = s"$prefix-$batchId$suffix"
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // a replayed commit of an already-committed id is a protocol bug the
+    // maintainers' margin guard prevents; clear a stranded same-id file
+    // (a previous crash AFTER rename but BEFORE its caller observed it
+    // cannot happen — rename is the observation — so present means bug,
+    // but failing the stream on it would punish the wrong party)
+    deleteRecursively(fs, new Path(dir, name))
+    renameInto(fs, tmp, new Path(dir, name))
+    listNames(fs, dir).foreach { n =>
+      if (versionOf(n, prefix, suffix).exists(_ != batchId))
+        deleteRecursively(fs, new Path(dir, n))
+    }
+  }
+
+  /** `(batchId, bytes)` of the highest committed version, None before
+    * any commit.
+    */
+  def readVersioned(fs: FileSystem, dir: Path, prefix: String,
+                    suffix: String): Option[(Long, Array[Byte])] = {
+    val ids = listNames(fs, dir).flatMap(versionOf(_, prefix, suffix))
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val in = fs.open(new Path(dir, s"$prefix-$id$suffix"))
+      try {
+        val out = new java.io.ByteArrayOutputStream(1 << 12)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some((id, out.toByteArray))
+      } finally in.close()
+    }
+  }
 }

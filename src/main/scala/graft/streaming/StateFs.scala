@@ -80,14 +80,17 @@ private[graft] object StateFs {
   }
 
   /** Rename `src` onto an absent `dst` — the atomic commit op on
-    * rename-capable filesystems (see the object doc). Hadoop's
-    * `rename` signals failure by RETURNING FALSE (destination present,
-    * source missing, cross-filesystem move); a silent false here would
-    * let a swap half-complete and the next read see retired state, so
-    * it throws with the pair named.
+    * rename-capable filesystems (see the object doc). The dst-absent
+    * precondition is CHECKED, not assumed: HDFS `rename` returns false
+    * on an existing destination, but the local filesystem delegates to
+    * `File.renameTo`, which on Linux silently REPLACES an existing file
+    * — a protocol bug (renaming onto live state) would clobber it
+    * without a trace. Failure (either signal) throws with the pair
+    * named; a silent false would let a swap half-complete and the next
+    * read see retired state.
     */
   def renameInto(fs: FileSystem, src: Path, dst: Path): Unit =
-    if (!fs.rename(src, dst))
+    if (fs.exists(dst) || !fs.rename(src, dst))
       throw new IllegalStateException(
         s"state rename failed: $src -> $dst (destination present, source " +
           "missing, or a cross-filesystem move)")

@@ -100,6 +100,14 @@ object Demo {
     val dim = sscd.dim().get
     println(s"STREAM_SCD2=${dim.count()} open=" +
       dim.where(col("is_current")).count())
+    // Round 12: point-in-time-correct enrichment against the LIVE
+    // dimension — every event joins the version valid at its own
+    // timestamp, so every event must match (its own version at least)
+    // with version <= its entity's total count
+    val looked = sscd.lookup(ev.select(col("event_id").as("eid"),
+      col("user_id"), col("ts"))).get
+    println(s"SCD2_LOOKUP=${looked.where(col("version").isNotNull).count()}" +
+      s"/${looked.count()}")
 
     // Flow 7 (round 5): curation pipeline, systematic PPS sample, and a
     // persistent IVF index searched with partition pruning

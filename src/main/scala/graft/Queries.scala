@@ -988,6 +988,46 @@ object Queries {
           col("version"), col("version_event"), col("valid_from"))
     })
 
+  /** The DATA-DRIVEN as-of form of q_scd2_lookup, SCORED: `timeShards =
+    * 8, autoThreshold = 27` sits inside the fixture's real per-user
+    * spine spread (clicks+purchases per user: median ~27, range 11–43
+    * at both sf0.01 and sf0.1), so a genuine MIX of users rides each
+    * path — cold users the plain as-of window, hot users the
+    * carry-lifted shards — and the union, plus the expiry check that
+    * makes as-of ≡ the interval predicate, must still hash-match the
+    * plain-join oracle. This is the lookup plan you'd run when the
+    * event side can hold a bot (ScaleProbe `lookup` probes it at a
+    * 4M-event × 4k-version plant).
+    */
+  private val qScd2LookupAuto = Q("q_scd2_lookup_auto",
+    Some("""WITH dim AS (SELECT user_id, event_id AS version_event,
+              epoch_ns(ts) AS valid_from,
+              lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+              FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS ts,
+              d.version, d.version_event, d.valid_from
+            FROM events e LEFT JOIN dim d
+              ON e.user_id IS NOT DISTINCT FROM d.user_id
+             AND d.valid_from <= epoch_ns(e.ts)
+             AND (d.valid_to IS NULL OR epoch_ns(e.ts) < d.valid_to)
+            WHERE e.event_type = 'click'"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val dim = graft.ops.Scd2.build(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), tsMicros.as("vts")),
+          "user_id", "event_id", "vts")
+        .select(col("user_id"), col("event_id").as("version_event"),
+          col("valid_from"), col("valid_to"), col("version"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), tsMicros.as("tns"))
+      graft.ops.Scd2.lookup(clicks, dim, "user_id", "tns",
+          timeShards = 8, autoThreshold = 27L)
+        .select(col("event_id"), col("user_id"), col("tns").as("ts"),
+          col("version"), col("version_event"), col("valid_from"))
+    })
+
   /** Point-in-time snapshot (time travel): warehouse state as of a cutoff
     * — the latest row per entity among events at-or-before it. This is
     * [[graft.ops.Compact]]'s last-writer-wins window with the cutoff
@@ -3148,7 +3188,7 @@ object Queries {
     qSessionizeAuto,
     qFunnel, qRetention, qGapfill, qRegression,
     qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qScd2Auto,
-    qScd2Lookup,
+    qScd2Lookup, qScd2LookupAuto,
     qIntegrity)
 
   def all: Seq[Q] = relational ++ TrainingQueries.all

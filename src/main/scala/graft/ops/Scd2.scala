@@ -117,11 +117,24 @@ object Scd2 {
     * as one ordinary group, so the lookup must too, or a NULL-key
     * timeline would silently lose its enrichment (the r11 TimeShard
     * lesson). Per-event probe cost is O(versions(entity)) inside the
-    * matched hash bucket; a bot entity concentrates its events on one
-    * task like any equi-join — acceptable because the output stays
-    * event-sized (and an entity-salted pre-split of the EVENTS side
-    * composes on top if ever needed: versions are replicated per salt,
-    * events split freely).
+    * matched hash bucket, so the default plan's total work is
+    * O(events(entity) × versions(entity)) per entity — fine for real
+    * dimensions (versions per entity are small) and probed at 10×
+    * (ScaleProbe `lookup` mode), but a BOT entity holding millions of
+    * both grows it quadratically in one task. `timeShards > 1` switches
+    * to the as-of form: an SCD2 lookup over a well-formed interval
+    * partition is EXACTLY "latest version at-or-before the event"
+    * ([[AsOfJoin.asOf]] — union + running window, O((events + versions)
+    * log) per entity, with the [[TimeShard]] sharded/auto escape for
+    * the bot), plus an expiry check that the carried version's
+    * `validToCol` still covers the event (a history whose final row is
+    * CLOSED — a deleted entity — leaves later events unmatched, which
+    * the pure as-of carry alone would miss); same-`validFromCol` ties
+    * resolve by greatest `validToCol` NULLS-greatest, which is the one
+    * non-empty interval of a same-ts version chain. Both forms are
+    * bit-identical (Scd2Spec randomized property, NULL keys AND NULL
+    * timestamps included); `autoThreshold` makes the escape data-driven
+    * per entity as everywhere else.
     *
     * `dim` must carry `entityCol`, `validFromCol`, `validToCol` plus
     * its payload; every other dim column must be disjoint from the
@@ -131,21 +144,48 @@ object Scd2 {
   def lookup(events: DataFrame, dim: DataFrame, entityCol: String = "user_id",
              tsCol: String = "ts", validFromCol: String = "valid_from",
              validToCol: String = "valid_to",
-             joinType: String = "left"): DataFrame = {
+             joinType: String = "left",
+             timeShards: Int = 1, autoThreshold: Long = 0L): DataFrame = {
     val dimKey = "_dim_key"
     require(!events.columns.contains(dimKey) && !dim.columns.contains(dimKey),
       s"column $dimKey collides with the lookup's internal key name")
-    val d = dim.withColumnRenamed(entityCol, dimKey)
-    val overlap = events.columns.toSet.intersect(d.columns.toSet)
+    val overlap = events.columns.toSet
+      .intersect(dim.columns.toSet - entityCol)
     require(overlap.isEmpty,
       s"dimension columns ${overlap.mkString(", ")} collide with event " +
         "columns — rename one side before the lookup")
-    events.join(d,
-        col(entityCol) <=> col(dimKey) &&
-          col(validFromCol) <= col(tsCol) &&
-          (col(validToCol).isNull || col(tsCol) < col(validToCol)),
-        joinType)
-      .drop(dimKey)
+    if (timeShards == 1) {
+      val d = dim.withColumnRenamed(entityCol, dimKey)
+      events.join(d,
+          col(entityCol) <=> col(dimKey) &&
+            col(validFromCol) <= col(tsCol) &&
+            (col(validToCol).isNull || col(tsCol) < col(validToCol)),
+          joinType)
+        .drop(dimKey)
+    } else {
+      // as-of form (see scaladoc). NULL-validFrom versions are invisible
+      // to the interval predicate (NULL <= ts is never true), so they
+      // must not enter the as-of spine where NULLS-FIRST order would
+      // make them visible to every event.
+      val payload = dim.columns.filterNot(_ == entityCol).toSeq
+      val carried = AsOfJoin.asOf(events, dim.where(col(validFromCol).isNotNull),
+        entityCol, entityCol, tsCol, validFromCol,
+        payload, tieBreak = validToCol, joinType = joinType,
+        timeShards = timeShards, autoThreshold = autoThreshold)
+      // expiry: the carried (latest-at-or-before) version only matches if
+      // its interval still covers the event — a closed final row (deleted
+      // entity) or an interval gap must read as NO match, exactly like
+      // the join form's predicate
+      val ok = col(validToCol).isNull || col(tsCol) < col(validToCol)
+      if (joinType == "inner") carried.where(ok)
+      else
+        // ONE projection: every payload column nulls against the
+        // ORIGINAL validTo (a sequential withColumn chain would null
+        // validTo first and then read the nulled value as "still valid"
+        // for the remaining columns)
+        carried.select(events.columns.map(col) ++
+          payload.map(c => when(ok, col(c)).as(c)): _*)
+    }
   }
 
   /** Merge a change batch into an existing SCD2 history. Exactly

@@ -41,6 +41,7 @@ object ScaleProbe {
     if (mode == "carry" || mode == "all") carryProbe(spark)
     if (mode == "guard" || mode == "all") guardProbe(spark)
     if (mode == "policy" || mode == "all") policyProbe(spark)
+    if (mode == "lookup" || mode == "all") lookupProbe(spark)
     spark.stop()
   }
 
@@ -898,5 +899,92 @@ object ScaleProbe {
           f"overhead=$over%+5.2fs (${over / s1 * 100}%+.0f%%)")
       }
     }
+  }
+
+  /** The point-in-time SCD2 lookup ([[graft.ops.Scd2.lookup]]) under a
+    * planted bot: 10× uniform events enriched against a purchase-built
+    * dimension, then the same plus ONE user carrying 4M events and 4k
+    * versions. The claim under test (the lookup scaladoc's scale
+    * argument): the join stays the entity equi-key shape, the output
+    * stays EVENT-sized (each event matches ≤ 1 version — checked), and
+    * the bot's cost is the per-event probe over its own versions inside
+    * one hash-join task — a linear funnel like any equi-join, not a
+    * versions×events cross-product (4M × 4k pairs would be 16G rows;
+    * the probed task stays seconds).
+    */
+  private def lookupProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts"), col("event_type")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    val botEv = spark.range(4000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000").as("ts"),
+      lit("click").as("event_type"))
+    val botVers = spark.range(4000).select(
+      (col("id") + 950000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000000").as("ts"),
+      lit("purchase").as("event_type"))
+    val out = "/tmp/graft-scale-lookup"
+    ev10.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/uniform/events.parquet")
+    ev10.unionByName(botEv).unionByName(botVers).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/bot/events.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      for (corpus <- Seq("uniform", "bot");
+           (label, shards, thr) <- Seq(
+             ("join", 1, 0L), ("asof-auto(32,thr=1M)", 32, 1000000L))) {
+        val ev = spark.read.parquet(s"$out/$corpus/events.parquet")
+        val dim = graft.ops.Scd2.build(
+            ev.where(col("event_type") === "purchase")
+              .select(col("user_id"), col("event_id"), col("ts")),
+            "user_id", "event_id", "ts")
+          .select(col("user_id"), col("event_id").as("version_event"),
+            col("valid_from"), col("valid_to"), col("version"))
+        val events = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        def run() = graft.ops.Scd2.lookup(events, dim, "user_id", "ts",
+          timeShards = shards, autoThreshold = thr)
+        run().write.mode("overwrite").format("noop").save() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run().write.mode("overwrite").format("noop").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        // event-sized output: every click row appears exactly once; the
+        // output fingerprint must agree across the two forms
+        val nClicks = events.count()
+        val nOut = run().count()
+        val fp = run().agg(sum(coalesce(col("version"), lit(0L)) +
+          coalesce(col("version_event") % 1000000007L, lit(0L))).as("fp"))
+          .collect()(0).getLong(0)
+        println(f"LOOKUP $corpus%-8s $label%-21s wall=$wall%6.2fs " +
+          f"maxTask=$maxTask%6.2fs clicks=$nClicks out=$nOut " +
+          f"eventSized=${nClicks == nOut} fp=$fp")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

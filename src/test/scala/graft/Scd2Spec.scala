@@ -103,6 +103,59 @@ class Scd2Spec extends SparkSpec {
     assert(got == Map("e1" -> Some(1L), "e2" -> Some(2L), "e3" -> None))
   }
 
+  test("lookup: the as-of sharded/auto forms are bit-identical to the join form") {
+    val rnd = new scala.util.Random(7)
+    // versions: clumpy timestamps WITH ties (same-ts version chains),
+    // NULL entities (a window group), NULL timestamps (invisible to the
+    // interval predicate — the as-of form must filter them)
+    val vRows = (0 until 400).map { i =>
+      val ent: java.lang.Long = if (i % 37 == 0) null else (i % 10).toLong
+      val ts: java.lang.Long =
+        if (i % 29 == 0) null else (rnd.nextInt(50) * 10).toLong
+      (ent, i.toLong, ts)
+    }
+    val dim0 = Scd2.build(vRows.toDF("user_id", "event_id", "ts"))
+      .select(col("user_id"), col("event_id").as("version_event"),
+        col("valid_from"), col("valid_to"), col("version"))
+    // plus a CLOSED-TAIL entity (a deleted dimension row): events after
+    // valid_to must read as NO match — the as-of carry alone would keep
+    // matching them, the expiry check is what this pins
+    val closed = Seq(
+      (99L, 1000L, 50L, Some(100L), 1L), (99L, 1001L, 100L, Some(200L), 2L)
+    ).toDF("user_id", "version_event", "valid_from", "valid_to", "version")
+      .select(col("user_id"), col("version_event"), col("valid_from"),
+        col("valid_to").cast("long").as("valid_to"), col("version"))
+    val dim = dim0.unionByName(closed)
+    val eRows = (0 until 600).map { i =>
+      val ent: java.lang.Long =
+        if (i % 41 == 0) null else if (i % 13 == 0) 99L else (i % 12).toLong
+      val ts: java.lang.Long =
+        if (i % 31 == 0) null else rnd.nextInt(520).toLong
+      (i.toLong, ent, ts)
+    }
+    val events = eRows.toDF("eid", "user_id", "ts")
+    def canon(df: DataFrame): Set[Seq[Any]] =
+      df.select("eid", "user_id", "ts", "version_event", "valid_from",
+          "valid_to", "version")
+        .collect().map(_.toSeq.map(Option(_))).toSet
+    for (joinType <- Seq("left", "inner")) {
+      val plain = canon(Scd2.lookup(events, dim, "user_id", "ts",
+        joinType = joinType))
+      for ((sh, thr) <- Seq((8, 0L), (8, 30L), (3, 5L))) {
+        val got = canon(Scd2.lookup(events, dim, "user_id", "ts",
+          joinType = joinType, timeShards = sh, autoThreshold = thr))
+        assert(got == plain,
+          s"as-of lookup diverged at joinType=$joinType shards=$sh thr=$thr")
+      }
+    }
+    // the closed tail really is exercised: entity 99 events past ts=200
+    // exist and carry NULL enrichment
+    val tail = Scd2.lookup(events, dim, "user_id", "ts",
+      timeShards = 4, autoThreshold = 0L)
+      .where(col("user_id") === 99L && col("ts") >= 200L)
+    assert(tail.count() > 0 && tail.where(col("version").isNotNull).count() == 0)
+  }
+
   test("lookup rejects colliding dimension/event column names") {
     val dim = Scd2.build(oldV)
     val events = Seq(("u1", 1L, 150L)).toDF("user_id", "event_id", "ts")

@@ -90,14 +90,19 @@ final class StreamScd2(
     * decorate yesterday's event). None before the first batch lands.
     * `events` must not carry dimension column names other than the
     * entity key (rename first — [[graft.ops.Scd2.lookup]] enforces it);
-    * the dimension's tie column surfaces as `version_<tieCol>`.
+    * the dimension's tie column surfaces as `version_<tieCol>`. The
+    * instance's `timeShards`/`autoThreshold` forward to the lookup: a
+    * deployment whose entities need sharded MAINTENANCE has the same
+    * bot profile at enrichment time, and the two lookup forms are
+    * bit-identical (Scd2Spec), so forwarding changes plans, never rows.
     */
   def lookup(events: DataFrame, eventTsCol: String = "ts",
              joinType: String = "left"): Option[DataFrame] =
     dim().map { d =>
       graft.ops.Scd2.lookup(events,
         d.withColumnRenamed(tieCol, s"version_$tieCol"),
-        entityCol, eventTsCol, joinType = joinType)
+        entityCol, eventTsCol, joinType = joinType,
+        timeShards = timeShards, autoThreshold = autoThreshold)
     }
 
   /** One micro-batch application; also callable directly for replay

@@ -88,7 +88,10 @@ class StreamScd2Spec extends SparkSpec {
 
   test("lookup against the live dimension matches the batch lookup at every point") {
     val dir = Files.createTempDirectory("scd2-lookup").toString
-    val s = new StreamScd2(spark, dir)
+    // sharded maintenance => the lookup forwards to the as-of form; its
+    // parity against the plain batch lookup below is what pins the
+    // forwarding as plan-only
+    val s = new StreamScd2(spark, dir, timeShards = 3, autoThreshold = 2L)
     // events to enrich: one per interesting position in u1/u2/u3 history
     val events = Seq(
       (10L, 1L, 50L), (11L, 1L, 150L), (12L, 1L, 250L), (13L, 1L, 999L),

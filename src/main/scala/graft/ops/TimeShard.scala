@@ -54,7 +54,7 @@ import org.apache.spark.sql.functions._
   *   - auto (`timeShards ≈ cores`, `autoThreshold > 0`) when per-key
   *     volume is UNBOUNDED or user-generated — the 100 TB default
   *     posture. The uniform-corpus cost is one map-side-combinable
-  *     aggregate pass (+28–62% on 10M-row local corpora, RATIO FALLING
+  *     aggregate pass (+29–69% on 10M-row local corpora, RATIO FALLING
   *     as data grows — the absolute cost is one extra scan), against an
   *     un-escaped bot whose single task grows linearly without bound.
   *     Size `autoThreshold` from TASK CAPACITY (the rows one window

@@ -147,6 +147,13 @@ object Scd2 {
              joinType: String = "left",
              timeShards: Int = 1, autoThreshold: Long = 0L): DataFrame = {
     val dimKey = "_dim_key"
+    // validated on BOTH paths: the default path would otherwise accept
+    // any Spark join type (an outer alias returns unmatched DIMENSION
+    // rows — the output stops being event-sized) while the sharded path
+    // rejected it from inside AsOfJoin, making the data-driven escape
+    // change which arguments a call accepts
+    require(joinType == "inner" || joinType == "left",
+      s"lookup supports inner|left, got $joinType")
     require(!events.columns.contains(dimKey) && !dim.columns.contains(dimKey),
       s"column $dimKey collides with the lookup's internal key name")
     val overlap = events.columns.toSet

@@ -22,18 +22,32 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object Artifacts {
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  // dir -> the Hadoop configuration it was registered under: the
+  // artifact is WRITTEN through Spark's Hadoop path resolution (a
+  // schemeless /tmp path lands on fs.defaultFS, not necessarily the
+  // driver's local disk), so the cleanup must resolve the SAME
+  // filesystem — a java.nio delete would silently no-op on any cluster
+  // deployment and leak a directory per run, the exact local-vs-Hadoop
+  // split StateFs exists to prevent
+  private val registered = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]()
 
-  // one hook for the whole process, installed on first use
+  // one hook for the whole process, installed on first use. Registered
+  // with Hadoop's ShutdownHookManager ABOVE the FileSystem cache-close
+  // priority (10) so the deletes run while the filesystems are still
+  // open — a plain Runtime hook would race FileSystem.closeAll.
   private lazy val hookInstalled: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      registered.forEach { d =>
-        try graft.streaming.StreamIngest.deleteRecursively(
-          java.nio.file.Paths.get(d))
-        catch { case _: Exception => () } // best-effort: cleanup never
-                                          // masks the JVM's exit path
-      }))
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = registered.forEach { (d, conf) =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            val fs = p.getFileSystem(conf)
+            if (fs.exists(p)) { fs.delete(p, true); () }
+          } catch { case _: Exception => () } // best-effort: cleanup never
+                                              // masks the JVM's exit path
+        }
+      }, 50)
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -46,7 +60,7 @@ private[graft] object Artifacts {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
       s"${spark.sparkContext.applicationId}-${md5hex(sourceKey)}"
     hookInstalled
-    registered.add(dir)
+    registered.put(dir, spark.sparkContext.hadoopConfiguration)
     dir
   }
 }

@@ -92,7 +92,18 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
     * incompatible feature spaces into silently wrong TVDs, so it fails
     * loudly instead (the [[SketchMaintenance]] dimension-guard rule).
     */
-  private def readState(): (Long, Map[(String, Long), Long]) =
+  private def readState(): (Long, Map[(String, Long), Long]) = {
+    // pre-r12 layout: ONE `cells.tsv` whose header line was
+    // "<applied>\t<buckets>"; the new header is "<buckets>" alone (the
+    // id rides the file name), so migration re-heads the payload
+    StateFs.migrateLegacy(fs, root, "cells.tsv", "cells", ".tsv") { bytes =>
+      val text = new String(bytes, StandardCharsets.UTF_8)
+      val nl = text.indexOf('\n')
+      val header = text.substring(0, if (nl < 0) text.length else nl).split("\t")
+      val body = if (nl < 0) "" else text.substring(nl + 1)
+      (header(0).toLong,
+        (header(1) + "\n" + body).getBytes(StandardCharsets.UTF_8))
+    }
     StateFs.readVersioned(fs, root, "cells", ".tsv") match {
       case None => (-1L, Map.empty)
       case Some((applied, bytes)) =>
@@ -112,6 +123,7 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
         }.toMap
         (applied, cells)
     }
+  }
 
   private def write(batchId: Long, cells: Map[(String, Long), Long]): Unit = {
     // header pins the bucket count; the batch id rides the file NAME

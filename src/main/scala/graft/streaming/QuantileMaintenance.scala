@@ -82,12 +82,18 @@ final class QuantileMaintenance(dir: String, valCol: String, k: Int = 512) {
   def bound(): Option[Long] =
     sketch().map(s => QuantileSketchOps.bound(new GenericArrayData(s.toArray)))
 
-  private def readState(): (Long, Option[QuantileSketch]) =
+  private def readState(): (Long, Option[QuantileSketch]) = {
+    // pre-r12 layout: ONE `qsketch.bin` whose first 8 bytes were the id
+    StateFs.migrateLegacy(fs, root, "qsketch.bin", "qsketch", ".bin") { bytes =>
+      (java.nio.ByteBuffer.wrap(bytes).getLong,
+        java.util.Arrays.copyOfRange(bytes, 8, bytes.length))
+    }
     StateFs.readVersioned(fs, root, "qsketch", ".bin") match {
       case None => (-1L, None)
       case Some((applied, bytes)) =>
         (applied, Some(QuantileSketch.deserialize(bytes)))
     }
+  }
 
   private def write(batchId: Long, sketchBytes: Array[Byte]): Unit =
     StateFs.writeVersioned(fs, root, "qsketch", ".bin", batchId, sketchBytes)

@@ -79,7 +79,12 @@ final class SketchMaintenance(dir: String, keyCol: String,
   /** `(appliedBatchId, [depth, width, counters…])`; (-1, empty) when no
     * sketch is persisted yet.
     */
-  private def readState(): (Long, Array[Long]) =
+  private def readState(): (Long, Array[Long]) = {
+    // pre-r12 layout: ONE `cms.bin` whose first 8 bytes were the batch id
+    StateFs.migrateLegacy(fs, root, "cms.bin", "cms", ".bin") { bytes =>
+      (java.nio.ByteBuffer.wrap(bytes).getLong,
+        java.util.Arrays.copyOfRange(bytes, 8, bytes.length))
+    }
     StateFs.readVersioned(fs, root, "cms", ".bin") match {
       case None => (-1L, Array.empty)
       case Some((applied, bytes)) =>
@@ -94,6 +99,7 @@ final class SketchMaintenance(dir: String, keyCol: String,
             else "truncated"} vs ${depth}x$width)")
         (applied, counters)
     }
+  }
 
   private def write(batchId: Long, counters: Array[Long]): Unit = {
     val bb = java.nio.ByteBuffer.allocate(8 * counters.length)

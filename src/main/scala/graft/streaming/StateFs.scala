@@ -57,16 +57,20 @@ private[graft] object StateFs {
   /** Read a small state file fully (the `InputStream` contract allows
     * short reads — see [[graft.sources.IndexFreshness.isFresh]]).
     */
-  def readString(fs: FileSystem, p: Path): String = {
+  def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream(256)
-      val buf = new Array[Byte](4096)
+      val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, "UTF-8")
+      out.toByteArray
     } finally in.close()
   }
+
+  /** [[readBytes]] decoded as UTF-8. */
+  def readString(fs: FileSystem, p: Path): String =
+    new String(readBytes(fs, p), "UTF-8")
 
   /** Overwrite-write a small state file. NOT atomic w.r.t. content on
     * any filesystem (an overwrite truncates before it writes) — callers
@@ -159,14 +163,32 @@ private[graft] object StateFs {
     if (ids.isEmpty) None
     else {
       val id = ids.max
-      val in = fs.open(new Path(dir, s"$prefix-$id$suffix"))
-      try {
-        val out = new java.io.ByteArrayOutputStream(1 << 12)
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some((id, out.toByteArray))
-      } finally in.close()
+      Some((id, readBytes(fs, new Path(dir, s"$prefix-$id$suffix"))))
+    }
+  }
+
+  /** One-time migration of a LEGACY fixed-name state file (the pre-r12
+    * java.nio overwrite-rename form) into the versioned scheme — without
+    * it, upgrading a deployment with live state would read `(-1, empty)`
+    * and the next batch would silently merge into NOTHING, the exact
+    * silent-undercount the replay-margin guards exist to prevent.
+    * `parse` extracts `(batchId, payload)` from the legacy bytes.
+    * Idempotent and crash-safe: the versioned commit lands FIRST, the
+    * legacy file deletes after; a crash between the two leaves both, and
+    * the next call prefers the versioned copy and just re-deletes the
+    * legacy file.
+    */
+  def migrateLegacy(fs: FileSystem, dir: Path, legacyName: String,
+                    prefix: String, suffix: String)(
+                    parse: Array[Byte] => (Long, Array[Byte])): Unit = {
+    val legacy = new Path(dir, legacyName)
+    if (fs.exists(legacy)) {
+      if (readVersioned(fs, dir, prefix, suffix).isEmpty) {
+        val (id, payload) = parse(readBytes(fs, legacy))
+        writeVersioned(fs, dir, prefix, suffix, id, payload)
+      }
+      fs.delete(legacy, false)
+      ()
     }
   }
 }

@@ -62,6 +62,31 @@ final class StreamScd2(
   fs.mkdirs(root)
 
   private val CommitPrefix = "_commit-"
+  migrateLegacyPointer()
+
+  /** Pre-r12 dimensions committed via a `_current` pointer FILE whose
+    * content named the live `data-<batchId>` directory. Without this
+    * one-time migration the marker-based `current()` would read the
+    * dimension as EMPTY — `appliedBatch() = -1` passes the backwards
+    * guard, the sweep deletes every data directory, and the next batch
+    * silently rebuilds a forked history from itself: the exact outcome
+    * the guard exists to make loud. Idempotent and crash-safe: the
+    * marker lands first, the pointer deletes after; a crash between the
+    * two re-enters here, finds the marker present, and just re-deletes
+    * the pointer.
+    */
+  private def migrateLegacyPointer(): Unit = {
+    val pointer = new Path(root, "_current")
+    if (fs.exists(pointer)) {
+      val name = StateFs.readString(fs, pointer).trim
+      if (name.startsWith("data-")) {
+        val marker = new Path(root, s"$CommitPrefix${name.stripPrefix("data-").toLong}")
+        if (!fs.exists(marker)) fs.create(marker, false).close()
+      }
+      fs.delete(pointer, false)
+      ()
+    }
+  }
 
   /** `(directory, batchId)` of the live dimension — the highest
     * committed marker — None before batch 0.

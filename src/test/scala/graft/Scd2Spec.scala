@@ -156,6 +156,23 @@ class Scd2Spec extends SparkSpec {
     assert(tail.count() > 0 && tail.where(col("version").isNotNull).count() == 0)
   }
 
+  test("lookup rejects unsupported join types on BOTH plan paths") {
+    val dim = Scd2.build(oldV)
+      .select(col("user_id"), col("event_id").as("version_event"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val events = Seq(("u1", 150L)).toDF("user_id", "ts")
+    for (shards <- Seq(1, 4)) {
+      val e = intercept[IllegalArgumentException] {
+        Scd2.lookup(events, dim, "user_id", "ts", joinType = "full",
+          timeShards = shards)
+      }
+      assert(e.getMessage.contains("inner|left"),
+        s"joinType must be validated at shards=$shards — an outer type " +
+          "returns unmatched DIMENSION rows and the output stops being " +
+          "event-sized")
+    }
+  }
+
   test("lookup rejects colliding dimension/event column names") {
     val dim = Scd2.build(oldV)
     val events = Seq(("u1", 1L, 150L)).toDF("user_id", "event_id", "ts")

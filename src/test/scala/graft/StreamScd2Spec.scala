@@ -127,6 +127,34 @@ class StreamScd2Spec extends SparkSpec {
       got(12L) == Some(2L) && got(13L) == Some(3L) && got(16L) == None)
   }
 
+  test("a pre-r12 pointer-file dimension migrates instead of being swept") {
+    val dir = Files.createTempDirectory("scd2-legacy").toString
+    // build a live dimension, then rewrite its commit as the LEGACY
+    // `_current` pointer file (the pre-r12 protocol)
+    val s0 = new StreamScd2(spark, dir)
+    s0.applyBatch(b0, 0L)
+    s0.applyBatch(b1, 1L)
+    val expect = canon(s0.dim().get)
+    val root = java.nio.file.Paths.get(dir)
+    Files.delete(root.resolve("_commit-1"))
+    Files.writeString(root.resolve("_current"), "data-1")
+    // a fresh instance must MIGRATE the pointer — not read the dimension
+    // as empty, pass the backwards guard, and sweep the data away
+    val s1 = new StreamScd2(spark, dir)
+    assert(s1.appliedBatch() == 1L, "legacy pointer must migrate to a marker")
+    assert(!Files.exists(root.resolve("_current")), "pointer must be retired")
+    assert(canon(s1.dim().get) == expect)
+    // the stream continues correctly from the migrated state
+    s1.applyBatch(b2, 2L)
+    assert(canon(s1.dim().get) ==
+      canon(Scd2.build(b0.unionByName(b1).unionByName(b2))))
+    // crash window: marker landed, pointer not yet deleted — both present
+    Files.writeString(root.resolve("_current"), "data-2")
+    val s2 = new StreamScd2(spark, dir)
+    assert(s2.appliedBatch() == 2L)
+    assert(!Files.exists(root.resolve("_current")))
+  }
+
   test("end-to-end: a file stream of version batches maintains the dimension") {
     val in = Files.createTempDirectory("scd2-in").toString
     val dimDir = Files.createTempDirectory("scd2-dim").toString

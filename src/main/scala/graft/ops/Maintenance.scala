@@ -1,8 +1,9 @@
 package graft.ops
 
+import graft.streaming.StateFs
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Warehouse maintenance operators: the housekeeping a long-lived
   * parquet warehouse needs at scale, kept out of the query path.
@@ -14,11 +15,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * reference never needs this (its warehouse is one SQLite file); any
   * file-based warehouse does.
   *
-  * The atomic swaps here use local-filesystem renames (`java.nio`),
-  * matching the engine's warehouse layout ([[graft.streaming.StreamIngest]]
-  * does the same). An object-store deployment (S3/HDFS) would swap via the
-  * Hadoop `FileSystem` API instead — rename semantics, not the compaction
-  * logic, are the porting surface.
+  * The swap drives the Hadoop `FileSystem` resolved from `dir` — the
+  * same filesystem Spark reads and writes the table through — so the
+  * compaction works wherever the warehouse lives (the read and the swap
+  * can never target different filesystems). Renames are dst-absent and
+  * atomic on HDFS/POSIX; see [[graft.streaming.StateFs]] for the
+  * object-store atomicity boundary (rename there is copy+delete — run
+  * compaction against rename-capable storage, or commit via a manifest
+  * as [[graft.streaming.StateFs.ManifestDir]] does for streaming state).
   */
 object Maintenance {
 
@@ -27,9 +31,9 @@ object Maintenance {
     * staging sibling, atomically swap. Readers never observe a PARTIAL
     * directory, but the swap is two renames, so a concurrent read that
     * lists `dir` in the instant between them sees a MISSING directory and
-    * fails with path-not-found — on local-fs deployments schedule
-    * compaction when no readers are active (an object-store port would
-    * swap via a manifest instead). Crash recovery is complete: a crash
+    * fails with path-not-found — schedule compaction when no readers are
+    * active (a manifest-committed layout, [[graft.streaming.StateFs.ManifestDir]],
+    * removes even that window). Crash recovery is complete: a crash
     * before the swap strands only the staging dir (cleared on the next
     * call), and a crash BETWEEN the two renames leaves the data in the
     * retired dir, which the next call moves back before doing anything
@@ -45,45 +49,42 @@ object Maintenance {
   def compactFiles(spark: SparkSession, dir: String,
                    targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val root = Paths.get(dir)
-    val staging = Paths.get(dir + ".compact_staging")
-    val retired = Paths.get(dir + ".compact_retired")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".compact_staging")
+    val retired = new Path(dir + ".compact_retired")
     // crash recovery FIRST: a death between the two swap renames leaves
     // the table dir absent and the data stranded in retired — restore it
     // before anything else (mirrors StreamIngest.recoverState)
-    if (!Files.exists(root) && Files.isDirectory(retired))
-      Files.move(retired, root, StandardCopyOption.ATOMIC_MOVE)
-    require(Files.isDirectory(root), s"$dir is not a directory")
-    graft.streaming.StreamIngest.deleteRecursively(staging)
-    graft.streaming.StreamIngest.deleteRecursively(retired)
+    if (!fs.exists(root) && fs.exists(retired) &&
+        fs.getFileStatus(retired).isDirectory)
+      StateFs.renameInto(fs, retired, root)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"$dir is not a directory")
+    StateFs.deleteRecursively(fs, staging)
+    StateFs.deleteRecursively(fs, retired)
 
-    val bytes = parquetBytes(root)
+    val bytes = parquetFiles(fs, root).map(_.getLen).sum
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(parts)
       .write.mode("overwrite").parquet(staging.toString)
 
-    Files.move(root, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, root, StandardCopyOption.ATOMIC_MOVE)
-    graft.streaming.StreamIngest.deleteRecursively(retired)
-    parquetFiles(root).size
+    StateFs.renameInto(fs, root, retired)
+    StateFs.renameInto(fs, staging, root)
+    StateFs.deleteRecursively(fs, retired)
+    parquetFiles(fs, root).size
   }
 
-  private def parquetFiles(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.walk(root)
-    try {
-      val it = s.iterator()
-      val out = Seq.newBuilder[java.nio.file.Path]
-      while (it.hasNext) {
-        val p = it.next()
-        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          out += p
-      }
-      out.result()
-    } finally s.close()
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) out += s
+    }
+    out.result()
   }
-
-  private def parquetBytes(root: java.nio.file.Path): Long =
-    parquetFiles(root).map(Files.size).sum
 
   /** Interleave the bits of `cols` (each first rank-normalized to `bits`
     * unsigned bits by the caller) into one Z-order (Morton) key. Sorting

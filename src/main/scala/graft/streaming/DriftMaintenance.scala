@@ -101,8 +101,12 @@ final class DriftMaintenance(dir: String, buckets: Int = 1024,
       val nl = text.indexOf('\n')
       val header = text.substring(0, if (nl < 0) text.length else nl).split("\t")
       val body = if (nl < 0) "" else text.substring(nl + 1)
+      // the EARLIEST legacy header was the batch id ALONE (its reader
+      // tolerated the absent bucket field); re-head such a payload with
+      // this instance's bucket count — exactly what that reader assumed
+      val persistedBuckets = if (header.length > 1) header(1) else buckets.toString
       (header(0).toLong,
-        (header(1) + "\n" + body).getBytes(StandardCharsets.UTF_8))
+        (persistedBuckets + "\n" + body).getBytes(StandardCharsets.UTF_8))
     }
     StateFs.readVersioned(fs, root, "cells", ".tsv") match {
       case None => (-1L, Map.empty)

@@ -53,11 +53,61 @@ final class StreamIngest(
   private val schemaDir = new Path(s"$warehouseDir/_schemas")
   private val aggDir = new Path(s"$warehouseDir/_agg")
 
+  /** Directory-commit protocol (`graft.state.protocol` session conf):
+    * `rename` (default) swaps staged directories into place with
+    * dst-absent renames — atomic on HDFS/POSIX, the right choice
+    * wherever rename is a metadata op; `manifest` never renames a
+    * directory at all — data lands once under per-batch names and a
+    * versioned manifest file names the live content
+    * ([[StateFs.ManifestDir]]) — the object-store posture. The choice is
+    * persisted and guarded like the bucket count: reading rename-layout
+    * state through manifest eyes (or vice versa) would see an EMPTY
+    * warehouse and silently fork it, the exact failure the replay-margin
+    * guards exist to make loud.
+    */
+  private val protocol: String = {
+    val p = spark.conf.getOption("graft.state.protocol").getOrElse("rename")
+    require(p == "rename" || p == "manifest",
+      s"graft.state.protocol must be 'rename' or 'manifest', got '$p'")
+    p
+  }
+  private def manifestMode = protocol == "manifest"
+  private val versRoot = new Path(s"$warehouseDir/_state_v")
+  private val aggVersRoot = new Path(s"$warehouseDir/_agg_v")
+  private lazy val stateManifest = new StateFs.ManifestDir(fs, versRoot)
+  private lazy val aggManifest = new StateFs.ManifestDir(fs, aggVersRoot)
+
+  private def verifyProtocol(): Unit = {
+    val marker = new Path(s"$warehouseDir/_state_protocol")
+    if (fs.exists(marker)) {
+      val persisted = StateFs.readString(fs, marker).trim
+      if (persisted != protocol)
+        throw new IllegalStateException(
+          s"warehouse state at $warehouseDir was committed under the " +
+            s"'$persisted' protocol but graft.state.protocol=$protocol — " +
+            "each protocol is blind to the other's layout, so switching " +
+            "would read the warehouse as EMPTY and fork it. Restore the " +
+            "original setting or rebuild the warehouse.")
+    } else {
+      // pre-marker warehouses are rename-layout by construction
+      if (protocol != "rename" &&
+          (StateFs.listNames(fs, new Path(stateDir)).exists(_.startsWith("_bucket=")) ||
+            fs.exists(aggDir)))
+        throw new IllegalStateException(
+          s"warehouse state at $warehouseDir predates the protocol marker " +
+            "and is rename-layout; it cannot be read under " +
+            "graft.state.protocol=manifest. Unset the protocol or rebuild " +
+            "the warehouse.")
+      StateFs.writeString(fs, marker, protocol)
+    }
+  }
+
   /** Frozen per-docType schemas, persisted as the donor document JSON so a
     * restarted stream keeps first-doc-wins semantics (§1.4).
     */
   private val schemas = scala.collection.mutable.LinkedHashMap.empty[String, DocSchema]
   loadSchemas()
+  verifyProtocol()
   recoverState()
   verifyBucketCount()
   bootstrapAggIfNeeded()
@@ -132,12 +182,9 @@ final class StreamIngest(
       .cache()
     try {
       val touched = batch.select("_bucket").distinct().collect().map(_.getInt(0))
-      val merged = existingState() match {
-        case Some(st) =>
-          // partition pruning: only the touched bucket directories are read
-          st.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
-            .unionByName(batch)
-        case None => batch
+      val merged = existingStateTouched(touched) match {
+        case Some(st) => st.unionByName(batch)
+        case None     => batch
       }
       // LWW per id, tombstones RETAINED (deletes survive replays; a doc
       // re-created after deletion wins via its higher seq) — the exact
@@ -149,7 +196,7 @@ final class StreamIngest(
       try {
         // agg BEFORE state (see updateAgg's exactly-once argument)
         maintainAgg.foreach(updateAgg(_, batch, touched, state, batchId))
-        writeBuckets(state)
+        writeBuckets(state, batchId)
       } finally if (maintainAgg.isDefined) { state.unpersist(); () }
 
       publishWith(Some(batch))
@@ -202,34 +249,60 @@ final class StreamIngest(
     // live (grp, value) rows of the batch's ids; docs without the group
     // field are outside the aggregate (a null join key would never merge)
     def rows(df: DataFrame): DataFrame = aggRows(spec, df.join(ids, "id"))
-    val pre = existingState() match {
-      case Some(st) => rows(
-        st.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*)))
-      case None => rows(state.limit(0))
+    val pre = existingStateTouched(touched) match {
+      case Some(st) => rows(st)
+      case None     => rows(state.limit(0))
     }
     val post = rows(state)
-    val current = if (fs.exists(new Path(aggDir, "data")))
-      spark.read.parquet(new Path(aggDir, "data").toString)
-    else IncrementalAgg.empty(pre, "grp")
+    val current = aggData()
+      .getOrElse(IncrementalAgg.empty(pre, "grp"))
     val merged = IncrementalAgg.merge(current,
       IncrementalAgg.delta(pre, post, "grp", "value"), "grp")
-    // stage data + marker together, swap as ONE directory rename
-    val staging = new Path(s"$warehouseDir/_agg_staging")
-    val retired = new Path(s"$warehouseDir/._agg.old")
-    deleteRecursively(staging)
-    deleteRecursively(retired)
-    merged.coalesce(1).write.parquet(new Path(staging, "data").toString)
-    StateFs.writeString(fs, new Path(staging, "batchid"), batchId.toString)
-    if (fs.exists(aggDir))
-      StateFs.renameInto(fs, aggDir, retired)
-    StateFs.renameInto(fs, staging, aggDir)
-    deleteRecursively(retired)
+    commitAgg(merged, batchId)
   }
 
-  private def appliedAggBatch(): Long = {
-    val f = new Path(aggDir, "batchid")
-    if (fs.exists(f)) StateFs.readString(fs, f).trim.toLong else -1L
-  }
+  /** Land `merged` as the live aggregate for `batchId`. Rename protocol:
+    * data + marker staged together, swapped in as ONE directory rename.
+    * Manifest protocol: data lands ONCE under a fresh name (never a name
+    * a live manifest references — a replayed commit must not overwrite
+    * the directory readers are on), then the versioned manifest commit
+    * makes it live; the manifest version IS the batch marker.
+    */
+  private def commitAgg(merged: DataFrame, batchId: Long): Unit =
+    if (manifestMode) {
+      val liveMap = aggManifest.live().map(_._2).getOrElse(Map.empty)
+      aggManifest.sweepUnreferenced(liveMap)
+      val dirName = s"a$batchId-${System.nanoTime()}"
+      merged.coalesce(1).write.parquet(aggManifest.dataPath(dirName).toString)
+      aggManifest.commit(batchId, Map("data" -> dirName))
+    } else {
+      val staging = new Path(s"$warehouseDir/_agg_staging")
+      val retired = new Path(s"$warehouseDir/._agg.old")
+      deleteRecursively(staging)
+      deleteRecursively(retired)
+      merged.coalesce(1).write.parquet(new Path(staging, "data").toString)
+      StateFs.writeString(fs, new Path(staging, "batchid"), batchId.toString)
+      if (fs.exists(aggDir))
+        StateFs.renameInto(fs, aggDir, retired)
+      StateFs.renameInto(fs, staging, aggDir)
+      deleteRecursively(retired)
+    }
+
+  /** The live aggregate's raw data, protocol-resolved. */
+  private def aggData(): Option[DataFrame] =
+    if (manifestMode)
+      aggManifest.live().flatMap(_._2.get("data")).map(rel =>
+        spark.read.parquet(aggManifest.dataPath(rel).toString))
+    else if (fs.exists(new Path(aggDir, "data")))
+      Some(spark.read.parquet(new Path(aggDir, "data").toString))
+    else None
+
+  private def appliedAggBatch(): Long =
+    if (manifestMode) aggManifest.live().map(_._1).getOrElse(-1L)
+    else {
+      val f = new Path(aggDir, "batchid")
+      if (fs.exists(f)) StateFs.readString(fs, f).trim.toLong else -1L
+    }
 
   /** The live `(grp, value)` rows a maintained aggregate is built from. */
   private def aggRows(spec: StreamIngest.AggSpec, df: DataFrame): DataFrame =
@@ -247,14 +320,18 @@ final class StreamIngest(
     * the same crash-safe path [[updateAgg]] uses.
     */
   private def bootstrapAggIfNeeded(): Unit = maintainAgg.foreach { spec =>
-    if (!fs.exists(aggDir) && fs.exists(new Path(stateDir))) {
-      val agg = IncrementalAgg.recompute(
-        aggRows(spec, existingState().get), "grp", "value")
-      val staging = new Path(s"$warehouseDir/_agg_staging")
-      deleteRecursively(staging)
-      agg.coalesce(1).write.parquet(new Path(staging, "data").toString)
-      StateFs.writeString(fs, new Path(staging, "batchid"), "-1")
-      StateFs.renameInto(fs, staging, aggDir)
+    val aggAbsent =
+      if (manifestMode) aggManifest.live().isEmpty else !fs.exists(aggDir)
+    if (aggAbsent) existingState().foreach { st =>
+      val agg = IncrementalAgg.recompute(aggRows(spec, st), "grp", "value")
+      if (manifestMode) commitAgg(agg, -1L)
+      else {
+        val staging = new Path(s"$warehouseDir/_agg_staging")
+        deleteRecursively(staging)
+        agg.coalesce(1).write.parquet(new Path(staging, "data").toString)
+        StateFs.writeString(fs, new Path(staging, "batchid"), "-1")
+        StateFs.renameInto(fs, staging, aggDir)
+      }
     }
   }
 
@@ -274,10 +351,7 @@ final class StreamIngest(
 
   /** The maintained aggregate as `(grp, n, total)`, when configured. */
   def maintainedAgg: Option[DataFrame] =
-    if (fs.exists(new Path(aggDir, "data")))
-      Some(IncrementalAgg.finish(
-        spark.read.parquet(new Path(aggDir, "data").toString), "grp"))
-    else None
+    aggData().map(IncrementalAgg.finish(_, "grp"))
 
   /** Publish the merged (touched-bucket-only) state via a staging write +
     * per-bucket atomic renames, instead of dynamically overwriting the
@@ -287,29 +361,49 @@ final class StreamIngest(
     * [[recoverState]] restores it on the next start, and the LWW merge is
     * replay-idempotent on top of that.
     */
-  private def writeBuckets(state: DataFrame): Unit = {
-    val root = new Path(stateDir)
-    val staging = new Path(s"$warehouseDir/_state_staging")
-    deleteRecursively(staging)
-    state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
-    fs.mkdirs(root)
-    if (!fs.exists(bucketMeta))
-      StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
-    StateFs.listNames(fs, staging).foreach { name =>
-      if (name.startsWith("_bucket=")) {
-        // the retired name starts with '.', so Spark's file listing never
-        // picks it up even if a crash strands it
-        val target = new Path(root, name)
-        val retired = new Path(root, s".$name.old")
-        deleteRecursively(retired)
-        if (fs.exists(target))
-          StateFs.renameInto(fs, target, retired)
-        StateFs.renameInto(fs, new Path(staging, name), target)
-        deleteRecursively(retired)
+  private def writeBuckets(state: DataFrame, batchId: Long): Unit =
+    if (manifestMode) {
+      // data lands ONCE under a fresh per-batch name — never the name a
+      // live manifest references (a replayed batch re-commits the same
+      // manifest VERSION but must not overwrite the directory readers
+      // are on) — then the versioned manifest names the live buckets:
+      // untouched entries carry forward, touched ones point into the new
+      // batch dir. Crash before the commit: the orphan dir is swept
+      // here on the next attempt. No directory is ever renamed.
+      val liveMap = stateManifest.live().map(_._2).getOrElse(Map.empty)
+      stateManifest.sweepUnreferenced(liveMap)
+      val dirName = s"b$batchId-${System.nanoTime()}"
+      state.write.mode("overwrite").partitionBy("_bucket")
+        .parquet(stateManifest.dataPath(dirName).toString)
+      if (!fs.exists(bucketMeta))
+        StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
+      val touchedKeys = StateFs.listNames(fs, stateManifest.dataPath(dirName))
+        .filter(_.startsWith("_bucket="))
+        .map(n => n.stripPrefix("_bucket=") -> s"$dirName/$n")
+      stateManifest.commit(batchId, liveMap ++ touchedKeys)
+    } else {
+      val root = new Path(stateDir)
+      val staging = new Path(s"$warehouseDir/_state_staging")
+      deleteRecursively(staging)
+      state.write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+      fs.mkdirs(root)
+      if (!fs.exists(bucketMeta))
+        StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
+      StateFs.listNames(fs, staging).foreach { name =>
+        if (name.startsWith("_bucket=")) {
+          // the retired name starts with '.', so Spark's file listing never
+          // picks it up even if a crash strands it
+          val target = new Path(root, name)
+          val retired = new Path(root, s".$name.old")
+          deleteRecursively(retired)
+          if (fs.exists(target))
+            StateFs.renameInto(fs, target, retired)
+          StateFs.renameInto(fs, new Path(staging, name), target)
+          deleteRecursively(retired)
+        }
       }
+      deleteRecursively(staging)
     }
-    deleteRecursively(staging)
-  }
 
   /** Crash recovery for [[writeBuckets]]: a retired bucket whose
     * replacement never landed is moved back; leftover retired/staging
@@ -343,11 +437,39 @@ final class StreamIngest(
     * bucket check (not a bare directory-exists) keeps an all-filtered
     * first batch — which creates the state root but moves no buckets —
     * from poisoning every later read with an unreadable empty directory.
+    * Manifest protocol: the live manifest names each bucket's directory;
+    * the partition column rides back as a literal per bucket read.
     */
-  private def existingState(): Option[DataFrame] = {
-    val hasBuckets =
-      StateFs.listNames(fs, new Path(stateDir)).exists(_.startsWith("_bucket="))
-    if (hasBuckets) Some(spark.read.parquet(stateDir)) else None
+  private def existingState(): Option[DataFrame] =
+    if (manifestMode) readManifestBuckets(None)
+    else {
+      val hasBuckets =
+        StateFs.listNames(fs, new Path(stateDir)).exists(_.startsWith("_bucket="))
+      if (hasBuckets) Some(spark.read.parquet(stateDir)) else None
+    }
+
+  /** State rows of the `touched` buckets only — None when none of them
+    * (or no state at all) exists yet. Rename protocol reads the full
+    * partitioned table and prunes; manifest protocol opens ONLY the
+    * touched buckets' directories (no post-scan filter at all).
+    */
+  private def existingStateTouched(touched: Array[Int]): Option[DataFrame] =
+    if (manifestMode) readManifestBuckets(Some(touched.toSet))
+    else existingState().map(
+      _.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*)))
+
+  private def readManifestBuckets(touched: Option[Set[Int]]): Option[DataFrame] = {
+    val parts = stateManifest.live().map(_._2).getOrElse(Map.empty)
+      .toSeq.map { case (k, rel) => k.toInt -> rel }
+      .filter { case (b, _) => touched.forall(_.contains(b)) }
+      .sortBy(_._1)
+    if (parts.isEmpty) None
+    else Some(parts.map { case (b, rel) =>
+      // files under a partitionBy write exclude the partition column —
+      // restore it as the literal the directory name carries
+      spark.read.parquet(stateManifest.dataPath(rel).toString)
+        .withColumn("_bucket", lit(b))
+    }.reduce(_ unionByName _))
   }
 
   /** docTypes ever published, cached so the per-batch path never rescans
@@ -459,9 +581,10 @@ object StreamIngest {
       .getOrElse(AggReplayMargin)
 
   /** Recursive delete over LOCAL java.nio paths (no-op when absent) —
-    * the CLI `--reset` and [[graft.ops.Maintenance]]'s local compaction
-    * swaps still use it; the streaming classes themselves drive the
-    * Hadoop `FileSystem` ([[StateFs]]).
+    * only the CLI `--reset` still uses it (its target is the launching
+    * user's local spool/warehouse dirs by construction); every state
+    * owner, [[graft.ops.Maintenance]] included, drives the Hadoop
+    * `FileSystem` ([[StateFs]]).
     */
   def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

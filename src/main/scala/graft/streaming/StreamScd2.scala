@@ -86,15 +86,26 @@ final class StreamScd2(
       fs.delete(pointer, false)
       ()
     }
+    // a pre-r12 crash could also strand the pointer's staging file; the
+    // sweep only knows data-/_commit- names, so it would persist forever
+    fs.delete(new Path(root, "._current.tmp"), false)
+    ()
   }
+
+  /** The batch id a `data-`/`_commit-` name carries, None for names that
+    * are not the protocol's (a manual `data-backup` copy, editor debris)
+    * — those are SKIPPED by [[current]] and the sweep rather than
+    * crashing the stream, mirroring `StateFs.versionOf`'s tolerance.
+    */
+  private def idOf(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
+    else None
 
   /** `(directory, batchId)` of the live dimension — the highest
     * committed marker — None before batch 0.
     */
   private def current(): Option[(Path, Long)] = {
-    val ids = StateFs.listNames(fs, root)
-      .filter(_.startsWith(CommitPrefix))
-      .map(_.stripPrefix(CommitPrefix).toLong)
+    val ids = StateFs.listNames(fs, root).flatMap(idOf(_, CommitPrefix))
     if (ids.isEmpty) None
     else { val id = ids.max; Some((new Path(root, s"data-$id"), id)) }
   }
@@ -155,10 +166,8 @@ final class StreamScd2(
     val keep = current().map(_._2)
     StateFs.listNames(fs, root).foreach { n =>
       val stale =
-        (n.startsWith("data-") &&
-          !keep.contains(n.stripPrefix("data-").toLong)) ||
-        (n.startsWith(CommitPrefix) &&
-          !keep.contains(n.stripPrefix(CommitPrefix).toLong))
+        idOf(n, "data-").exists(id => !keep.contains(id)) ||
+        idOf(n, CommitPrefix).exists(id => !keep.contains(id))
       if (stale) StateFs.deleteRecursively(fs, new Path(root, n))
     }
     val versions = batch.select(col(entityCol), col(tieCol), col(tsCol))

@@ -155,6 +155,28 @@ class StreamScd2Spec extends SparkSpec {
     assert(!Files.exists(root.resolve("_current")))
   }
 
+  test("stray non-protocol names are tolerated; a stranded pointer tmp is cleared") {
+    val dir = Files.createTempDirectory("scd2-stray").toString
+    val s0 = new StreamScd2(spark, dir)
+    s0.applyBatch(b0, 0L)
+    val expect = canon(s0.dim().get)
+    val root = java.nio.file.Paths.get(dir)
+    // a manual backup copy and a pre-r12 crash-stranded pointer staging
+    // file: neither name parses as a batch id
+    Files.createDirectory(root.resolve("data-backup"))
+    Files.writeString(root.resolve("data-backup/note"), "manual copy")
+    Files.writeString(root.resolve("._current.tmp"), "data-0")
+    val s1 = new StreamScd2(spark, dir)
+    assert(s1.appliedBatch() == 0L, "stray names must not crash current()")
+    assert(!Files.exists(root.resolve("._current.tmp")),
+      "the stranded pointer tmp must be cleared (the sweep never will)")
+    s1.applyBatch(b1, 1L) // the sweep must skip the unparsable name
+    assert(Files.exists(root.resolve("data-backup/note")),
+      "the sweep must not delete a non-protocol name")
+    assert(canon(s1.dim().get) == canon(Scd2.build(b0.unionByName(b1))))
+    assert(expect.nonEmpty)
+  }
+
   test("end-to-end: a file stream of version batches maintains the dimension") {
     val in = Files.createTempDirectory("scd2-in").toString
     val dimDir = Files.createTempDirectory("scd2-dim").toString

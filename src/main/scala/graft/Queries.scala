@@ -2833,6 +2833,45 @@ object Queries {
         .unionByName(stage(p, 3, "purchase"))
     })
 
+  /** The DATA-DRIVEN hot-key form of q_funnel, SCORED: the funnel's skew
+    * surface is its per-user THRESHOLD JOINS (stage i's events against
+    * the user's stage-(i−1) first time — a bot user's events all stream
+    * through the one hash partition owning the key), and
+    * [[graft.ops.Funnel.firstTimes]] spreads them over (user, shard)
+    * with the per-user thresholds replicated per shard
+    * ([[graft.ops.TimeShard.hybrid]]). `autoThreshold = 66` sits at the
+    * fixture's per-user event-count median (range 45–99 at both sf0.01
+    * and sf0.1), so a genuine MIX of users rides each path and the
+    * union must still hash-match the plain three-stage oracle. This is
+    * the funnel you'd run at 100 TB, where one bot user's timeline is
+    * unbounded (ScaleProbe `funnel` mode plants one).
+    */
+  private val qFunnelAuto = Q("q_funnel_auto",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+              JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+            SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM v
+            UNION ALL SELECT 2, 'click', count(*) FROM c
+            UNION ALL SELECT 3, 'purchase', count(*) FROM p"""),
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), tsMicros.as("ts"))
+      val ft = graft.ops.Funnel.firstTimes(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), timeShards = 8, autoThreshold = 66L)
+      // stage k count = users whose t_{k-1} is non-null (t0 rows count
+      // unconditionally: entering the funnel is having ≥1 view event,
+      // NULL-ts views included — exactly the SQL GROUP BY's row set)
+      ft.agg(count(lit(1)).as("c1"), count(col("t1")).as("c2"),
+          count(col("t2")).as("c3"))
+        .select(expr("stack(3, 1, 'view', c1, 2, 'click', c2, " +
+          "3, 'purchase', c3) AS (stage, event_type, users)"))
+    })
+
   /** Weekly retention cohorts: users grouped by first-active week,
     * counted in every later week they return — the activity-retention
     * triangle. One distinct (user, week) rollup, then the cohort week
@@ -3186,7 +3225,7 @@ object Queries {
     qString, qMath, qDate, qJson, qExplode, qSearch, qSearchRanked,
     qFlatten, qTransform, qStreamCompact, qSessionize, qSessionizeSharded,
     qSessionizeAuto,
-    qFunnel, qRetention, qGapfill, qRegression,
+    qFunnel, qFunnelAuto, qRetention, qGapfill, qRegression,
     qPagerank, qHits, qIntervalMerge, qScd2Merge, qScd2Sharded, qScd2Auto,
     qScd2Lookup, qScd2LookupAuto,
     qIntegrity)

@@ -54,10 +54,19 @@ private[graft] object Artifacts {
       .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
 
   /** A collision-free, process-scoped, shutdown-cleaned artifact
-    * directory under `java.io.tmpdir` for (`kind`, `sourceKey`).
+    * directory for (`kind`, `sourceKey`), under the `graft.artifacts.dir`
+    * session conf when set, else `java.io.tmpdir`. The conf exists
+    * because a schemeless tmpdir string resolves against `fs.defaultFS`
+    * — on HDFS `/tmp` is a shared, quota-risky root, and on some object
+    * stores it is not writable at all — so production deployments name
+    * the placement explicitly (any Hadoop-resolvable URI works; the
+    * cleanup hook resolves the same filesystem).
     */
   def processScoped(spark: SparkSession, kind: String, sourceKey: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
+    val root = spark.conf.getOption("graft.artifacts.dir")
+      .map(_.stripSuffix("/"))
+      .getOrElse(System.getProperty("java.io.tmpdir").stripSuffix("/"))
+    val dir = s"$root/graft-$kind-" +
       s"${spark.sparkContext.applicationId}-${md5hex(sourceKey)}"
     hookInstalled
     registered.put(dir, spark.sparkContext.hadoopConfiguration)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsOfJoin, Scd2, Sessionize}
+import graft.ops.{AsOfJoin, Funnel, Scd2, Sessionize}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -420,6 +420,43 @@ class CarryPropertySpec extends SparkSpec {
       val auto = run(shards, 12L)
       if (manual != ref || auto != ref)
         println(s"MISMATCH shards=$shards nullKeys=$nullKeys")
+      manual == ref && auto == ref
+    })
+  }
+
+  // the funnel's threshold-join escape (round 13): the per-key stage
+  // thresholds replicate per (key, shard) instead of carrying running
+  // state, so the property is exact equality of the per-key first-time
+  // vectors across single / manual / auto — NULL keys stay one ordinary
+  // group (null-safe joins) and NULL timestamps never satisfy a strict
+  // threshold nor win a min, exactly as in the single form
+  private def funnelCanon(d: DataFrame): Set[(Option[Long], Option[Long], Option[Long], Option[Long])] =
+    d.collect().map { r =>
+      def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (g(0), g(1), g(2), g(3))
+    }.toSet
+
+  test("funnel: sharded + auto == single with random NULL keys and timestamps") {
+    check(15)(Prop.forAll(timelineGen, Gen.oneOf(2, 3, 16),
+        Gen.choose(0L, Long.MaxValue)) { (rows, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val types = Array("view", "click", "purchase", "noise")
+      val nullKeys = rows.map(_._2).distinct.filter(_ => rnd.nextInt(3) == 0).toSet
+      val ev = rows.map { case (e, k, t) =>
+        (e,
+          if (nullKeys(k)) null else java.lang.Long.valueOf(k): java.lang.Long,
+          if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(t): java.lang.Long,
+          types(rnd.nextInt(types.length)))
+      }.toDF("event_id", "user_id", "ts", "event_type").repartition(5)
+      def run(sh: Int, thr: Long) = funnelCanon(Funnel.firstTimes(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        timeShards = sh, autoThreshold = thr))
+      val ref = run(1, 0L)
+      val manual = run(shards, 0L)
+      val auto = run(shards, 12L)
+      if (manual != ref || auto != ref)
+        println(s"MISMATCH shards=$shards nullKeys=$nullKeys rows=$rows\n" +
+          s"ref=$ref\nmanual=$manual\nauto=$auto")
       manual == ref && auto == ref
     })
   }

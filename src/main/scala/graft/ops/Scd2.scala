@@ -121,7 +121,15 @@ object Scd2 {
     * O(events(entity) × versions(entity)) per entity — fine for real
     * dimensions (versions per entity are small) and probed at 10×
     * (ScaleProbe `lookup` mode), but a BOT entity holding millions of
-    * both grows it quadratically in one task. `timeShards > 1` switches
+    * both grows it quadratically in one task — and a hot DIMENSION side
+    * is strictly WORSE than a hot event side, not symmetric: the probed
+    * inverted plant (4k events × 4M versions, the same 16G interval
+    * checks) degrades this form 32× further (325 s vs 8.26 s max task,
+    * SCALE.md lookup table) because the single-key multi-million-entry
+    * hash chain falls out of cache and every probe streams it from
+    * memory. So whenever EITHER side can be skewed, the production
+    * default is the as-of auto form below, which shards the union spine
+    * and is indifferent to which side is fat. `timeShards > 1` switches
     * to the as-of form: an SCD2 lookup over a well-formed interval
     * partition is EXACTLY "latest version at-or-before the event"
     * ([[AsOfJoin.asOf]] — union + running window, O((events + versions)

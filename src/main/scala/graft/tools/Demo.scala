@@ -228,6 +228,47 @@ object Demo {
       println(s"DHASH_PAIRS=${pd.mkString(",")}")
     }
 
+    // Round 13: the PRODUCTION-POSTURE rehearsal — the training-data
+    // chain on the sf0.1 corpus with every guard/auto switch ON (the
+    // SCALE.md policy-table defaults): quality gate → GUARDED near-dedup
+    // (LSH blocking + Jaccard verify + connected components + quality
+    // keep-best, boilerplate bands diverted at maxBandPopulation) →
+    // leakage-safe split (hash of the duplicate CLUSTER id, so near-dup
+    // twins never straddle train/test) → per-split sequence packing; the
+    // event side runs the funnel with its data-driven hot-key escape at
+    // the fixture-median threshold. One corpus, multiple consumers, all
+    // deterministic — the printed counts are fingerprints.
+    {
+      val corpus = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val quality = graft.functions.TextAnalysis.qualityScore(col("text"))
+      val cleaned = corpus.where(quality >= 0.5)
+      val resolved = graft.ops.Dedup.nearDedup(cleaned, quality,
+        maxBandPopulation = 500L)
+      val keptIds = resolved.where(col("kept"))
+        .select("doc_id", "cluster_id")
+      val split = graft.ops.Sampling.assignSplit(
+        cleaned.join(keptIds, Seq("doc_id")), "cluster_id")
+      val splits = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) + ":" + r.getLong(1)).sorted.mkString(",")
+      val packed = graft.ops.Sampling.packSequences(
+        split.select(col("doc_id"), col("split").as("shard"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n")),
+        "shard", "doc_id", "n", 2048L)
+        .groupBy("shard").agg(org.apache.spark.sql.functions.max("bin").as("b"))
+        .agg(org.apache.spark.sql.functions.sum(col("b") + 1)).collect()(0).getLong(0)
+      println(s"PIPELINE=docs=${corpus.count()} clean=${cleaned.count()} " +
+        s"kept=${keptIds.count()} splits=$splits bins=$packed")
+
+      val ev01 = graft.Queries.tsToNanos(
+        spark.read.parquet("/root/testdata/sf0.1/events.parquet"))
+      val ft = graft.ops.Funnel.firstTimes(
+        ev01.select("user_id", "ts", "event_type"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        timeShards = 4, autoThreshold = 66L)
+      println(s"FUNNEL=${ft.count()} converted=" +
+        ft.where(col("t2").isNotNull).count())
+    }
+
     // Probes: bad selector and missing column fail cleanly
     try Warehouse.start(spark, s"$fixtures/samplechanges.txt",
       WarehouseOptions(database = "x", mangoSelector = Some("{bad")))

@@ -42,6 +42,7 @@ object ScaleProbe {
     if (mode == "guard" || mode == "all") guardProbe(spark)
     if (mode == "policy" || mode == "all") policyProbe(spark)
     if (mode == "lookup" || mode == "all") lookupProbe(spark)
+    if (mode == "funnel" || mode == "all") funnelProbe(spark)
     spark.stop()
   }
 
@@ -933,11 +934,29 @@ object ScaleProbe {
       lit(4242424242L).as("user_id"),
       expr(s"$t0ns + id * 5000000000000").as("ts"),
       lit("purchase").as("event_type"))
+    // the INVERTED plant (round 13): the DIMENSION is the skewed side —
+    // 4k events against a 4M-version history on one entity. The join
+    // form's per-entity work is events × versions regardless of which
+    // side is fat (the same 16G interval checks in one hash task); the
+    // as-of form shards the UNION spine (events + versions), so a hot
+    // dimension triggers the escape exactly like a hot event side.
+    val botEvInv = spark.range(4000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000000").as("ts"),
+      lit("click").as("event_type"))
+    val botVersInv = spark.range(4000000).select(
+      (col("id") + 950000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000").as("ts"),
+      lit("purchase").as("event_type"))
     val out = "/tmp/graft-scale-lookup"
     ev10.repartition(32)
       .write.mode("overwrite").parquet(s"$out/uniform/events.parquet")
     ev10.unionByName(botEv).unionByName(botVers).repartition(32)
       .write.mode("overwrite").parquet(s"$out/bot/events.parquet")
+    ev10.unionByName(botEvInv).unionByName(botVersInv).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/botdim/events.parquet")
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -949,14 +968,18 @@ object ScaleProbe {
           if (cur == last) same += 1 else { same = 0; last = cur }
         }
       }
-      for (corpus <- Seq("uniform", "bot");
+      for (corpus <- Seq("uniform", "bot", "botdim");
            (label, shards, thr) <- Seq(
              ("join", 1, 0L), ("asof-auto(32,thr=1M)", 32, 1000000L))) {
         val ev = spark.read.parquet(s"$out/$corpus/events.parquet")
+        // the dim BUILD rides its own proven auto escape (bit-parity is
+        // the q_scd2_auto contract) — only botdim's 4M-version entity
+        // actually triggers it; the lookup under test is unaffected
         val dim = graft.ops.Scd2.build(
             ev.where(col("event_type") === "purchase")
               .select(col("user_id"), col("event_id"), col("ts")),
-            "user_id", "event_id", "ts")
+            "user_id", "event_id", "ts",
+            timeShards = 32, autoThreshold = 1000000L)
           .select(col("user_id"), col("event_id").as("version_event"),
             col("valid_from"), col("valid_to"), col("version"))
         val events = ev.where(col("event_type") === "click")
@@ -984,6 +1007,90 @@ object ScaleProbe {
         println(f"LOOKUP $corpus%-8s $label%-21s wall=$wall%6.2fs " +
           f"maxTask=$maxTask%6.2fs clicks=$nClicks out=$nOut " +
           f"eventSized=${nClicks == nOut} fp=$fp")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The funnel's THRESHOLD JOINS under a planted bot (round 13). The
+    * round-10 carry probe pinned the scored form's aggregates as safe —
+    * stage mins are map-side combinable, the bot collapses per map task
+    * — but the per-user threshold join (stage i's events vs the user's
+    * stage-(i−1) first time) still streams the bot's whole stage
+    * timeline through ONE hash partition: linear, single-task,
+    * unbounded. [[graft.ops.Funnel.firstTimes]]'s escape spreads it on
+    * (user, shard) with the thresholds replicated per shard; this
+    * measures single vs auto at a 32M-event bot (8× the carry probe's —
+    * at 8M the single join task still hides inside scan-task noise,
+    * which is itself the point: the hazard GROWS linearly with the bot
+    * while every other task stays fixed) with output fingerprints
+    * proving bit-equality.
+    *
+    * RETENTION needs no analogous escape, and the bound is structural,
+    * not fixture luck: its window rides the DISTINCT (user, week)
+    * table, so a user's window rows are capped by the week horizon
+    * (~52/year) no matter how many events it emits, and the distinct
+    * itself is a map-side-combinable hash aggregate that collapses the
+    * bot before the shuffle — the carry probe's scored-form row
+    * measures exactly that (max task flat under the 4M bot).
+    */
+  private def funnelProbe(spark: SparkSession): Unit = {
+    val d = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
+    val ev10 = (0 until 10).map(i =>
+      base.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("ts"), col("event_type")))
+      .reduce(_ unionByName _)
+    val t0ns = 1704067200000000000L
+    val hot = spark.range(32000000).select(
+      (col("id") + 900000000L).as("event_id"),
+      lit(4242424242L).as("user_id"),
+      expr(s"$t0ns + id * 5000000000").as("ts"),
+      expr("element_at(array('view','click','purchase'), cast(id % 3 as int) + 1)")
+        .as("event_type"))
+    val out = "/tmp/graft-scale-funnel"
+    ev10.unionByName(hot).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var last = -1L; var same = 0
+        while (same < 2) {
+          Thread.sleep(100)
+          val cur = listener.maxMillis.get()
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      }
+      val ev = spark.read.parquet(s"$out/events.parquet")
+        .select("user_id", "ts", "event_type")
+      for ((label, shards, thr) <- Seq(
+             ("funnel single", 1, 0L),
+             ("funnel auto(32,thr=1M)", 32, 1000000L))) {
+        def run() = graft.ops.Funnel.firstTimes(ev, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          timeShards = shards, autoThreshold = thr)
+        run().write.mode("overwrite").format("noop").save() // warm
+        val (wall, maxTask) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          settle()
+          listener.maxMillis.set(0)
+          val t0 = System.nanoTime()
+          run().write.mode("overwrite").format("noop").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          settle()
+          (w, listener.maxMillis.get() / 1e3)
+        }.minBy(_._1)
+        val fp = run().agg(sum(
+          coalesce(col("t0") % 1000000007L, lit(-1L)) +
+            coalesce(col("t1") % 1000000007L, lit(-2L)) +
+            coalesce(col("t2") % 1000000007L, lit(-3L))).as("fp"))
+          .collect()(0).getLong(0)
+        val users = run().count()
+        println(f"FUNNEL $label%-23s wall=$wall%6.2fs maxTask=$maxTask%6.2fs " +
+          f"users=$users fp=$fp")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -2842,18 +2842,23 @@ object Queries {
     * ([[graft.ops.TimeShard.hybrid]]). `autoThreshold = 66` sits at the
     * fixture's per-user event-count median (range 45–99 at both sf0.01
     * and sf0.1), so a genuine MIX of users rides each path and the
-    * union must still hash-match the plain three-stage oracle. This is
-    * the funnel you'd run at 100 TB, where one bot user's timeline is
-    * unbounded (ScaleProbe `funnel` mode plants one).
+    * union must still hash-match the three-stage oracle. This is the
+    * funnel you'd run at 100 TB, where one bot user's timeline is
+    * unbounded (ScaleProbe `funnel` mode plants one). The oracle's
+    * stage joins are NULL-SAFE (`IS NOT DISTINCT FROM`) because the
+    * operator follows the window-family contract — a NULL key is one
+    * ordinary group — where q_funnel's plain `USING` joins drop it;
+    * identical on this fixture (no NULL users), divergent by design on
+    * corpora with them (r13 review).
     */
   private val qFunnelAuto = Q("q_funnel_auto",
     Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
               WHERE event_type = 'view' GROUP BY 1),
             c AS (SELECT e.user_id, min(ts) AS t1 FROM events e
-              JOIN v USING (user_id)
+              JOIN v ON e.user_id IS NOT DISTINCT FROM v.user_id
               WHERE event_type = 'click' AND ts > t0 GROUP BY e.user_id),
             p AS (SELECT e.user_id, min(ts) AS t2 FROM events e
-              JOIN c USING (user_id)
+              JOIN c ON e.user_id IS NOT DISTINCT FROM c.user_id
               WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
             SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM v
             UNION ALL SELECT 2, 'click', count(*) FROM c

@@ -51,6 +51,13 @@ object Maintenance {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // object-store "rename" is a copy+delete that reports success: a
+    // crash mid-swap would strand rows between root and retired, and the
+    // next call's recovery (which keys off root being ABSENT) would then
+    // delete the retired half — refuse up front instead (r13 review)
+    StateFs.requireAtomicDirRename(fs, "compactFiles",
+      "Re-bin object-store tables by writing to a NEW prefix and " +
+        "switching readers via a manifest (see StateFs.ManifestDir).")
     val staging = new Path(dir + ".compact_staging")
     val retired = new Path(dir + ".compact_retired")
     // crash recovery FIRST: a death between the two swap renames leaves

@@ -83,6 +83,31 @@ private[graft] object StateFs {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Schemes whose `FileSystem.rename` is a COPY+DELETE emulation that
+    * RETURNS TRUE (the object-store boundary in the class doc): a crash
+    * mid-"rename" leaves both halves and no error ever surfaced, so the
+    * directory-swap protocols must refuse these outright rather than
+    * corrupt silently. ADLS Gen2 (`abfs`) is deliberately absent — its
+    * directory rename is an atomic metadata op, like HDFS.
+    */
+  private val CopyRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
+  /** Fail loudly when `fs` cannot rename directories atomically —
+    * called by every directory-swap state owner before its first swap
+    * (Hadoop exposes no path capability for rename atomicity, so this
+    * is a scheme judgment; `remedy` names the caller's escape hatch).
+    */
+  def requireAtomicDirRename(fs: FileSystem, what: String,
+                             remedy: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (CopyRenameSchemes(scheme))
+      throw new IllegalArgumentException(
+        s"$what swaps directories by rename, which on '$scheme' is a " +
+          "non-atomic copy+delete that reports success — a crash " +
+          s"mid-swap would lose data silently. $remedy")
+  }
+
   /** Rename `src` onto an absent `dst` — the atomic commit op on
     * rename-capable filesystems (see the object doc). The dst-absent
     * precondition is CHECKED, not assumed: HDFS `rename` returns false
@@ -141,13 +166,16 @@ private[graft] object StateFs {
     val tmp = new Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    // a replayed commit of an already-committed id is a protocol bug the
-    // maintainers' margin guard prevents; clear a stranded same-id file
-    // (a previous crash AFTER rename but BEFORE its caller observed it
-    // cannot happen — rename is the observation — so present means bug,
-    // but failing the stream on it would punish the wrong party)
-    deleteRecursively(fs, new Path(dir, name))
-    renameInto(fs, tmp, new Path(dir, name))
+    // a same-id file can only be a REPLAY's re-commit (at-least-once
+    // delivery re-running a batch whose commit already landed): its
+    // content is identical by the exactly-once contract, so KEEP the
+    // committed copy and drop the staging. The previous delete-then-
+    // rename form opened a crash window in which NO version existed —
+    // with the retired versions already swept, a crash between the
+    // delete and the rename read the entire state as EMPTY (the silent
+    // loss every guard here exists to prevent).
+    if (fs.exists(new Path(dir, name))) deleteRecursively(fs, tmp)
+    else renameInto(fs, tmp, new Path(dir, name))
     listNames(fs, dir).foreach { n =>
       if (versionOf(n, prefix, suffix).exists(_ != batchId))
         deleteRecursively(fs, new Path(dir, n))

@@ -78,6 +78,13 @@ final class StreamIngest(
   private lazy val aggManifest = new StateFs.ManifestDir(fs, aggVersRoot)
 
   private def verifyProtocol(): Unit = {
+    // the rename protocol's whole contract rests on directory rename
+    // being an atomic metadata op; object-store "rename" is a
+    // copy+delete that REPORTS SUCCESS, so refuse up front (r13 review)
+    if (!manifestMode)
+      StateFs.requireAtomicDirRename(fs, "the 'rename' state protocol",
+        "Set graft.state.protocol=manifest (the object-store commit " +
+          "path) for this warehouse.")
     val marker = new Path(s"$warehouseDir/_state_protocol")
     if (fs.exists(marker)) {
       val persisted = StateFs.readString(fs, marker).trim
@@ -98,7 +105,13 @@ final class StreamIngest(
             "and is rename-layout; it cannot be read under " +
             "graft.state.protocol=manifest. Unset the protocol or rebuild " +
             "the warehouse.")
-      StateFs.writeString(fs, marker, protocol)
+      // staged write + dst-absent rename: a torn overwrite-write here (a
+      // crash during first construction) would leave a marker matching
+      // NEITHER protocol and permanently fail every later start (r13
+      // review); the rename commits the marker whole or not at all
+      val tmp = new Path(s"$warehouseDir/._state_protocol.tmp")
+      StateFs.writeString(fs, tmp, protocol)
+      StateFs.renameInto(fs, tmp, marker)
     }
   }
 
@@ -363,24 +376,44 @@ final class StreamIngest(
     */
   private def writeBuckets(state: DataFrame, batchId: Long): Unit =
     if (manifestMode) {
-      // data lands ONCE under a fresh per-batch name — never the name a
-      // live manifest references (a replayed batch re-commits the same
-      // manifest VERSION but must not overwrite the directory readers
-      // are on) — then the versioned manifest names the live buckets:
-      // untouched entries carry forward, touched ones point into the new
-      // batch dir. Crash before the commit: the orphan dir is swept
-      // here on the next attempt. No directory is ever renamed.
-      val liveMap = stateManifest.live().map(_._2).getOrElse(Map.empty)
-      stateManifest.sweepUnreferenced(liveMap)
-      val dirName = s"b$batchId-${System.nanoTime()}"
-      state.write.mode("overwrite").partitionBy("_bucket")
-        .parquet(stateManifest.dataPath(dirName).toString)
-      if (!fs.exists(bucketMeta))
-        StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
-      val touchedKeys = StateFs.listNames(fs, stateManifest.dataPath(dirName))
-        .filter(_.startsWith("_bucket="))
-        .map(n => n.stripPrefix("_bucket=") -> s"$dirName/$n")
-      stateManifest.commit(batchId, liveMap ++ touchedKeys)
+      val live = stateManifest.live()
+      val applied = live.map(_._1).getOrElse(-1L)
+      // a REPLAYED batch (at-least-once delivery after a crash between
+      // the manifest commit and the stream's offset commit) finds its
+      // own version already live: the committed state ALREADY reflects
+      // it (the LWW merge is deterministic), so skip — the exactly-once
+      // twin of updateAgg's marker skip. Re-committing would delete and
+      // re-point the one manifest readers are on for no new content. A
+      // batchId further back than the replay margin is a RESET streaming
+      // checkpoint whose low ids carry genuinely NEW changes — skipping
+      // those would silently drop data, so fail loudly like the agg.
+      if (batchId <= applied) {
+        if (applied - batchId > StreamIngest.replayMargin(spark))
+          throw new IllegalStateException(
+            s"state batchId went backwards: got $batchId but $applied is " +
+              "already committed. The streaming checkpoint was likely " +
+              s"reset against an existing warehouse. Delete $versRoot to " +
+              "rebuild from the stream, or restore the original " +
+              "checkpointLocation.")
+      } else {
+        // data lands ONCE under a fresh per-batch name — never a name a
+        // manifest has referenced — then the versioned manifest names
+        // the live buckets: untouched entries carry forward, touched
+        // ones point into the new batch dir. Crash before the commit:
+        // the orphan dir is swept here on the next attempt. No
+        // directory is ever renamed.
+        val liveMap = live.map(_._2).getOrElse(Map.empty)
+        stateManifest.sweepUnreferenced(liveMap)
+        val dirName = s"b$batchId-${System.nanoTime()}"
+        state.write.mode("overwrite").partitionBy("_bucket")
+          .parquet(stateManifest.dataPath(dirName).toString)
+        if (!fs.exists(bucketMeta))
+          StateFs.writeString(fs, bucketMeta, stateBuckets.toString)
+        val touchedKeys = StateFs.listNames(fs, stateManifest.dataPath(dirName))
+          .filter(_.startsWith("_bucket="))
+          .map(n => n.stripPrefix("_bucket=") -> s"$dirName/$n")
+        stateManifest.commit(batchId, liveMap ++ touchedKeys)
+      }
     } else {
       val root = new Path(stateDir)
       val staging = new Path(s"$warehouseDir/_state_staging")

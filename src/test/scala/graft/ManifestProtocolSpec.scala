@@ -181,6 +181,62 @@ class ManifestProtocolSpec extends SparkSpec {
     }
   }
 
+  test("a replayed committed batch never re-commits the manifest (r13 review)") {
+    withManifest {
+      val wh = noRenameDir("replay-wh")
+      val ingest = new StreamIngest(spark, WarehouseOptions(database = "rpdb"), wh)
+      val b = Seq(change(1, "a", """{"_id":"a","_rev":"1","v":1}"""))
+      ingest.applyBatch(mk(b), 0L)
+      val fs = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val versRoot = new Path(s"$wh/_state_v")
+      def names() = StateFs.listNames(fs, versRoot).sorted
+      val before = names()
+      // the replay must SKIP: re-committing deletes the only live
+      // manifest before renaming the rewrite in — a crash there reads
+      // the warehouse as EMPTY and the next sweep deletes everything
+      ingest.applyBatch(mk(b), 0L)
+      assert(names() == before,
+        "a replayed batch must not rewrite state or re-commit the manifest")
+      // a batchId behind the margin (reset checkpoint) fails loudly even
+      // WITHOUT a maintained aggregate: its low ids carry NEW changes
+      ingest.applyBatch(mk(Seq(
+        change(2, "b", """{"_id":"b","_rev":"1","v":2}"""))), 1L)
+      val e = intercept[IllegalStateException] {
+        ingest.applyBatch(mk(Seq(
+          change(3, "c", """{"_id":"c","_rev":"1","v":3}"""))), 0L)
+      }
+      assert(e.getMessage.contains("state batchId went backwards"))
+    }
+  }
+
+  test("the rename protocol and compactFiles refuse copy-rename object stores") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.s3a.impl", classOf[FakeS3aFileSystem].getName)
+    val wh = "s3a://" + Files.createTempDirectory("s3a-wh").toString
+    // default (rename) protocol: refused up front — S3A's rename is a
+    // copy+delete that REPORTS SUCCESS, so nothing downstream would fail
+    val e1 = intercept[IllegalArgumentException] {
+      new StreamIngest(spark, WarehouseOptions(database = "s3db"), wh)
+    }
+    assert(e1.getMessage.contains("copy+delete"))
+    // the manifest protocol is exactly the escape the message names:
+    // the same warehouse constructs cleanly under it (the full manifest
+    // ingest on a no-directory-rename FS is the e2e test above — the
+    // fake s3a scheme only exists to exercise the guard, RawLocalFS
+    // cannot carry Spark parquet IO under a foreign scheme)
+    withManifest {
+      new StreamIngest(spark, WarehouseOptions(database = "s3db"), wh)
+      ()
+    }
+    // compaction's two-rename swap has the same boundary, checked before
+    // any IO touches the table
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Maintenance.compactFiles(spark,
+        "s3a://" + Files.createTempDirectory("s3a-tbl").resolve("t").toString)
+    }
+    assert(e2.getMessage.contains("copy+delete"))
+  }
+
   test("agg batchId-backwards guard holds under the manifest protocol too") {
     withManifest {
       val wh = noRenameDir("guard3-wh")

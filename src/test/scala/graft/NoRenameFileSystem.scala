@@ -14,6 +14,18 @@ import java.net.URI
   * deployment's pluggable choice (object stores pair a manifest layout
   * with a direct/"magic" committer), not the protocol under test here.
   */
+/** A local filesystem masquerading as S3A — for the scheme guards that
+  * refuse directory-swap protocols on copy+delete-rename stores
+  * (`StateFs.requireAtomicDirRename`). Unlike [[NoRenameFileSystem]]
+  * its renames "work" (as S3A's do — that is the hazard: they report
+  * success without atomicity), so only the up-front guard stands
+  * between a caller and a silent mid-swap loss.
+  */
+class FakeS3aFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: URI = URI.create("s3a:///")
+}
+
 class NoRenameFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "norename"
   override def getUri: URI = URI.create("norename:///")

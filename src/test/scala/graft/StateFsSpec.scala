@@ -35,6 +35,23 @@ class StateFsSpec extends SparkSpec {
     assert(names == Seq("st-6.bin"), s"retired versions must sweep: $names")
   }
 
+  test("versioned state: a same-id re-commit keeps the committed copy (r13 review)") {
+    val dir = freshDir("statefs-replay")
+    StateFs.writeVersioned(fs, dir, "st", ".bin", 3L, Array[Byte](1, 2))
+    // a replay re-commits the same id (identical content by contract;
+    // different bytes here to make the keep observable). The previous
+    // delete-then-rename form had a crash window in which NO version
+    // existed — the sweep had already retired the older ones — so a
+    // crash there read the whole state as EMPTY.
+    StateFs.writeVersioned(fs, dir, "st", ".bin", 3L, Array[Byte](9, 9))
+    assert(StateFs.readVersioned(fs, dir, "st", ".bin")
+      .map { case (id, b) => (id, b.toSeq) }.contains((3L, Seq[Byte](1, 2))),
+      "the committed version must never be deleted for a same-id re-commit")
+    assert(!fs.exists(new Path(dir, ".st-3.bin.tmp")),
+      "the staging file is dropped")
+    assert(fs.exists(new Path(dir, "st-3.bin")), "the committed file stays")
+  }
+
   test("versioned state: a stranded staging file is invisible to readers") {
     val dir = freshDir("statefs-tmp")
     StateFs.writeVersioned(fs, dir, "st", ".bin", 1L, Array[Byte](4))

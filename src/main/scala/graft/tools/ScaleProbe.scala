@@ -837,7 +837,10 @@ object ScaleProbe {
     *   - `as-of` (two-sided join: the pre-pass covers only the probed
     *     timeline side, the build side is untouched);
     *   - `scd2` (pure per-entity window: cheapest downstream, so the
-    *     extra aggregate is its largest relative share).
+    *     extra aggregate is its largest relative share);
+    *   - `funnel` (r13 — chained threshold joins: the pre-pass covers
+    *     the whole event table once while the stages re-filter it, so
+    *     the relative overhead sits between as-of and scd2).
     *
     * Best-of-3 walls after a warm run; fingerprints are compared by the
     * `auto` probe (this one measures cost, not correctness).
@@ -855,7 +858,7 @@ object ScaleProbe {
         .withColumn(keyCol, col(keyCol) + col("_rep") * 1000000L)
         .drop("_rep")
     val base = graft.Queries.tsToNanos(spark.read.parquet(s"$d/events.parquet"))
-      .select("event_id", "user_id", "ts")
+      .select("event_id", "user_id", "ts", "event_type")
     val orders = spark.read.parquet(s"$d/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"),
         (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
@@ -866,19 +869,28 @@ object ScaleProbe {
       replicate(orders, "o_orderkey", "o_custkey", factor).repartition(32)
         .write.mode("overwrite").parquet(s"$out/$factor/orders.parquet")
       val ev = spark.read.parquet(s"$out/$factor/events.parquet")
+      // the original three shapes read the same 3 columns as the r12
+      // table (the projection prunes event_type at the parquet scan, so
+      // their rows stay comparable across rounds); only funnel reads it
+      val ev3 = ev.select("event_id", "user_id", "ts")
       val orx = spark.read.parquet(s"$out/$factor/orders.parquet")
       def shapes(shards: Int, thr: Long): Seq[(String, () => Unit)] = Seq(
         ("sessionize", () => graft.ops.Sessionize
-          .viaIntervals(ev, "user_id", "ts", "event_id",
+          .viaIntervals(ev3, "user_id", "ts", "event_id",
             gap = 1800000000000L, timeShards = shards, autoThreshold = thr)
           .write.mode("overwrite").format("noop").save()),
-        ("asof", () => graft.ops.AsOfJoin.asOf(ev, orx, "user_id", "o_custkey",
+        ("asof", () => graft.ops.AsOfJoin.asOf(ev3, orx, "user_id", "o_custkey",
           "ts", "ots", Seq("o_orderkey", "o_totalprice"),
           tieBreak = "o_orderkey", joinType = "left", timeShards = shards,
           autoThreshold = thr)
           .write.mode("overwrite").format("noop").save()),
         ("scd2", () => graft.ops.Scd2
-          .build(ev, "user_id", "event_id", "ts",
+          .build(ev3.select("user_id", "event_id", "ts"), "user_id",
+            "event_id", "ts", timeShards = shards, autoThreshold = thr)
+          .write.mode("overwrite").format("noop").save()),
+        ("funnel", () => graft.ops.Funnel
+          .firstTimes(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"),
             timeShards = shards, autoThreshold = thr)
           .write.mode("overwrite").format("noop").save()))
       val walls = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
@@ -893,7 +905,7 @@ object ScaleProbe {
         }.min
         walls((shape, label)) = wall
       }
-      for (shape <- Seq("sessionize", "asof", "scd2")) {
+      for (shape <- Seq("sessionize", "asof", "scd2", "funnel")) {
         val s1 = walls((shape, "single")); val sa = walls((shape, "auto"))
         val over = sa - s1
         println(f"POLICY ${factor}x $shape%-10s single=$s1%6.2fs auto=$sa%6.2fs " +

@@ -4,13 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared machinery for the per-key TIME-SHARDED window escapes — the
-  * hot-key plan all four running-carry operators ([[AsOfJoin]],
-  * [[Intervals]], [[Sessionize]], [[Scd2]]) use when one key (a bot
+  * hot-key plan the running-carry operators ([[AsOfJoin]],
+  * [[Intervals]], [[Sessionize]], [[Scd2]], and — for its threshold
+  * joins rather than a window — [[Funnel]]) use when one key (a bot
   * user, a null-ish default id) would funnel its entire timeline
-  * through ONE window task: split each key's timeline into time-range
-  * blocks on the window's primary sort key, run the window within
-  * (key, shard), and lift in-shard results to the full timeline with
-  * shard-granularity carries (each operator's own carry algebra).
+  * through ONE window or join task: split each key's timeline into
+  * time-range blocks on the window's primary sort key, run the window
+  * within (key, shard), and lift in-shard results to the full timeline
+  * with shard-granularity carries (each operator's own carry algebra;
+  * Funnel's degenerates to per-shard replication of a per-key
+  * constant — see its scaladoc).
   *
   * Centralised here because the machinery embeds two rules that are
   * easy to re-derive wrongly:

@@ -491,18 +491,31 @@ final class StreamIngest(
     else existingState().map(
       _.where(col("_bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*)))
 
+  /** Plan shape: ONE parquet relation per referenced BATCH DIRECTORY
+    * (all of a dir's live buckets ride one multi-path scan, `basePath`
+    * partition inference restoring `_bucket`), so the union width is
+    * the number of batch dirs the manifest still references — the
+    * recent-batch handful under any touch pattern with locality, and at
+    * worst `graft.state.buckets` when every bucket's last touch was a
+    * different batch. Size bucket counts with that worst case in mind
+    * (the default 64 is a 64-way union; thousands are fine, hundreds of
+    * thousands are not — at which point a periodic full-touch batch, a
+    * backfill re-writing every id, collapses the manifest to one dir).
+    */
   private def readManifestBuckets(touched: Option[Set[Int]]): Option[DataFrame] = {
     val parts = stateManifest.live().map(_._2).getOrElse(Map.empty)
       .toSeq.map { case (k, rel) => k.toInt -> rel }
       .filter { case (b, _) => touched.forall(_.contains(b)) }
-      .sortBy(_._1)
     if (parts.isEmpty) None
-    else Some(parts.map { case (b, rel) =>
-      // files under a partitionBy write exclude the partition column —
-      // restore it as the literal the directory name carries
-      spark.read.parquet(stateManifest.dataPath(rel).toString)
-        .withColumn("_bucket", lit(b))
-    }.reduce(_ unionByName _))
+    else {
+      val byDir = parts.groupBy(_._2.split("/", 2)(0))
+      Some(byDir.toSeq.sortBy(_._1).map { case (dirName, entries) =>
+        spark.read
+          .option("basePath", stateManifest.dataPath(dirName).toString)
+          .parquet(entries.map(e => stateManifest.dataPath(e._2).toString)
+            .sorted: _*)
+      }.reduce(_ unionByName _))
+    }
   }
 
   /** docTypes ever published, cached so the per-batch path never rescans

@@ -494,11 +494,22 @@ object Queries {
     val width =
       when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
         .otherwise(lit(1.0))
+    // ONE explicit (group, shard) exchange feeds BOTH consumers below —
+    // the in-shard running-sum window (which needs exactly this
+    // clustering; EnsureRequirements would otherwise insert its own
+    // exchange) and the per-shard totals aggregation (whose grouping keys
+    // equal the partitioning, so it completes with no exchange of its
+    // own). Before this, byShard re-shuffled the full histogram a second
+    // time in a parallel branch: 3 full-histogram exchanges per call
+    // (hist agg, byShard agg, window) where 2 suffice — at scale that is
+    // a whole extra pass of the histogram over the network, locally a
+    // whole extra stage.
     val sharded = hist0.join(broadcast(bounds), grpCol)
       .withColumn("_sh",
         least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
           .cast("int"))
       .drop("_lo", "_hi")
+      .repartition(col(grpCol), col("_sh"))
     val byShard = sharded.groupBy(col(grpCol), col("_sh"))
       .agg(sum(col(cntCol)).as("_st"))
     val wShards = Window.partitionBy(grpCol).orderBy("_sh")
@@ -722,8 +733,13 @@ object Queries {
       // caller-managed like every pinned table here.
       val hx = pin(rankHist("x"))
       val hy = {
+        // Same shared-exchange shape as [[shardedCum]]: one explicit
+        // (g, _sh) repartition feeds the in-shard window AND the
+        // per-shard totals agg (grouping keys = partitioning keys, so no
+        // second full-histogram exchange).
         val h = li.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
           .withColumn("_sh", floor(col("y") / 1024.0d)) // monotone in y
+          .repartition(col("g"), col("_sh"))
         val cumIn = sum(col("cnt"))
           .over(Window.partitionBy("g", "_sh").orderBy("y")).as("_c")
         val totals = h.groupBy("g", "_sh").agg(sum(col("cnt")).as("_st"))

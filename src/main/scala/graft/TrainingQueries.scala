@@ -973,7 +973,8 @@ object TrainingQueries {
             withbest AS (SELECT *, $best AS best FROM scored)
             SELECT doc_id, lang, CASE $cases ELSE 'unknown' END AS predicted
             FROM withbest""")},
-    (s, d) => t(s, d, "documents")
+    (s, d) => graft.ops.Skew.spread(
+        t(s, d, "documents").select("doc_id", "lang", "text"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted")))
 
@@ -1139,7 +1140,8 @@ object TrainingQueries {
              FROM UNNEST(range(0, greatest(CAST(floor((length(text) - 8) / 4) AS INT), 0) + 1)) AS t(i)
             ) AS sketch
             FROM documents"""),
-    (s, d) => t(s, d, "documents").select(
+    (s, d) => graft.ops.Skew.spread(
+        t(s, d, "documents").select("doc_id", "text")).select(
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"),
       TextAnalysis.charShingleSketch(col("text")).as("sketch")))
@@ -1827,7 +1829,8 @@ object TrainingQueries {
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 card 4111 1111 1111 1111 or +1 202-555-01"),
           lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
-        t(s, d, "documents")
+        graft.ops.Skew.spread(
+            t(s, d, "documents").select("doc_id", "source", "text"))
           .select(col("source"), TextAnalysis.piiCounts(plant).as("pii"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -1891,7 +1894,8 @@ object TrainingQueries {
                CAST(s // n AS BIGINT) AS rarity_fp
              FROM per"""),
     (s, d) => {
-      val tok = t(s, d, "documents")
+      val tok = graft.ops.Skew.spread(
+          t(s, d, "documents").select("doc_id", "text"))
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .transform(graft.ops.Caching.cached)

@@ -80,7 +80,12 @@ object Dedup {
     */
   def corpusJaccard(docs: DataFrame, keyCol: String = "source",
                     shingleSize: Int = 3, textCol: String = "text"): DataFrame = {
-    val sets = shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
+    // The shingle explode+distinct subtree is evaluated once per join
+    // side below; off a narrow scan (one file, one row group) each
+    // evaluation is a single-task tokenize+md5 pass — spread the source
+    // so both run at compute parallelism (no-op on a well-split corpus).
+    val sets = shingles(Skew.spread(docs.select(col(keyCol), col(textCol))),
+        shingleSize, idCol = keyCol, textCol = textCol)
       .distinct()
     // sizes is per-key-tiny but feeds TWO differently-aliased broadcasts
     // — without the pin each broadcast rebuilds the whole shingle
@@ -1230,28 +1235,40 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = docs
+    // The gram subtree is evaluated twice below (once per join side), so
+    // its map cost is paid twice — spread the source first so each
+    // evaluation runs at full compute parallelism even off a single-split
+    // file (no-op when the scan is already wide).
+    val grams = Skew.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("_l"))
       .select(col(idCol), posexplode(
         when(size(col("_l")) >= k,
           transform(sequence(lit(0), size(col("_l")) - k),
             i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
           .otherwise(array())).as(Seq("start", "_g")))
-    // First occurrence per gram: lowest doc id, then lowest start —
-    // struct ordering compares fields left to right, so min(struct)
-    // IS the (id, start) lexicographic minimum. The aggregate is
-    // map-side combinable (a boilerplate gram with 10⁹ occurrences
+      // (id, start) packed order-preservingly into ONE fixed-width
+      // decimal(38,0): `id·10¹⁰ + start` (start is a posexplode position,
+      // 0 ≤ start < 2³¹ < 10¹⁰, so packing is injective and lexicographic
+      // order is preserved for any long id, negative included). min() over
+      // a fixed-width decimal is a HASH aggregate; min(struct(id, start))
+      // planned as SortAggregate — a full sort of every gram occurrence on
+      // both sides of the exchange (measured ~2× the whole query at
+      // sf0.1).
+      .withColumn("_pk",
+        col(idCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(10000000000L) + col("start"))
+    // First occurrence per gram: the packed lexicographic (id, start)
+    // minimum. Map-side combinable (a boilerplate gram with 10⁹
+    // occurrences — a license header, exactly what this operator hunts —
     // collapses to one row per map partition pre-shuffle).
-    val first = grams.groupBy(col("_g"))
-      .agg(min(struct(col(idCol), col("start"))).as("_first"))
-      .select(col("_g"), col("_first").getField(idCol).as(idCol),
-        col("_first").getField("start").as("start"))
+    val first = grams.groupBy(col("_g")).agg(min(col("_pk")).as("_pk"))
     // Drop the one first-occurrence row per gram via LEFT ANTI on the
-    // FULL (gram, id, start) key — joining `first` back on `_g` alone
+    // FULL (gram, packed) key — equality on (_g, _pk) is equality on
+    // (_g, id, start) by injectivity. Joining `first` back on `_g` alone
     // would funnel every occurrence of a hot gram through one join
     // partition; the composite key is near-unique, so the shuffle
     // spreads evenly no matter how degenerate a gram's frequency is.
-    grams.join(first, Seq("_g", idCol, "start"), "left_anti")
+    grams.join(first, Seq("_g", "_pk"), "left_anti")
       .select(col(idCol), col("start"), (col("start") + k).as("end"))
   }
 

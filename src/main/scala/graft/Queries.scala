@@ -2355,13 +2355,20 @@ object Queries {
               JOIN nation ON n_nationkey = s_nationkey
             ORDER BY s_acctbal DESC, n_name, s_name, sl.p_partkey LIMIT 100"""),
     (s, d) => {
-      val ps = t(s, d, "lineitem")
+      val ps = graft.ops.Skew.spread(t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(round(col("l_extendedprice") * 10000).cast("long")).as("cost_cents"))
       val slice = t(s, d, "part")
         .where(col("p_size") === 5 && col("p_type") === "LARGE")
         .select("p_partkey", "p_name")
-      val sl = ps.join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      // sl feeds BOTH the argmin aggregation and the join-back probe; the
+      // two branches prune different columns (mc drops l_suppkey), so
+      // their ps subtrees canonicalize differently and exchange reuse
+      // never fires — the full lineitem aggregation ran twice. Pinning
+      // the sliced offer table (a filtered fraction of (part, supplier))
+      // materializes it once for both consumers.
+      val sl = pin(ps.join(broadcast(slice), col("l_partkey") === col("p_partkey")))
       val mc = sl.groupBy(col("p_partkey").as("mc_key"))
         .agg(min(col("cost_cents")).as("min_cents"))
       sl.join(mc, col("p_partkey") === col("mc_key") &&

@@ -1070,6 +1070,11 @@ object Dedup {
     // the index side needs full ranked lists (see scaladoc), the probe
     // side slices its prefix from the same table — one df join + one
     // groupBy(doc) sort_array, no per-doc window.
+    // Deliberately UNPINNED (unlike [[prefixFilterJoinGroups]]'s prefix):
+    // the full index side and the probe prefix run as CONCURRENT plan
+    // branches off the reused exchange, and the index side explodes the
+    // whole table anyway — a pin here serializes materialize-then-fan-out
+    // and measured ~0.4 s slower at sf0.1.
     val ranked = exploded
       .join(dfreq, Seq("shingle"))
       .groupBy(col(idCol))
@@ -1147,7 +1152,11 @@ object Dedup {
     // positional filter needs.
     val prefixLen = (col("sz") -
       ceil(lit(tau) * col("sz") - lit(1e-9)) + 1).cast("int")
-    val prefix = exploded
+    // Pinned: the exploded prefix feeds BOTH sides of the self-join below
+    // — unpinned, the df join + per-doc sort_array aggregation runs twice
+    // (exchange reuse covers only the shuffle, not the post-exchange
+    // ObjectHashAggregate + posexplode).
+    val prefix = Caching.cached(exploded
       .join(dfreq, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ranked"),
@@ -1155,7 +1164,7 @@ object Dedup {
       .select(col(idCol), col("sz"),
         posexplode(slice(col("_ranked.shingle"), lit(1), prefixLen)))
       .select(col(idCol), (col("pos") + 1).as("_rnk"),
-        col("col").as("shingle"), col("sz"))
+        col("col").as("shingle"), col("sz")))
     // Positional filter (PPJoin): a shared prefix shingle at canonical
     // ranks (i, j) bounds the overlap — at most min(i,j)−1 shared
     // shingles can precede it and at most min(sz_a−i, sz_b−j) can follow,

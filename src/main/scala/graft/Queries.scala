@@ -494,22 +494,18 @@ object Queries {
     val width =
       when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
         .otherwise(lit(1.0))
-    // ONE explicit (group, shard) exchange feeds BOTH consumers below —
-    // the in-shard running-sum window (which needs exactly this
-    // clustering; EnsureRequirements would otherwise insert its own
-    // exchange) and the per-shard totals aggregation (whose grouping keys
-    // equal the partitioning, so it completes with no exchange of its
-    // own). Before this, byShard re-shuffled the full histogram a second
-    // time in a parallel branch: 3 full-histogram exchanges per call
-    // (hist agg, byShard agg, window) where 2 suffice — at scale that is
-    // a whole extra pass of the histogram over the network, locally a
-    // whole extra stage.
+    // byShard deliberately keeps its OWN exchange rather than sharing one
+    // explicit (group, shard) repartition with the window: its partial
+    // aggregation shrinks the branch to ≤256 rows/group per map partition
+    // BEFORE the shuffle, so the extra exchange is tiny and runs as a
+    // parallel branch — an explicit shared repartition was measured
+    // neutral-to-slightly-negative at sf0.1 (r13) and trades the tiny
+    // shuffle for a second full-histogram exchange read at scale.
     val sharded = hist0.join(broadcast(bounds), grpCol)
       .withColumn("_sh",
         least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
           .cast("int"))
       .drop("_lo", "_hi")
-      .repartition(col(grpCol), col("_sh"))
     val byShard = sharded.groupBy(col(grpCol), col("_sh"))
       .agg(sum(col(cntCol)).as("_st"))
     val wShards = Window.partitionBy(grpCol).orderBy("_sh")
@@ -733,13 +729,8 @@ object Queries {
       // caller-managed like every pinned table here.
       val hx = pin(rankHist("x"))
       val hy = {
-        // Same shared-exchange shape as [[shardedCum]]: one explicit
-        // (g, _sh) repartition feeds the in-shard window AND the
-        // per-shard totals agg (grouping keys = partitioning keys, so no
-        // second full-histogram exchange).
         val h = li.groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
           .withColumn("_sh", floor(col("y") / 1024.0d)) // monotone in y
-          .repartition(col("g"), col("_sh"))
         val cumIn = sum(col("cnt"))
           .over(Window.partitionBy("g", "_sh").orderBy("y")).as("_c")
         val totals = h.groupBy("g", "_sh").agg(sum(col("cnt")).as("_st"))
@@ -765,9 +756,14 @@ object Queries {
       // replaces the former (g, x, y) joint-histogram shuffle, whose
       // per-pair counts added an exchange without shrinking the data
       // (x×y pairs are near-distinct per row).
+      // SHUFFLE_HASH on the rank side: it is one row per DISTINCT (g, y)
+      // — bounded per partition at any corpus size — while the row side
+      // is the full fact table; a sort-merge join would sort the corpus
+      // on (g, y) just to probe a table a hash build holds for free.
       val cross = li
         .join(broadcast(hx.select(col("g"), col("x"), col("rx"))), Seq("g", "x"))
-        .join(hy.select(col("g"), col("y"), col("ry")), Seq("g", "y"))
+        .join(hy.select(col("g"), col("y"), col("ry")).hint("SHUFFLE_HASH"),
+          Seq("g", "y"))
         .groupBy("g")
         .agg(Sum128(col("rx") * col("ry"), 0)
           .cast("double").as("sxy"))

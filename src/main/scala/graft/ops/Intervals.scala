@@ -82,14 +82,22 @@ object Intervals {
       // skips nulls, so a carry-free first shard degrades to the local rule.
       // joinCarry, not a USING join: NULL keys are a window group and an
       // equi-join would drop their rows (the r11 NULL-key lesson).
-      val marked = TimeShard.joinCarry(sharded, carry, keyCol)
+      // Pinned: marked feeds BOTH the island-offset carry below and the
+      // final carry join — unpinned, the carry-join + running-max window
+      // chain executes once per consumer (exchange reuse stops at the
+      // shuffle; the window and null-safe hash join re-run). The pin is
+      // bounded by what shards at all: the auto path caches only hot-key
+      // timelines, and a manual all-keys shard was already paying the
+      // second window pass this replaces (disk-backed blocks vs a full
+      // re-sort — the cheaper side at every scale we measured).
+      val marked = Caching.cached(TimeShard.joinCarry(sharded, carry, keyCol)
         .withColumn("_pm", greatest(
           max(e).over(wLoc.rowsBetween(Window.unboundedPreceding, -1)),
           col("_cm")))
         .withColumn("_new", when(col("_pm").isNull || s > col("_pm"), 1L)
           .otherwise(0L))
         .withColumn("_li", sum(col("_new"))
-          .over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       // Carry 2: islands opened in strictly-earlier shards (per-shard
       // count = the monotone _li's max — map-side-combinable; running sum
       // again at shard granularity). A row continuing the previous

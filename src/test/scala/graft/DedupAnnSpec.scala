@@ -689,6 +689,44 @@ class DedupAnnSpec extends SparkSpec {
     assert(stripped(4L) == "aa bb")
   }
 
+  test("repeated-substring spans: packed first-occurrence min == window-rank reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // The r13 optimization replaced min(struct(id, start)) with a hash-
+    // aggregable packed decimal (id·10^10 + start) and keyed the anti-join
+    // on (gram, packed). This property pins bit-equivalence against the
+    // declarative reference — every gram occurrence except the global
+    // (id, start)-lexicographic first — on random corpora with shared
+    // fragments and ids spread across the long range (negatives included:
+    // packing must stay order-preserving and injective there too).
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val ids = Seq(-3000000007L, -2L, 0L, 1L, 5L, 4000000009L)
+    val docs = ids.map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3
+    val got = graft.ops.Dedup.duplicatedSpans(docs, k)
+      .as[(Long, Int, Int)].collect().toSet
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_l"))
+      .where(size(col("_l")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("_l")) - k),
+        i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
+        .as(Seq("start", "_g")))
+    val ref = grams
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy(col("doc_id"), col("start"))))
+      .where(col("_rn") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + k).as("end"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == ref,
+      s"packed-min spans diverge from the window reference: " +
+        s"extra=${(got -- ref).take(5)} missing=${(ref -- got).take(5)}")
+  }
+
   test("semantic dedup: intra-cluster near-dups drop, cross-cluster twins survive") {
     import spark.implicits._
     // two well-separated clusters (+x-ish, +y-ish): 11/12 are near-dups of

@@ -86,14 +86,17 @@ object Dedup {
                     shingleSize: Int = 3, textCol: String = "text"): DataFrame = {
     // The shingle explode+distinct subtree is evaluated once per join
     // side below; [[shingles]] spreads a narrow source so each
-    // evaluation runs at compute parallelism.
-    val sets = shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
-      .distinct()
+    // evaluation runs at compute parallelism, and the pin materializes
+    // the distinct set ONCE for both sides (the per-side distinct
+    // exchanges canonicalize differently under their aliases, so
+    // runtime exchange reuse does not fire — the profile showed the
+    // full explode+distinct map side executing twice, serially).
+    val sets = Caching.cached(
+      shingles(docs, shingleSize, idCol = keyCol, textCol = textCol)
+        .distinct())
     // sizes is per-key-tiny but feeds TWO differently-aliased broadcasts
-    // — without the pin each broadcast rebuilds the whole shingle
-    // explode+distinct subtree (ReusedExchange only dedupes identical
-    // plans, and the aliases differ). The self-join sides below stay
-    // unpinned: they ARE identical subplans and reuse one exchange.
+    // — pinned so each broadcast reads the sets pin instead of
+    // re-aggregating per alias.
     val sizes = sets.groupBy(keyCol).agg(count(lit(1)).as("n")).transform(Caching.cached)
     val a = sets.select(col(keyCol).as("key_a"), col("shingle"))
     val b = sets.select(col(keyCol).as("key_b"), col("shingle"))

@@ -55,9 +55,19 @@ object Bench {
     // the ~100-entry codegen LRU) + min over `samples` timed runs.
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 samples: Int = 2): Double = {
+      // Drop any cache a query pinned (e.g. LSH signature tables, the
+      // stats-family histogram pins) so no later sample — of this query or
+      // any other — is served warm. clearCache only covers CacheManager
+      // entries; localCheckpoint blocks (iterative ops:
+      // PageRank/HITS/clusters) are RDD-level and need the sweep.
+      def dropState(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       if (warm) {
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        dropState()
       }
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -66,16 +76,16 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Protocol v4: state drops BETWEEN samples (not just after the
+        // last), so every timed sample is cache-cold and min() can never
+        // keep a warm-cache number — pinned-subtree queries are timed on
+        // their real cold cost (the pin's first materialization is inside
+        // the timed region every sample).
+        dropState()
+        dt
       }
-      val dt = (1 to samples).map(_ => run()).min
-      // Drop any cache a query pinned (e.g. LSH signature tables) so later
-      // queries aren't squeezed by stale storage memory. clearCache only
-      // covers CacheManager entries; localCheckpoint blocks (iterative
-      // ops: PageRank/HITS/clusters) are RDD-level and need the sweep.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      dt
+      (1 to samples).map(_ => run()).min
     }
     // The host occasionally injects 15-35s stalls unrelated to the query
     // (zero GC time, not reproducible in isolation), and the stalls
@@ -118,7 +128,11 @@ object Bench {
     }
     val results = acc
     // Measurement-protocol tag (ADVICE round 10): cross-round totals are
-    // only like-for-like at the same protocol. v3 = per-query min over
+    // only like-for-like at the same protocol. v4 (round 14) = v3 with
+    // cache/persist state dropped BETWEEN samples, not only after a
+    // query's last sample — under v3 a subtree pinned via Caching.cached
+    // during sample 1 served sample 2 warm and min() kept the warm
+    // number (VERDICT r13 "what's wrong" #1). v3 = per-query min over
     // (2 forward samples + 1 decorrelated reverse sample + stall
     // retries), table handles memoized across queries, derived indexes
     // (inverted/band/skipping/shingle) amortized out of measured time
@@ -126,7 +140,7 @@ object Bench {
     // best-of-2, per-query table re-listing, indexes rebuilt in-query
     // (rounds 1-8); v2 = v1 + min-merged reverse sample (early round 9).
     val protocol =
-      """"protocol":{"version":3,"samples":"min(2fwd,1rev,retries)","tables":"memoized","indexes":"amortized"}"""
+      """"protocol":{"version":4,"samples":"min(2fwd,1rev,retries)","tables":"memoized","indexes":"amortized","samples_cold":true}"""
     // The harness captures only a 2000-char tail of stdout; a single JSON
     // line carrying all per-query timings at full double precision outgrew
     // it once the suite passed ~75 queries (head-truncated -> unparseable).

@@ -1253,13 +1253,26 @@ object Dedup {
     // its map cost is paid twice — spread the source first so each
     // evaluation runs at full compute parallelism even off a single-split
     // file (no-op when the scan is already wide).
-    val grams = Skew.spread(docs.select(col(idCol), col(textCol)))
+    val gramsBase = Skew.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("_l"))
       .select(col(idCol), posexplode(
         when(size(col("_l")) >= k,
           transform(sequence(lit(0), size(col("_l")) - k),
             i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
           .otherwise(array())).as(Seq("start", "_g")))
+    // The packed-decimal fast path is only injective for INTEGRAL ids: a
+    // string/UUID id casts to NULL (non-ANSI) — the anti join would then
+    // never match and EVERY occurrence would be flagged — and a
+    // fractional double truncates, breaking injectivity. Guard on the
+    // dtype; exact decimals up to precision 28 still fit `id·10¹⁰` inside
+    // decimal(38,0).
+    val idIsIntegral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0 && d.precision <= 28
+      case _ => false
+    }
+    if (idIsIntegral) {
       // (id, start) packed order-preservingly into ONE fixed-width
       // decimal(38,0): `id·10¹⁰ + start` (start is a posexplode position,
       // 0 ≤ start < 2³¹ < 10¹⁰, so packing is injective and lexicographic
@@ -1268,22 +1281,33 @@ object Dedup {
       // planned as SortAggregate — a full sort of every gram occurrence on
       // both sides of the exchange (measured ~2× the whole query at
       // sf0.1).
-      .withColumn("_pk",
+      val grams = gramsBase.withColumn("_pk",
         col(idCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * lit(10000000000L) + col("start"))
-    // First occurrence per gram: the packed lexicographic (id, start)
-    // minimum. Map-side combinable (a boilerplate gram with 10⁹
-    // occurrences — a license header, exactly what this operator hunts —
-    // collapses to one row per map partition pre-shuffle).
-    val first = grams.groupBy(col("_g")).agg(min(col("_pk")).as("_pk"))
-    // Drop the one first-occurrence row per gram via LEFT ANTI on the
-    // FULL (gram, packed) key — equality on (_g, _pk) is equality on
-    // (_g, id, start) by injectivity. Joining `first` back on `_g` alone
-    // would funnel every occurrence of a hot gram through one join
-    // partition; the composite key is near-unique, so the shuffle
-    // spreads evenly no matter how degenerate a gram's frequency is.
-    grams.join(first, Seq("_g", "_pk"), "left_anti")
-      .select(col(idCol), col("start"), (col("start") + k).as("end"))
+      // First occurrence per gram: the packed lexicographic (id, start)
+      // minimum. Map-side combinable (a boilerplate gram with 10⁹
+      // occurrences — a license header, exactly what this operator hunts —
+      // collapses to one row per map partition pre-shuffle).
+      val first = grams.groupBy(col("_g")).agg(min(col("_pk")).as("_pk"))
+      // Drop the one first-occurrence row per gram via LEFT ANTI on the
+      // FULL (gram, packed) key — equality on (_g, _pk) is equality on
+      // (_g, id, start) by injectivity. Joining `first` back on `_g` alone
+      // would funnel every occurrence of a hot gram through one join
+      // partition; the composite key is near-unique, so the shuffle
+      // spreads evenly no matter how degenerate a gram's frequency is.
+      grams.join(first, Seq("_g", "_pk"), "left_anti")
+        .select(col(idCol), col("start"), (col("start") + k).as("end"))
+    } else {
+      // Fallback for any other orderable id type (string, UUID-ish,
+      // fractional): lexicographic min(struct) — plans as SortAggregate,
+      // slower, but correct for every orderable dtype.
+      val first = gramsBase.groupBy(col("_g"))
+        .agg(min(struct(col(idCol), col("start"))).as("_f"))
+        .select(col("_g"), col("_f").getField(idCol).as(idCol),
+          col("_f").getField("start").as("start"))
+      gramsBase.join(first, Seq("_g", idCol, "start"), "left_anti")
+        .select(col(idCol), col("start"), (col("start") + k).as("end"))
+    }
   }
 
   /** Merge a doc's marked spans into disjoint islands (classic

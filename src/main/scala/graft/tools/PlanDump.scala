@@ -36,7 +36,10 @@ object PlanDump {
       val w = new java.io.PrintWriter(s"$outDir/$n.txt", "UTF-8")
       try w.println(plan) finally w.close()
       def c(tok: String) = tok.r.findAllIn(plan).length
-      println(s"PLANSTAT $n exchanges=${c("Exchange ")} scans=${c("Scan parquet")} " +
+      // "(?<!Reused)Exchange " — a bare "Exchange " token also matches
+      // inside "ReusedExchange [" and inflated the count by exactly the
+      // reused-exchange count (ADVICE r13).
+      println(s"PLANSTAT $n exchanges=${c("(?<!Reused)Exchange ")} scans=${c("Scan parquet")} " +
         s"sorts=${c("\\bSort \\[")} smj=${c("SortMergeJoin")} bhj=${c("BroadcastHashJoin")} " +
         s"bnl=${c("BroadcastNestedLoop")} cartesian=${c("CartesianProduct")} " +
         s"window=${c("\\bWindow\\b")} codegen=${c("WholeStageCodegen")} " +

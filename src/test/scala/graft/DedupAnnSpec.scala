@@ -727,6 +727,42 @@ class DedupAnnSpec extends SparkSpec {
         s"extra=${(got -- ref).take(5)} missing=${(ref -- got).take(5)}")
   }
 
+  test("repeated-substring spans: STRING ids take the min(struct) fallback, not the packed cast") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ADVICE r13 (medium): a string id cast to decimal is NULL (non-ANSI),
+    // so the packed-decimal path would anti-join on a NULL key and flag
+    // EVERY occurrence — including each gram's first — as duplicated. The
+    // dtype guard must route non-integral ids through the lexicographic
+    // min(struct) fallback and reproduce the window-rank reference.
+    val docs = Seq(
+      ("doc-b", "a b c d a b c"), // self-repeat of "a b c"
+      ("doc-a", "a b c x y z"),   // lexicographically first id
+      ("doc-c", "x y z q q q")
+    ).toDF("doc_id", "text")
+    val k = 3
+    val got = graft.ops.Dedup.duplicatedSpans(docs, k)
+      .as[(String, Int, Int)].collect().toSet
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_l"))
+      .where(size(col("_l")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("_l")) - k),
+        i => md5(concat_ws(" ", slice(col("_l"), i + 1, lit(k))))))
+        .as(Seq("start", "_g")))
+    val ref = grams
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy(col("doc_id"), col("start"))))
+      .where(col("_rn") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + k).as("end"))
+      .as[(String, Int, Int)].collect().toSet
+    assert(got == ref,
+      s"string-id fallback diverges: extra=${(got -- ref).take(5)} " +
+        s"missing=${(ref -- got).take(5)}")
+    // the first occurrences must NOT be flagged (the NULL-pk failure mode)
+    assert(!got.contains(("doc-a", 0, 3)))
+  }
+
   test("semantic dedup: intra-cluster near-dups drop, cross-cluster twins survive") {
     import spark.implicits._
     // two well-separated clusters (+x-ish, +y-ish): 11/12 are near-dups of

@@ -475,7 +475,8 @@ object Queries {
   private def pin(df: DataFrame): DataFrame = graft.ops.Caching.cached(df)
 
   private[graft] def shardedCum(hist: DataFrame, grpCol: String, valCol: String,
-                         cntCol: String): DataFrame = {
+                         cntCol: String,
+                         shardWidth: Option[Double] = None): DataFrame = {
     // NULL values are excluded up front: a null valCol would shard to a
     // null _sh (dropped by the inner join below) while still inflating
     // _off/tot through the nulls-first shard window — silently shifting
@@ -489,11 +490,6 @@ object Queries {
     // barrier (measured ~2x slower at sf0.1 across the six stats
     // queries sharing this helper).
     val hist0 = hist.where(col(valCol).isNotNull)
-    val bounds = hist0.groupBy(grpCol)
-      .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
-    val width =
-      when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
-        .otherwise(lit(1.0))
     // byShard deliberately keeps its OWN exchange rather than sharing one
     // explicit (group, shard) repartition with the window: its partial
     // aggregation shrinks the branch to ≤256 rows/group per map partition
@@ -501,11 +497,33 @@ object Queries {
     // parallel branch — an explicit shared repartition was measured
     // neutral-to-slightly-negative at sf0.1 (r13) and trades the tiny
     // shuffle for a second full-histogram exchange read at scale.
-    val sharded = hist0.join(broadcast(bounds), grpCol)
-      .withColumn("_sh",
-        least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
-          .cast("int"))
-      .drop("_lo", "_hi")
+    val sharded = shardWidth match {
+      // Caller-supplied fixed-width monotone shard (the q_spearman
+      // y-histogram trick, r14): when the value domain's SCALE is known a
+      // priori — a spec-bounded price, a [0,1] score, a metric on a fixed
+      // decimal grid — `floor(v / w)` shards range-consistently with NO
+      // data-driven bounds pre-pass, deleting one aggregation exchange
+      // AND the broadcast barrier that gated every downstream stage.
+      // Shard ids need not be dense or start at 0: the offset window
+      // orders by _sh, and rank arithmetic only needs monotonicity.
+      // Callers must pick w so the non-empty shard count stays
+      // offset-table-small (range/w ≲ 10⁴) and no single shard holds an
+      // unbounded distinct-value set; for unknown domains keep the
+      // default data-driven bounds path.
+      case Some(w) =>
+        hist0.withColumn("_sh", floor(col(valCol) / w))
+      case None =>
+        val bounds = hist0.groupBy(grpCol)
+          .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+        val width =
+          when(col("_hi") > col("_lo"), (col("_hi") - col("_lo")) / 256.0)
+            .otherwise(lit(1.0))
+        hist0.join(broadcast(bounds), grpCol)
+          .withColumn("_sh",
+            least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
+              .cast("int"))
+          .drop("_lo", "_hi")
+    }
     val byShard = sharded.groupBy(col(grpCol), col("_sh"))
       .agg(sum(col(cntCol)).as("_st"))
     val wShards = Window.partitionBy(grpCol).orderBy("_sh")
@@ -520,10 +538,28 @@ object Queries {
       .drop("_sh", "_c", "_off")
   }
 
+  /** Fixed monotone shard widths for [[shardedCum]] domains whose scale
+    * is known a priori (never affects results — only the internal
+    * bucketization; see the shardWidth doc above):
+    *  - `events.value` is a non-negative metric on a 2-decimal grid of
+    *    O(10²) scale (observed max 327/490/560 across the fixture SFs —
+    *    tail growth is logarithmic in corpus size, never linear), so
+    *    w = 4 keeps the non-empty shard count in the low hundreds with
+    *    orders of magnitude of headroom, and the per-shard distinct set
+    *    is grid-bounded at ≤ 400 values. MAD deviations `|v − med|` live
+    *    on the same grid with the same range bound.
+    *  - `l_extendedprice` is TPC-H-spec-bounded to [900, 105000) (price =
+    *    quantity(1..50) × retailprice(900..2101), independent of SF) on
+    *    the cents grid, so w = 512 gives ~204 shards at any scale.
+    */
+  private val evShardW = Some(4.0)
+  private val priceShardW = Some(512.0)
+
   private def histMedian(df: DataFrame, grpCol: String, valCol: String,
-                         outCol: String): DataFrame = {
+                         outCol: String,
+                         shardWidth: Option[Double] = None): DataFrame = {
     val hist = df.groupBy(grpCol, valCol).agg(count(lit(1)).as("c"))
-    val ranked = shardedCum(hist, grpCol, valCol, "c").select(
+    val ranked = shardedCum(hist, grpCol, valCol, "c", shardWidth).select(
       col(grpCol), col(valCol), col("c"),
       (col("cum") - col("c")).as("lo"), // covers ranks lo+1..hi
       col("cum").as("hi"),
@@ -550,7 +586,7 @@ object Queries {
             FROM ranked
             WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
             GROUP BY event_type"""),
-    (s, d) => histMedian(t(s, d, "events"), "event_type", "value", "median"))
+    (s, d) => histMedian(t(s, d, "events"), "event_type", "value", "median", evShardW))
 
   /** EXACT weighted median per group — the lower weighted median (the
     * smallest value whose cumulative weight reaches ⌈W/2⌉): the robust
@@ -579,7 +615,7 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
       val half = expr("(tot + 1) div 2") // exact integer arithmetic at any W
-      shardedCum(hist, "l_returnflag", "l_extendedprice", "w")
+      shardedCum(hist, "l_returnflag", "l_extendedprice", "w", priceShardW)
         .where(col("cum") - col("w") < half && half <= col("cum"))
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("double").as("wmedian"))
@@ -608,7 +644,7 @@ object Queries {
       val hist = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val ranked = shardedCum(hist, "l_returnflag", "l_extendedprice", "w")
+      val ranked = shardedCum(hist, "l_returnflag", "l_extendedprice", "w", priceShardW)
         .withColumnRenamed("l_extendedprice", "v")
       def cut(t: Column) =
         min(when(col("cum") >= t, col("v"))).cast("double")
@@ -757,9 +793,17 @@ object Queries {
       // per-pair counts added an exchange without shrinking the data
       // (x×y pairs are near-distinct per row).
       // SHUFFLE_HASH on the rank side: it is one row per DISTINCT (g, y)
-      // — bounded per partition at any corpus size — while the row side
-      // is the full fact table; a sort-merge join would sort the corpus
-      // on (g, y) just to probe a table a hash build holds for free.
+      // while the row side is the full fact table; a sort-merge join
+      // would sort the corpus on (g, y) just to probe a table a hash
+      // build holds for free. The previous plan BROADCAST the rank side —
+      // a driver collect that grows with distinct values, straight past
+      // the broadcast cap at corpus scale. Scale assumption (ADVICE r13):
+      // ShuffledHashJoin's build side is memory-resident per partition
+      // (no sort-spill path), so for quasi-continuous y the per-partition
+      // build stays bounded ONLY if shuffle partitions scale with data —
+      // which is the deployment posture here (AQE-coalesced partitions
+      // sized by advisory bytes, not a fixed count); under a fixed tiny
+      // partition count SMJ's graceful spill would be the safer pick.
       val cross = li
         .join(broadcast(hx.select(col("g"), col("x"), col("rx"))), Seq("g", "x"))
         .join(hy.select(col("g"), col("y"), col("ry")).hint("SHUFFLE_HASH"),
@@ -807,12 +851,12 @@ object Queries {
       // med is per-group-tiny and referenced under every branch of the
       // deviation pass's histogram machinery — pin it so the broadcast
       // build is the only evaluation of the median subtree.
-      val med = pin(histMedian(t(s, d, "events"), "event_type", "value", "med"))
+      val med = pin(histMedian(t(s, d, "events"), "event_type", "value", "med", evShardW))
       val dev = t(s, d, "events").join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("value") - col("med")).cast(DecimalType(18, 4))
             .cast("double").as("d"))
-      histMedian(dev, "event_type", "d", "mad")
+      histMedian(dev, "event_type", "d", "mad", evShardW)
     })
 
   /** Robust outlier detection (modified z-score, Iglewicz & Hoaglin
@@ -855,12 +899,12 @@ object Queries {
       // pin the tiny per-group tables (see qMad): dev is deliberately NOT
       // pinned — it is corpus-sized, and with med/mad pinned each of its
       // two consumers rebuilds it as one scan + one broadcast join.
-      val med = pin(histMedian(ev, "event_type", "value", "med"))
+      val med = pin(histMedian(ev, "event_type", "value", "med", evShardW))
       val dev = ev.join(broadcast(med), "event_type")
         .select(col("event_type"),
           abs(col("value") - col("med")).cast(DecimalType(18, 4))
             .cast("double").as("d"))
-      val mad = pin(histMedian(dev, "event_type", "d", "mad"))
+      val mad = pin(histMedian(dev, "event_type", "d", "mad", evShardW))
       dev.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -888,7 +932,7 @@ object Queries {
     (s, d) => {
       val hist = t(s, d, "events")
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+      val ranked = shardedCum(hist, "event_type", "value", "c", evShardW).select(
         col("event_type"), col("value"), col("c"),
         (col("cum") - col("c")).as("lo"), // bucket covers ranks lo+1..hi
         col("cum").as("hi"), col("tot").as("n"))
@@ -1078,7 +1122,7 @@ object Queries {
     (s, d) => {
       val hist = t(s, d, "events")
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+      val ranked = shardedCum(hist, "event_type", "value", "c", evShardW).select(
         col("event_type"), col("value"), col("c"),
         (col("cum") - col("c")).as("lo"), // covers ranks lo+1..hi
         col("cum").as("hi"), col("tot").as("n"))
@@ -1120,7 +1164,7 @@ object Queries {
     (s, d) => {
       val hist = t(s, d, "events")
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val ranked = shardedCum(hist, "event_type", "value", "c").select(
+      val ranked = shardedCum(hist, "event_type", "value", "c", evShardW).select(
         col("event_type"), col("value"), col("c"),
         (col("cum") - col("c")).as("lo"), // bucket covers ranks lo+1..hi
         col("cum").as("hi"), col("tot").as("n"))

@@ -1046,7 +1046,11 @@ object TrainingQueries {
           (least(col("_len") / lit(500.0), lit(1.0))
             * (lit(1.0) - least(col("_pr") * 5, lit(1.0)))).as("quality"))
       val hist = scored.groupBy("source", "quality").agg(count(lit(1)).as("c"))
-      val ranked = graft.Queries.shardedCum(hist, "source", "quality", "c")
+      // quality ∈ [0,1] BY CONSTRUCTION (least(·,1)·(1−least(·,1))) — an
+      // a-priori domain, so the fixed-width monotone shard (1/256 → ≤257
+      // shards at any corpus size) skips shardedCum's bounds pre-pass.
+      val ranked = graft.Queries.shardedCum(hist, "source", "quality", "c",
+        shardWidth = Some(1.0 / 256))
         .select(col("source"), col("quality"), col("cum"), col("tot"))
       scored.join(ranked, Seq("source", "quality"))
         .select(col("doc_id"), col("source"), col("quality"),

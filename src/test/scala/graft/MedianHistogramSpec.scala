@@ -107,4 +107,42 @@ class MedianHistogramSpec extends SparkSpec {
     val m = wmedians(("u", 1.0, 1L), ("u", 2.0, 1L), ("u", 10.0, 1L), ("u", 20.0, 1L))
     assert(m("u") == 2.0) // even n: LOWER median by definition, no averaging
   }
+
+  test("fixed-width monotone shard == data-driven bounds shard (randomized)") {
+    import spark.implicits._
+    // r14: callers with a-priori-known domains skip shardedCum's bounds
+    // pre-pass via a caller-supplied fixed shard width. The width only
+    // changes the internal bucketization — cum/tot must be bit-identical
+    // for ANY positive width, including widths that put a whole group in
+    // one shard, split ties across shard boundaries, or produce negative
+    // shard ids (negative values).
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      // values on a coarse grid so duplicates (histogram weight > 1) and
+      // shard-boundary collisions both occur; negatives included
+      val v = math.floor(rnd.nextGaussian() * 50) / 2.0
+      (g, v)
+    }
+    val hist = rows.toDF("g", "v").groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val ref = Queries.shardedCum(hist, "g", "v", "c")
+      .select("g", "v", "cum", "tot").as[(String, Double, Long, Long)]
+      .collect().toSet
+    for (w <- Seq(0.5, 4.0, 1000.0)) {
+      val got = Queries.shardedCum(hist, "g", "v", "c", Some(w))
+        .select("g", "v", "cum", "tot").as[(String, Double, Long, Long)]
+        .collect().toSet
+      assert(got == ref, s"width $w diverges: extra=${(got -- ref).take(3)} " +
+        s"missing=${(ref -- got).take(3)}")
+    }
+  }
+
+  test("q_median is exact with negative values under the fixed-width shard") {
+    // floor(v / w) yields NEGATIVE shard ids for negative values — the
+    // offset window must still order shards correctly.
+    val m = medians(
+      ("neg", 1L, -10.0), ("neg", 2L, -3.0), ("neg", 3L, 5.0),
+      ("neg", 4L, 7.5), ("neg", 5L, 40.0))
+    assert(m("neg") == 5.0)
+  }
 }

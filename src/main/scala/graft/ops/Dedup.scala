@@ -733,7 +733,17 @@ object Dedup {
     // bounded by the doc's shingle count (docs are length-bounded). The
     // sort is in-memory per doc and buys the zero-allocation merge-loop
     // intersect kernel below.
-    val sets = sh.groupBy(col(idCol))
+    // The aggregation's per-row work (collect + in-memory sort) and the
+    // downstream verify kernel dwarf the rows' bytes, and the pair-scoped
+    // input is byte-tiny — AQE's byte-based coalescing ran this whole
+    // chain single-task at sf0.1. The explicit keyed repartition replaces
+    // the exchange the groupBy would insert anyway (same shuffle count at
+    // any scale) while pinning a partition count AQE must not coalesce
+    // (r14, guide §2.5/§2.2). collect_list's partial-agg state is the
+    // full data either way, so no map-side combining is lost.
+    val sets = sh
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("shingle"))).as("_set"),
         count(lit(1)).as("sz"))
     jaccardOverSets(sets, pairs, idCol)
@@ -1096,13 +1106,25 @@ object Dedup {
       .select(col(idCol).as("id_a"), (col("pos") + 1).as("_i"),
         col("col").as("shingle"), col("sz").as("sz_a"))
     val alphaA = ceil(lit(tau) * col("sz_a") - lit(1e-9))
+    // The distinct's exchange feeds the VERIFY stage, whose per-row cost
+    // is the merge-loop intersect over the attached sets — proportional
+    // to set sizes, not to the row's bytes. AQE's byte-based coalescing
+    // (advisory/minPartitionSize) sees only the narrow (id_a, id_b)
+    // pairs and coalesces the stage below compute parallelism (measured
+    // 7 tasks / max-task ≈ stage span at sf0.1). An explicit keyed
+    // repartition on the SAME keys replaces the exchange the distinct
+    // would insert anyway (no extra shuffle at any scale) while pinning
+    // the partition count AQE must not coalesce (r14, guide §2.5/§2.2).
     val cands = prefix
       .join(full, Seq("shingle"))
       .where(col("id_a") =!= col("id_b") &&
         col("sz_b") >= alphaA &&
         least(col("_i"), col("_j")) +
           least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >= alphaA)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .repartition(groups.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .distinct()
     val verified = cands
       .join(reps.select(col(idCol).as("id_a"), col("_set").as("_sa"),
         col("sz").as("sz_a")), Seq("id_a"))

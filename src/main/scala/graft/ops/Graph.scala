@@ -91,9 +91,24 @@ object Graph {
     // iteration would otherwise redo the e⋈deg shuffle before touching
     // the ranks of that round
     val ed = e.join(deg, "src").transform(Caching.cached)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().transform(Caching.cached)
+    // The node table carries a has-in-edges flag computed by the SAME
+    // aggregation that deduplicates it (max over a 0/1 marker — one
+    // exchange, exactly like the plain distinct): nodes with NO in-edges
+    // never receive a contribution, so from round 1 on their rank is
+    // exactly `base` (s(v) = 0). `sums` below covers precisely the
+    // distinct-dst set (every node carries a rank each round, so every
+    // in-edge produces a contribution row), so the per-round
+    // `nodes ⋈ sums` LEFT join — an exchange + join PER ITERATION — is
+    // equivalent to a shuffle-free UNION with the static no-in-edge
+    // slice of this one cached table (r14, guide §2.4).
+    val nodesFlagged = e.select(col("src").as("node"), lit(0).as("_in"))
+      .union(e.select(col("dst").as("node"), lit(1).as("_in")))
+      .groupBy("node").agg(max(col("_in")).as("_in"))
+      .transform(Caching.cached)
+    val nodes = nodesFlagged.select("node")
     val base = 1000000L - dampingPpm
+    val noInRanked = nodesFlagged.where(col("_in") === 0)
+      .select(col("node"), lit(base).as("rank_ppm"))
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     // previous round's checkpoint — released once the next round has
     // materialized (its only reader), keeping pinned blocks flat in iters
@@ -104,15 +119,25 @@ object Graph {
       // product on it — past a long, and ranks themselves grow with
       // in-degree round over round; a wrapped long would silently
       // diverge from the exact oracle at crawl-graph scale
+      // SHUFFLE_HASH on the rank side: statically this joins as SMJ and
+      // AQE runtime-converts it to a broadcast join — a driver collect +
+      // single-threaded hash build of the NODE-SIZED rank table EVERY
+      // iteration. The hash hint builds per-partition tables off the
+      // rank shuffle instead: no driver round-trip per round, no sort of
+      // the edge side, and the build stays bounded per partition as long
+      // as shuffle partitions scale with the graph (the deployment
+      // posture; same contract as q_spearman's rank probe).
       val sums = ed
-        .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r")), "src")
+        .join(ranks.select(col("node").as("src"), col("rank_ppm").as("r"))
+          .hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("cast(r div deg as decimal(38,0))")).as("s"))
-      val next = nodes.join(sums, Seq("node"), "left")
+      val next = sums
         .selectExpr("node",
           s"""CAST($base + (CAST($dampingPpm AS DECIMAL(38,0))
-             * coalesce(s, CAST(0 AS DECIMAL(38,0)))) div 1000000
+             * s) div 1000000
              AS BIGINT) AS rank_ppm""")
+        .unionByName(noInRanked)
       if (eager) {
         val ckpt = next.localCheckpoint(false)
         // one count job materializes the round (column pruning cannot

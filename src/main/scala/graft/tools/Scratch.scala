@@ -119,7 +119,15 @@ object Scratch {
       "on,noLocalReader" -> Map("spark.sql.adaptive.enabled" -> "true",
         "spark.sql.adaptive.localShuffleReader.enabled" -> "false"),
       "on,noSkewJoin" -> Map("spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.enabled" -> "false"))
+        "spark.sql.adaptive.skewJoin.enabled" -> "false"),
+      "on,cacheUncompressed" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.inMemoryColumnarStorage.compressed" -> "false"),
+      "on,cacheBatch100k" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.inMemoryColumnarStorage.batchSize" -> "100000"),
+      "on,minPart32" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "32"),
+      "on,minPart8" -> Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "8"))
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
       fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()

@@ -511,7 +511,17 @@ object Queries {
       // unbounded distinct-value set; for unknown domains keep the
       // default data-driven bounds path.
       case Some(w) =>
+        // The trailing isNotNull is a semantic no-op (v is non-null, so
+        // floor(v / w) is non-null) planted deliberately: the final
+        // inner join on (grp, _sh) INFERS isnotnull(_sh) on the window
+        // branch and pushes it into that branch's scan, while the
+        // byShard branch never gets it — the two histogram subtrees then
+        // canonicalize differently and the exchange is built TWICE (the
+        // alias/constraint-defeated reuse pattern from r13). Making the
+        // constraint explicit puts the identical Filter in both
+        // branches, restoring ReusedExchange (verified in the plan).
         hist0.withColumn("_sh", floor(col(valCol) / w))
+          .where(col("_sh").isNotNull)
       case None =>
         val bounds = hist0.groupBy(grpCol)
           .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
@@ -523,6 +533,7 @@ object Queries {
             least(floor((col(valCol) - col("_lo")) / width), lit(255.0))
               .cast("int"))
           .drop("_lo", "_hi")
+          .where(col("_sh").isNotNull)
     }
     val byShard = sharded.groupBy(col(grpCol), col("_sh"))
       .agg(sum(col(cntCol)).as("_st"))
@@ -744,6 +755,14 @@ object Queries {
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
+      // Spreading li was tried (r14) to share the single-row-group decode
+      // across the three consumers (hx, hy, cross): matched A/B read
+      // 2.37 → 3.59-6.96 s — the round-robin exchange is rebuilt per
+      // consumer branch (sort-before-repartition ×3, serialized through
+      // the same single scan task) instead of reused, tripling the
+      // single-task work it meant to amortize. REVERTED; the per-branch
+      // partial-agg scan stays the cheaper shape (same boundary as the
+      // weighted_median negative result in r13).
       // doubled average rank per distinct value: 2·cum − cnt + 1.
       // x (quantity) has a bounded domain — the plain per-group window
       // runs over a ~50-row histogram. y (price) has data-scaled

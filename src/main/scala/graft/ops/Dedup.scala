@@ -1210,6 +1210,12 @@ object Dedup {
           least(col("sz_a") - col("_i"), col("sz_b") - col("_j")) >=
           ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
+      // The containment-style keyed repartition before this distinct was
+      // tried (r14) and REVERTED: matched A/B pairs read neutral-to-worse
+      // (1.78 before vs 1.81/1.92 after across windows) — unlike the
+      // containment verify, this stage already ran at ~35 tasks and its
+      // max-task skew tracks set sizes AQE cannot rebalance by count
+      // either; the extra pinned exchange bought nothing.
     // Exact verify between REPRESENTATIVES: one codegen'd merge-loop
     // intersect count per candidate pair
     // ([[graft.functions.SortedIntersectCount]] — the sets are
